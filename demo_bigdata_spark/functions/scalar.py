@@ -1,0 +1,72 @@
+"""Scalar expression helpers — pure Catalyst expression composition, no UDFs.
+
+The reference's only "custom" scalar logic is a folded CASE chain categorizing
+event types (reference: services/streaming-service/event_processor.py:101-110)
+and a driver-side Python percentage computation (reference:
+services/api-service/data_service.py:289-303). Both are re-expressed here as
+in-engine expressions: Catalyst constant-folds and codegens the CASE chain,
+and the percentage becomes a window aggregate, so both vectorize and scale —
+no JVM<->Python boundary in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.schemas import DEFAULT_EVENT_CATEGORY, EVENT_TYPE_CATEGORIES
+
+# Categorizer domain for the driver's synthetic `events` table
+# (event_type in signup/click/view/purchase/error).
+SYNTH_EVENT_CATEGORIES: dict[str, str] = {
+    "signup": "acquisition",
+    "click": "engagement",
+    "view": "engagement",
+    "purchase": "revenue",
+    "error": "reliability",
+}
+
+
+def categorize(
+    event_type: Column | str,
+    mapping: dict[str, str] | None = None,
+    default: str = DEFAULT_EVENT_CATEGORY,
+) -> Column:
+    """Map event_type -> category via a folded CASE chain.
+
+    Equivalent to the reference's nested when/otherwise fold (reference:
+    event_processor.py:101-110 over schema.py:100-116). Catalyst simplifies
+    and codegens this; for very large mappings a broadcast map-side join would
+    be the alternative, but a 15-entry CASE folds to a constant-time lookup.
+    """
+    col = F.col(event_type) if isinstance(event_type, str) else event_type
+    mapping = EVENT_TYPE_CATEGORIES if mapping is None else mapping
+    expr: Column = F.lit(default)
+    for k, v in reversed(list(mapping.items())):
+        expr = F.when(col == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def categorize_sql_case(
+    col_name: str, mapping: dict[str, str] | None = None, default: str = DEFAULT_EVENT_CATEGORY
+) -> str:
+    """ANSI-SQL twin of :func:`categorize` for DuckDB oracle queries."""
+    mapping = EVENT_TYPE_CATEGORIES if mapping is None else mapping
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
+    return f"CASE {col_name} {whens} ELSE '{default}' END"
+
+
+def pct_of_total(count_col: Column | str, decimals: int = 2) -> Column:
+    """Percentage-of-total as a window aggregate over the whole frame.
+
+    Replaces the reference's driver-side Python ``round(count/total*100, 2)``
+    against a separately collected total (reference: data_service.py:289-303)
+    with a single in-engine pass. The empty ``partitionBy()`` window computes
+    the global sum without a second job; at scale this is one extra shuffle
+    stage over the (tiny) aggregated distribution, not over raw data.
+    """
+    from pyspark.sql import Window
+
+    col = F.col(count_col) if isinstance(count_col, str) else count_col
+    total = F.sum(col).over(Window.partitionBy())
+    return F.round(col * 100.0 / total, decimals)

@@ -1,0 +1,217 @@
+"""Batch analytics over the events fact table.
+
+Re-expresses the reference's dashboard/stats/query surface (SURVEY.md §2.2-2.4)
+as pure ``DataFrame -> DataFrame`` library functions — one implementation
+instead of the reference's three copies (streaming-service inline, api-service
+Spark path, api-service Python-over-cache path; reference:
+services/streaming-service/api.py:483-561,
+services/api-service/data_service.py:116-150,82-91).
+
+Determinism rules (FIXTURES.md): time cutoffs are literal parameters, never
+wall clock; ``collect_set`` + ``array_sort`` instead of ``collect_list``;
+floats rounded explicitly; every computed column aliased.
+
+Scale notes inline per operator. General posture: no ``collect()`` anywhere;
+aggregates compile to partial (map-side) + final HashAggregate; top-k compiles
+to TakeOrderedAndProject (never a global sort of raw data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.functions.scalar import (
+    SYNTH_EVENT_CATEGORIES,
+    categorize,
+    pct_of_total,
+)
+
+# ---------------------------------------------------------------------------
+# Filters / projections (P12-P14)
+# ---------------------------------------------------------------------------
+
+
+def apply_filters(df: DataFrame, **equals) -> DataFrame:
+    """Dynamically composed equality filters (reference P12:
+    services/streaming-service/api.py:263-276). Predicates push down to the
+    parquet/Iceberg scan (Catalyst PushDownPredicates)."""
+    for col_name, value in equals.items():
+        if value is not None:
+            df = df.filter(F.col(col_name) == F.lit(value))
+    return df
+
+
+def time_range(df: DataFrame, ts_col: str, start=None, end=None) -> DataFrame:
+    """Literal time-range predicate (reference P13:
+    services/api-service/data_service.py:119-126 — but parameterized instead
+    of ``now() - hours``, for determinism). Prunes event-date partitions when
+    the table is partitioned by event date (sources/catalog.py)."""
+    if start is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(ts_col) < F.lit(end))
+    return df
+
+
+def distinct_values(df: DataFrame, col_name: str) -> DataFrame:
+    """Distinct dimension values (reference P14:
+    services/api-service/data_service.py:165-191). Partial-aggregate
+    shuffle on a low-cardinality column — cheap at any scale."""
+    return df.select(col_name).distinct().orderBy(col_name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A9)
+# ---------------------------------------------------------------------------
+
+
+def global_stats(
+    df: DataFrame, *, distinct_cols: tuple[str, ...] = ("user_id", "event_type")
+) -> DataFrame:
+    """Global multi-aggregate totals card (reference A1:
+    services/api-service/data_service.py:127-132).
+
+    Exact countDistinct: each distinct column expands the aggregation
+    (Spark plans one Expand + aggregate). At 100 TB prefer
+    :func:`global_stats_approx` — HLL sketches aggregate map-side without
+    the expand blowup.
+    """
+    aggs = [F.count("*").alias("total_events")]
+    aggs += [F.countDistinct(c).alias(f"unique_{c}") for c in distinct_cols]
+    return df.agg(*aggs)
+
+
+def global_stats_approx(
+    df: DataFrame, *, distinct_cols: tuple[str, ...] = ("user_id", "event_type"), rsd: float = 0.02
+) -> DataFrame:
+    """HLL-sketch variant of :func:`global_stats` — the 100 TB default."""
+    aggs = [F.count("*").alias("total_events")]
+    aggs += [F.approx_count_distinct(c, rsd).alias(f"approx_unique_{c}") for c in distinct_cols]
+    return df.agg(*aggs)
+
+
+def type_distribution(df: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Group-by count + in-engine percentage-of-total (reference A2+A3:
+    services/api-service/data_service.py:289-303; percentage moved in-engine,
+    see functions.scalar.pct_of_total). The global-total window runs over the
+    tiny aggregated distribution, not raw rows."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("event_count"))
+    return counts.select(
+        group_col,
+        "event_count",
+        pct_of_total("event_count").alias("percentage"),
+    ).orderBy(F.desc("event_count"), group_col)
+
+
+def category_distribution(df: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """A2/A3 over the derived category (reference P8 + A2)."""
+    with_cat = df.withColumn(
+        "event_category", categorize(type_col, SYNTH_EVENT_CATEGORIES)
+    )
+    return type_distribution(with_cat, "event_category")
+
+
+def hourly_series(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hourly event-count time series (reference A4:
+    services/api-service/data_service.py:339-343). ``date_trunc`` group-by;
+    output hour formatted as string for oracle-stable comparison. Streaming
+    twin: streaming/pipeline.py tumbling window."""
+    return (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_count",
+        )
+        .orderBy("hour")
+    )
+
+
+def top_entities(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    distinct_col: str,
+    list_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k entities by event count (reference A5/A6:
+    services/api-service/data_service.py:358-406), with
+    ``collect_set``+``array_sort`` replacing collect_list+Python set()
+    (reference A7: data_service.py:364,374 — set semantics, deterministic).
+
+    Plan shape: partial+final hash aggregate, then TakeOrderedAndProject —
+    only k rows cross to the driver-side limit, never a full sort. Ties
+    broken by group cols for determinism.
+    """
+    order = [F.desc("event_count")] + [F.col(c) for c in group_cols]
+    return (
+        df.filter(F.col(group_cols[0]).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct(distinct_col).alias(f"unique_{distinct_col}"),
+            F.array_sort(F.collect_set(list_col)).alias(f"{list_col}s"),
+        )
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def numeric_profile(df: DataFrame, value_col: str = "value", group_col: str = "event_type") -> DataFrame:
+    """First-class numeric aggregates the reference imported but never called
+    (reference A9: services/api-service/data_service.py:7-11 — avg, stddev,
+    sum, min, max, percentile_approx as declared surface).
+
+    Exact ``percentile`` here (test scale + oracle comparability);
+    ``percentile_approx`` (GK sketch) is the 100 TB default — see
+    :func:`numeric_profile_approx`. Floats rounded 2dp for oracle hashing.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.round(F.avg(value_col), 2).alias("avg_value"),
+            F.round(F.stddev_samp(value_col), 2).alias("stddev_value"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+            F.round(F.min(value_col), 2).alias("min_value"),
+            F.round(F.max(value_col), 2).alias("max_value"),
+            F.round(F.expr(f"percentile({value_col}, 0.5)"), 2).alias("median_value"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def numeric_profile_approx(df: DataFrame, value_col: str = "value", group_col: str = "event_type") -> DataFrame:
+    """Sketch-based quantiles for the 100 TB path (bounded-memory GK)."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.percentile_approx(value_col, 0.5, 10000).alias("p50"),
+            F.percentile_approx(value_col, 0.99, 10000).alias("p99"),
+        )
+        .orderBy(group_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / pagination (O1-O3)
+# ---------------------------------------------------------------------------
+
+
+def recent_events(df: DataFrame, ts_col: str = "ts", n: int = 200, tiebreak: str = "event_id") -> DataFrame:
+    """Recent-N scan (reference O2: data_service.py:160-163) with an explicit
+    tiebreak for determinism. Compiles to TakeOrderedAndProject."""
+    return df.orderBy(F.desc(ts_col), F.col(tiebreak)).limit(n)
+
+
+def paginate(
+    df: DataFrame, order_by: list[Column], page: int, page_size: int
+) -> DataFrame:
+    """Offset pagination (reference O3 emulated it with
+    ``limit(offset+size).collect()[offset:]`` and a comment that Spark lacks
+    OFFSET — services/streaming-service/api.py:588-592). Spark >= 3.4 has
+    native ``offset``: the plan is GlobalLimit/Offset over a bounded sort,
+    still driver-safe. Order must be total (include a unique key)."""
+    return df.orderBy(*order_by).offset(page * page_size).limit(page_size)

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference builds its sessions ad hoc per service with AQE + Kryo enabled
+(reference: services/streaming-service/spark_config.py:39-57,
+services/api-service/config.py:39-47). We centralize one factory with
+deterministic settings for oracle comparison (UTC session timezone — DuckDB
+timestamps are TZ-naive) and local-mode-appropriate shuffle parallelism.
+
+Scale posture: on a real cluster the same builder is used with
+``master=None`` (inherit from spark-submit) and ``shuffle_partitions`` sized
+to ~2-3x total executor cores; AQE coalesces down at runtime. Nothing here is
+local-mode-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "demo_bigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    Deterministic + oracle-friendly: UTC session timezone, ANSI off (reference
+    ran Spark 3.4 defaults), Arrow enabled for the Pandas-UDF tier.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get(
+            "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+        )
+    if master:
+        builder = builder.master(master)
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default; read as long and convert in sources.catalog (same µs
+        # truncation DuckDB applies when reading nanos).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,235 @@
+"""Analytics-tier queries (SURVEY.md §2.2-2.4: P12-P14, A1-A9, O1-O3) with
+DuckDB oracle twins, over the driver's synthetic ``events`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.functions.scalar import SYNTH_EVENT_CATEGORIES, categorize_sql_case
+from demo_bigdata_spark.operators import analytics as A
+from demo_bigdata_spark.sources.catalog import load_table
+
+# Literal cutoffs (events span 2024-01-01 .. 2024-01-30; FIXTURES.md determinism rules)
+T0 = "2024-01-10 00:00:00"
+T1 = "2024-01-20 00:00:00"
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# --- A1 global stats -------------------------------------------------------
+
+def q_global_stats(spark, sf_dir):
+    return A.global_stats(_events(spark, sf_dir))
+
+
+SQL_GLOBAL_STATS = """
+SELECT count(*) AS total_events,
+       count(DISTINCT user_id) AS unique_user_id,
+       count(DISTINCT event_type) AS unique_event_type
+FROM events
+"""
+
+# --- A2+A3 distribution with in-engine percentage --------------------------
+
+def q_type_distribution(spark, sf_dir):
+    return A.type_distribution(_events(spark, sf_dir))
+
+
+SQL_TYPE_DISTRIBUTION = """
+SELECT event_type,
+       count(*) AS event_count,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS percentage
+FROM events
+GROUP BY event_type
+ORDER BY event_count DESC, event_type
+"""
+
+# --- P8 categorize + A2 ----------------------------------------------------
+
+def q_category_distribution(spark, sf_dir):
+    return A.category_distribution(_events(spark, sf_dir))
+
+
+SQL_CATEGORY_DISTRIBUTION = f"""
+SELECT {categorize_sql_case('event_type', SYNTH_EVENT_CATEGORIES)} AS event_category,
+       count(*) AS event_count,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS percentage
+FROM events
+GROUP BY 1
+ORDER BY event_count DESC, event_category
+"""
+
+# --- A4 hourly time series --------------------------------------------------
+
+def q_hourly_series(spark, sf_dir):
+    return A.hourly_series(_events(spark, sf_dir))
+
+
+SQL_HOURLY_SERIES = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS event_count
+FROM events
+GROUP BY 1
+ORDER BY hour
+"""
+
+# --- A5/A6/A7 top-k entities with sorted set --------------------------------
+
+def q_top_users(spark, sf_dir):
+    df = A.top_entities(
+        _events(spark, sf_dir), ["user_id"], distinct_col="event_type",
+        list_col="event_type", k=10,
+    )
+    # string-join the sorted set: arrays hash differently across engines
+    return df.select(
+        "user_id",
+        "event_count",
+        "unique_event_type",
+        F.array_join("event_types", ",").alias("event_types"),
+    )
+
+
+SQL_TOP_USERS = """
+SELECT user_id,
+       count(*) AS event_count,
+       count(DISTINCT event_type) AS unique_event_type,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+ORDER BY event_count DESC, user_id
+LIMIT 10
+"""
+
+# --- A9 numeric profile ------------------------------------------------------
+
+def q_numeric_profile(spark, sf_dir):
+    return A.numeric_profile(_events(spark, sf_dir))
+
+
+SQL_NUMERIC_PROFILE = """
+SELECT event_type,
+       round(avg(value), 2) AS avg_value,
+       round(stddev_samp(value), 2) AS stddev_value,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       round(quantile_cont(value, 0.5), 2) AS median_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# --- P12/P13 composed filters ------------------------------------------------
+
+def q_filtered_count(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    df = A.time_range(df, "ts", start=T0, end=T1)
+    df = A.apply_filters(df, event_type="purchase")
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_FILTERED_COUNT = f"""
+SELECT count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '{T0}' AND ts < TIMESTAMP '{T1}' AND event_type = 'purchase'
+"""
+
+# --- P14 distinct dimension values -------------------------------------------
+
+def q_distinct_types(spark, sf_dir):
+    return A.distinct_values(_events(spark, sf_dir), "event_type")
+
+
+SQL_DISTINCT_TYPES = """
+SELECT DISTINCT event_type FROM events ORDER BY event_type
+"""
+
+# --- O2 recent-N --------------------------------------------------------------
+
+def q_recent_events(spark, sf_dir):
+    df = A.recent_events(_events(spark, sf_dir), n=200)
+    return df.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+    )
+
+
+SQL_RECENT_EVENTS = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, event_type
+FROM events
+ORDER BY ts DESC, event_id
+LIMIT 200
+"""
+
+# --- O3 native offset pagination ----------------------------------------------
+
+def q_pagination(spark, sf_dir):
+    df = A.paginate(
+        _events(spark, sf_dir),
+        [F.desc("ts"), F.col("event_id")],
+        page=2,
+        page_size=50,
+    )
+    return df.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+    )
+
+
+SQL_PAGINATION = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+FROM events
+ORDER BY ts DESC, event_id
+LIMIT 50 OFFSET 100
+"""
+
+# --- P6 JSON scalar extraction (get_json_object on props) ----------------------
+
+def q_json_extract(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "global_stats": (q_global_stats, SQL_GLOBAL_STATS),
+    "type_distribution": (q_type_distribution, SQL_TYPE_DISTRIBUTION),
+    "category_distribution": (q_category_distribution, SQL_CATEGORY_DISTRIBUTION),
+    "hourly_series": (q_hourly_series, SQL_HOURLY_SERIES),
+    "top_users": (q_top_users, SQL_TOP_USERS),
+    "numeric_profile": (q_numeric_profile, SQL_NUMERIC_PROFILE),
+    "filtered_count": (q_filtered_count, SQL_FILTERED_COUNT),
+    "distinct_types": (q_distinct_types, SQL_DISTINCT_TYPES),
+    "recent_events": (q_recent_events, SQL_RECENT_EVENTS),
+    "pagination": (q_pagination, SQL_PAGINATION),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+}
