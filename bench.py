@@ -1,0 +1,84 @@
+"""Headline benchmark — run per-round by the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the noop sink (no driver collect, no
+result-size bias). Timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from demo_bigdata_spark.session import get_spark
+from demo_bigdata_spark.suites import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # reference surface
+    "global_stats",
+    "type_distribution",
+    "hourly_series",
+    "top_users",
+    "numeric_profile",
+    "recent_events",
+    "json_extract",
+    # ingest pipeline (JSON parse/flatten/quality end-to-end)
+    "ingest_category_stats",
+    # relational [EXT]
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_customers",
+    "top_orders_per_customer",
+    "rollup_flags",
+    "asof_purchase_click",
+    # streaming twins
+    "tumbling_window",
+    "session_windows",
+    # LLM ops [EXT]
+    "dedup_exact",
+    "minhash_signature",
+    "near_duplicates",
+    "simhash",
+    "text_quality",
+    "token_counts",
+    "cosine_topk",
+    "embedding_pairs",
+]
+
+
+def main() -> None:
+    sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        df = fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (noop-materialized)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Deduplication operators [EXT]: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star training-data-pipeline surface (BASELINE.json) — the reference has
+no dedup. Everything here is UDF-free Catalyst expression composition over
+higher-order array functions, with portable arithmetic (md5-derived token
+hashes, int64-safe modular products) so every stage has an exact DuckDB twin.
+
+Scale design:
+- Exact dedup: hash-aggregate on a fingerprint — one shuffle keyed by digest,
+  perfectly balanced unless the corpus is one giant duplicate cluster.
+- MinHash+LSH: per-doc signature is a linear scan (no shuffle); candidate
+  generation explodes to (band, band_sig) and self-joins on that key — the
+  classic band-bucket equi-join. Bucket sizes are the skew risk: a boilerplate
+  cluster makes one bucket quadratic. Mitigate by capping bucket size
+  (``max_bucket``) — buckets above the cap are dup-farms anyway and can be
+  handled by cluster-id assignment instead of pairwise verification.
+- SimHash: linear scan producing a 16-bit sketch; near-dup = same sketch
+  bucket (or Hamming<=d via d-choose-1 bucket probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators.text import tokens
+
+# 28-bit token hash: first 7 hex chars of md5. Keeps a_i*h + b_i < 2^63
+# (int64-safe in both Spark and DuckDB).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+# Deterministic hash-family coefficients (fixed; must match suite SQL).
+# Generated once from a seeded PRNG, frozen as literals for portability.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1610612741, 805306457),
+    (402653189, 1258291379),
+    (1073741827, 201326611),
+    (1876453213, 967294937),
+    (786433219, 1431655765),
+    (1291845633, 536870923),
+    (671088667, 1073807359),
+    (1152921529, 268435459),
+    (536870909, 1610612711),
+    (234881033, 402653171),
+    (1342177283, 671088637),
+    (469762049, 100663319),
+    (912680821, 1543503877),
+    (754974721, 334917529),
+    (167772161, 477218591),
+    (998244353, 120586241),
+]
+
+
+def token_hash(t: Column) -> Column:
+    """Portable 28-bit token hash: int(md5(t)[:7], 16)."""
+    return F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(tokens(col))
+
+
+# --- Exact dedup -----------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text digest.
+
+    groupBy on the md5 digest, not the raw text: the shuffle key is 32 bytes
+    regardless of document size — at 100 TB that's the difference between
+    shuffling digests and shuffling the corpus.
+    """
+    normalized = F.array_join(tokens(F.lower(F.col(text_col))), " ")
+    return (
+        df.withColumn("fp", F.md5(normalized))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
+    """Append ``sig``: array<bigint> of k MinHash values over distinct tokens.
+
+    minhash_i = min over tokens t of (a_i * h(t) + b_i) mod P. Linear scan,
+    no shuffle; k folds over the token array, all inside codegen.
+    """
+    toks = distinct_tokens(text_col)
+    hashes = F.transform(toks, token_hash)
+
+    def _perm(a: int, b: int):
+        # closure factory: Spark infers lambda arity from the signature, so
+        # default-arg capture (lambda h, a=a: ...) would read as 3-arg
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, _perm(a, b))) for a, b in MINHASH_COEFFS[:k]]
+    )
+    return df.withColumn("sig", sig)
+
+
+def lsh_bands(df: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4) -> DataFrame:
+    """Explode signatures into (id, band_idx, band_sig) — the LSH bucket key."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat_ws("-", *[F.col("sig")[i * rows + j] for j in range(rows)]).alias("band_sig"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return df.select(id_col, F.explode(band_structs).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_sig").alias("band_sig")
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band bucket.
+
+    Equi-join on (band_idx, band_sig); ``max_bucket`` drops degenerate
+    dup-farm buckets whose pairwise expansion would be quadratic (handle those
+    clusters by connected-component labeling instead)."""
+    sigs = minhash_signature(df, text_col)
+    bands_df = lsh_bands(sigs, id_col, bands, rows)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        counts = bands_df.groupBy("band_idx", "band_sig").agg(F.count("*").alias("bn"))
+        bands_df = bands_df.join(
+            counts.filter(F.col("bn") <= max_bucket), ["band_idx", "band_sig"]
+        ).drop("bn")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size_prune_threshold: float | None = None,
+) -> DataFrame:
+    """Verify candidate pairs with token-set Jaccard computed on *hashed*
+    token sets (array<bigint> instead of array<string>).
+
+    Hashing shrinks the arrays carried through the pair join and makes the
+    intersect integer-typed (much cheaper than string compares). Any hash
+    collision merges the same tokens on both sides of an engine comparison,
+    so the DuckDB twin (which hashes identically) stays exact.
+
+    ``size_prune_threshold``: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    failing the size-ratio bound can be dropped BEFORE the array join without
+    changing any result above the threshold — a cheap int-only prefilter that
+    kills most skew from length-divergent candidate pairs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(distinct_tokens(text_col), token_hash)).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    sizes_a = toks.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sizes_b = toks.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    pruned = pairs.join(sizes_a, "id_a").join(sizes_b, "id_b")
+    if size_prune_threshold is not None:
+        pruned = pruned.filter(
+            F.least("na", "nb") >= F.greatest("na", "nb") * size_prune_threshold
+        )
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    # |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair, no array_union
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        pruned.select("id_a", "id_b", "na", "nb")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / (F.col("na") + F.col("nb") - inter).cast("double"), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> band buckets ->
+    candidate pairs -> exact Jaccard >= threshold."""
+    cands = minhash_candidates(df, text_col, id_col, bands, rows)
+    return jaccard_pairs(
+        df, cands, text_col, id_col, size_prune_threshold=threshold
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Append ``simhash``: bits-wide sign sketch of the token-hash multiset.
+
+    bit_j = 1 iff sum over distinct tokens of (+1 / -1 by bit j of h(t)) > 0.
+    Near-dups collide or differ in few bits (Hamming distance).
+    """
+    hashes = F.transform(distinct_tokens(text_col), token_hash)
+
+    def _bit_sum(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bit_terms = [
+        F.when(
+            F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_sum(j)) > 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(bits)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return df.withColumn("simhash", total)

@@ -1,0 +1,120 @@
+"""Multimodal columns [EXT]: opaque binary payloads + typed metadata, with
+Arrow-batched Pandas-UDF plumbing for decode/feature-extract/frame-sample.
+
+Design (north star): image/audio/video live as ``binary`` columns next to a
+metadata struct (mime, n_bytes, sha256). Decoders are Pandas UDFs over
+``mapInPandas`` — Arrow batches in/out, one Python invocation per batch, not
+per row. The actual media libs (PIL/ffmpeg) are NOT in this container, so the
+decode step is STUBBED: ``decode_image_real`` raises NotImplementedError, and
+``decode_image_fake`` produces deterministic pseudo-features from the bytes so
+the Spark-side plumbing (schema, batching, partition flow) is real and tested.
+
+At 100 TB: binary payloads dominate I/O — store them in their own parquet
+column (never inline in JSON), filter on metadata FIRST so pushdown prunes
+row groups before bytes are read, and size partitions by bytes not rows
+(``spark.sql.files.maxPartitionBytes``). mapInPandas streams batches, so
+executor memory is bounded by batch size, not partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialize an opaque binary payload + typed metadata from a source
+    column (here: utf-8 bytes of text, standing in for real media bytes).
+    All metadata is computed JVM-side (encode/sha2/length) — portable and
+    oracle-checkable."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha"),
+    )
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:
+    """Real image decode — requires PIL/libvips, absent in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips (not installed); "
+        "use decode_image_fake for the plumbing path"
+    )
+
+
+def decode_image_fake(media: DataFrame) -> DataFrame:
+    """Deterministic fake decoder exercising the REAL scale plumbing:
+    mapInPandas over Arrow batches, bounded memory, typed output schema.
+    Features derive from the payload bytes so results are stable."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = payloads.str.len().astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "mean_luma": payloads.map(
+                        lambda b: (sum(b[:64]) / max(min(len(b), 64), 1)) if len(b) else 0.0
+                    ).round(4),
+                }
+            )
+
+    return media.mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_fake(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Deterministic fake frame sampler ("video" = byte stream; one frame per
+    ``every_n_bytes`` chunk, capped). Shows the fan-out shape: one input row ->
+    N output rows, still Arrow-batched."""
+    import hashlib
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_sha = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = min(max(len(payload) // every_n_bytes, 1), max_frames)
+                for i in range(n_frames):
+                    chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_sha.append(hashlib.sha256(chunk).hexdigest()[:16])
+            yield pd.DataFrame({"doc_id": out_ids, "frame_idx": out_idx, "frame_sha": out_sha})
+
+    return media.mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)

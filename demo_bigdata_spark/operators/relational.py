@@ -1,0 +1,167 @@
+"""Relational tier [EXT]: joins, set ops, window functions, multi-dim aggregates.
+
+The reference has NO joins/windows/set-ops anywhere (verified absence,
+SURVEY.md §2.5) — its single fact table never needs them. The driver's test
+corpus is a TPC-H-ish star schema and the north star mandates scale-ready
+analytics, so this tier ships them as built-in Spark primitives plus one
+custom operator Spark lacks natively (as-of join, built scalably from
+union + window, no cartesian product).
+
+Scale posture per operator is documented inline. Rules of thumb applied:
+broadcast only bounded dimensions (region/nation: O(100) rows at any scale);
+fact-fact joins shuffle on their keys and rely on AQE for skew; window
+functions always partitioned (a global window moves everything to one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_dim(fact: DataFrame, dim: DataFrame, on, how: str = "inner", broadcast: bool = True) -> DataFrame:
+    """Fact-dimension equi-join. ``broadcast=True`` ships the dim to every
+    executor (no shuffle of the fact side) — correct whenever the dim is
+    bounded (region=5, nation=25 at every TPC-H SF). For unbounded "dims"
+    (customer/part at 100 TB) pass broadcast=False and let AQE pick
+    sort-merge/shuffle-hash."""
+    right = F.broadcast(dim) if broadcast else dim
+    return fact.join(right, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS: rows of left with a match in right; right columns never
+    materialize (smaller shuffle than inner+distinct)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def rank_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_fn=F.row_number,
+) -> DataFrame:
+    """Top-k per group via ranking window (SNIPPETS/common OLAP pattern).
+
+    Shuffles once on the partition cols; each group sorts locally. At scale
+    this beats a global sort by construction; for heavily skewed groups,
+    pre-aggregate or salt before ranking. ``order_cols`` must give a total
+    order (include a unique key) for deterministic results.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rnk", rank_fn().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def running_aggregate(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    value_col: str,
+    agg=F.sum,
+    out_col: str = "running_value",
+) -> DataFrame:
+    """Cumulative aggregate per partition (frame: unbounded preceding → current).
+    One shuffle on partition cols; state is per-group, bounded."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, agg(value_col).over(w))
+
+
+def with_lag(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "prev_value",
+    offset: int = 1,
+) -> DataFrame:
+    """lag() analytic — previous row's value within the partition order."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(out_col, F.lag(value_col, offset).over(w))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right.ts <= left.ts, matched on ``on`` — an operator Spark lacks natively.
+
+    Implementation is the scalable union+window carry-forward (NOT a range
+    cross-join): tag both sides, union, sort within each ``on`` partition by
+    (ts, side) with right rows first at equal ts, carry the last non-null
+    right value forward, keep left rows. One shuffle on the join key, state
+    bounded per key — survives any scale where a single key's history fits a
+    partition (salt by time-bucket if one key is unbounded).
+
+    DuckDB twin: native ``ASOF JOIN``.
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+        ).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__side",
+        "__left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__left.{c}").alias(c) for c in lcols],
+        *[F.col(f"asof_{c}") for c in right_value_cols],
+    )
+
+
+def rollup_aggregate(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
+    """ROLLUP — hierarchical subtotals. Spark plans a single Expand + hash
+    aggregate (one pass over the fact, no N separate jobs)."""
+    return df.rollup(*dims).agg(*aggs)
+
+
+def cube_aggregate(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
+    """CUBE — all dimension combinations, single Expand + aggregate pass."""
+    return df.cube(*dims).agg(*aggs)
+
+
+def pivot_table(
+    df: DataFrame, group_col: str, pivot_col: str, pivot_values: list[str], agg: Column
+) -> DataFrame:
+    """Pivot with EXPLICIT pivot values — never let Spark collect distinct
+    values first (that's an extra job, and unbounded output width at scale)."""
+    return df.groupBy(group_col).pivot(pivot_col, pivot_values).agg(agg)

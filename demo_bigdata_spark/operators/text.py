@@ -1,0 +1,109 @@
+"""Text-analysis operators [EXT] over the ``documents`` table (north star:
+training-data pipeline surface — language ID, quality scoring, token counting,
+document fingerprinting).
+
+All hot-path logic is Catalyst built-ins (split/regexp/length/aggregate) —
+JVM-side, codegen'd, no Python per row. Every operator has an ANSI twin so it
+stays oracle-checkable (suites/suite_llm.py).
+
+At 100 TB: these are embarrassingly parallel scans (no shuffle until the final
+aggregate); the expensive part is the string work, which whole-stage codegen
+vectorizes. For corpus-level stats prefer the approx variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic
+# language-ID. Deliberately small + deterministic — a real pipeline would
+# plug a fastText-style model in via pandas_udf (operators/multimodal.py
+# shows the plumbing pattern).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+    "zh": ("de", "shi", "zhong"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization — array<string>."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    empty = F.trim(col) == ""
+    return F.when(empty, F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def word_like_token_count(text: Column | str) -> Column:
+    """BPE-ish sub-word proxy: count alphanumeric runs + punctuation marks
+    separately (regexp-based, JVM-side)."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.size(F.filter(F.split(col, r"[^A-Za-z0-9]+"), lambda t: t != ""))
+    puncts = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return (words + puncts).cast("int")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token count, mean token length,
+    uppercase/punct/digit ratios, distinct-token ratio. Pure projection —
+    no shuffle."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = token_count(c)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 2).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)).cast("double"), 4
+        ).alias("distinct_token_ratio"),
+        F.round(
+            F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.greatest(n_chars, F.lit(1)).cast("double"), 4
+        ).alias("digit_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", min_tokens: int = 5, max_avg_token_len: float = 12.0) -> DataFrame:
+    """Heuristic keep/drop quality gate à la Gopher rules (public C4/Gopher
+    filtering heuristics re-expressed as Catalyst predicates)."""
+    feats = quality_features(df, text_col)
+    return feats.withColumn(
+        "keep",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+        & (F.col("distinct_token_ratio") >= 0.1),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score each candidate language by counting
+    marker-token hits, pick the argmax (ties -> lexicographic, deterministic).
+
+    Implemented as a fold over a literal score array — pure expressions, no
+    UDF. Scores are computed on the token array so markers match whole tokens
+    only.
+    """
+    toks = tokens(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        score = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))  # struct compare: score first, then lang
+    return df.withColumn("predicted_lang", F.when(best["score"] > 0, best["lang"]))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the token-normalized text
+    (lowercase, collapsed whitespace). Portable across engines (exact-dedup
+    key). A rolling/winnowing hash variant lives in operators/dedup.py."""
+    normalized = F.array_join(tokens(F.lower(F.col(text_col))), " ")
+    return df.withColumn("fp", F.md5(normalized))

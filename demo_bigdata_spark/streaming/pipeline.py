@@ -1,0 +1,142 @@
+"""Structured Streaming tier: source -> transform -> sink, plus [EXT]
+event-time semantics the reference lacks (watermarks, windows, streaming dedup).
+
+The reference's stream is a stateless map/filter chain from Kafka into an
+Iceberg append sink with a 2 s micro-batch trigger and no watermarks
+(reference: services/streaming-service/api.py:295-318, T1-T9 in SURVEY.md
+§2.6). The same chain here is a *function of any streaming DataFrame* — the
+transform logic is shared verbatim with batch (operators/ingest.py), which is
+the point of Structured Streaming.
+
+Test strategy: file/parquet micro-batch source + memory or foreachBatch sink,
+``processAllAvailable()`` for synchronous determinism. Kafka/Iceberg variants
+are config-only changes (format + options) and need their jars — gated behind
+options, not in the correctness path.
+
+At 100 TB/day: watermark bounds state; streaming agg state lives in the state
+store keyed by (window, group) — partition count = shuffle partitions, sized
+so per-task state fits memory; dropDuplicates state is bounded by the
+watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from demo_bigdata_spark.schemas import EVENTS_SCHEMA
+
+
+def read_events_stream(
+    spark, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Deterministic file-based streaming source over the events schema
+    (test stand-in for the Kafka source S1 — reference api.py:295-302; the
+    Kafka variant is readStream.format('kafka') + the same downstream)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def read_kafka_stream(spark, bootstrap: str, topic: str) -> DataFrame:
+    """Kafka source (reference S1 verbatim: subscribe/latest/failOnDataLoss).
+    Requires spark-sql-kafka jars on the classpath — not in the test tier."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+def dedup_stream(df: DataFrame, id_col: str = "event_id", ts_col: str = "ts", watermark: str = "10 minutes") -> DataFrame:
+    """[EXT] exactly-once-per-key on an at-least-once stream: watermarked
+    dropDuplicates. State bounded by the watermark horizon (reference T3 had
+    no dedup — replays duplicate into the sink)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """[EXT] event-time tumbling/sliding window aggregation with late-data
+    handling — the streaming twin of analytics.hourly_series (A4). Works on
+    batch DataFrames too (F.window is batch-compatible), which is how the
+    oracle checks it."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    streaming = df.isStreaming
+    if streaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(win.alias("w"), group_col)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            group_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame, ts_col: str = "ts", gap: str = "30 minutes", key_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """[EXT] session windows (gap-based). Streaming: F.session_window + state
+    store. The batch twin used for oracle checking is the classic
+    lag/cum-sum sessionization (operators/analytics has no session op in the
+    reference — this is new surface)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def write_partitioned_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """Streaming sink: append-mode partitioned parquet via foreachBatch,
+    mirroring the reference's Iceberg append sink (S2: api.py:312-318,
+    2 s processingTime trigger) without the Iceberg dependency. foreachBatch
+    reuses the batch writer, giving the same event-date partitioning."""
+    from demo_bigdata_spark.sources.catalog import write_partitioned
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        write_partitioned(batch_df, path, ts_col="ts", mode="append")
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
+    """Synchronous test harness: memory sink + processAllAvailable()."""
+    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    return q

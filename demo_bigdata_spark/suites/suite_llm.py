@@ -1,3 +1,348 @@
-"""Placeholder — populated as the tier lands."""
+"""LLM-data-pipeline [EXT] queries: dedup (exact/MinHash-LSH/SimHash/Jaccard),
+similarity search, text analysis, multimodal metadata — each with a DuckDB
+twin built from the SAME frozen constants (hash coefficients, markers,
+thresholds), so the oracle checks the full algorithm, not just row counts."""
 
-QUERIES = {}
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators import dedup as D
+from demo_bigdata_spark.operators import multimodal as M
+from demo_bigdata_spark.operators import similarity as S
+from demo_bigdata_spark.operators import text as X
+from demo_bigdata_spark.operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+from demo_bigdata_spark.operators.text import LANG_MARKERS
+from demo_bigdata_spark.sources.catalog import load_table
+
+# Shared SQL fragments (DuckDB) — token/hash primitives matching operators.text/dedup
+SQL_TOKS = r"list_distinct(regexp_split_to_array(trim(text), '\s+'))"
+SQL_TOKS_RAW = r"regexp_split_to_array(trim(text), '\s+')"
+SQL_H7 = "('0x' || substr(md5(t), 1, 7))::BIGINT"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- Exact dedup ---------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir)).orderBy("fp")
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+ORDER BY fp
+"""
+
+# --- MinHash signatures -----------------------------------------------------------
+
+def q_minhash_signature(spark, sf_dir):
+    sigs = D.minhash_signature(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id", F.array_join(F.col("sig").cast("array<string>"), "-").alias("sig")
+    )
+
+
+_SIG_TERMS = ",\n         ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+    for a, b in MINHASH_COEFFS
+)
+SQL_MINHASH_SIGNATURE = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+hashes AS (SELECT doc_id, list_transform(tk, t -> {SQL_H7}) AS hs FROM toks)
+SELECT doc_id,
+       array_to_string([{_SIG_TERMS}], '-') AS sig
+FROM hashes
+"""
+
+# --- MinHash-LSH candidate pairs -----------------------------------------------------
+
+MAX_BUCKET = 1000  # dup-farm cutoff, mirrored in the SQL twins
+
+
+def q_minhash_candidates(spark, sf_dir):
+    return D.minhash_candidates(_docs(spark, sf_dir), max_bucket=MAX_BUCKET).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _bands_sql(bands: int = 4, rows: int = 4) -> str:
+    selects = []
+    for i in range(bands):
+        cols = ", ".join(f"sig[{i * rows + j + 1}]" for j in range(rows))
+        selects.append(
+            f"SELECT doc_id, {i} AS band_idx, concat_ws('-', {cols}) AS band_sig FROM sigs"
+        )
+    return " UNION ALL ".join(selects)
+
+
+_SIG_LIST = ",\n         ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+    for a, b in MINHASH_COEFFS
+)
+_SQL_SIGS_CTE = f"""
+toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+hashes AS (SELECT doc_id, list_transform(tk, t -> {SQL_H7}) AS hs FROM toks),
+sigs AS (SELECT doc_id, [{_SIG_LIST}] AS sig FROM hashes),
+all_bands AS ({_bands_sql()}),
+bsizes AS (SELECT band_idx, band_sig, count(*) AS bn FROM all_bands GROUP BY 1, 2),
+bands AS (
+  SELECT b.doc_id, b.band_idx, b.band_sig
+  FROM all_bands b JOIN bsizes s USING (band_idx, band_sig)
+  WHERE s.bn <= 1000
+)
+"""
+
+SQL_MINHASH_CANDIDATES = f"""
+WITH {_SQL_SIGS_CTE}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+# --- Near-duplicate pairs (LSH candidates + exact Jaccard) ------------------------------
+
+NEAR_DUP_THRESHOLD = 0.7
+
+
+def q_near_duplicates(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cands = D.minhash_candidates(docs, max_bucket=MAX_BUCKET)
+    return (
+        D.jaccard_pairs(docs, cands, size_prune_threshold=NEAR_DUP_THRESHOLD)
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_NEAR_DUPLICATES = f"""
+WITH {_SQL_SIGS_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+toksh AS (
+  SELECT doc_id, list_distinct(list_transform(tk, t -> {SQL_H7})) AS hk FROM toks
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         round(len(list_intersect(ta.hk, tb.hk)) /
+               (len(ta.hk) + len(tb.hk) - len(list_intersect(ta.hk, tb.hk)))::DOUBLE, 4) AS jaccard
+  FROM pairs p
+  JOIN toksh ta ON ta.doc_id = p.id_a
+  JOIN toksh tb ON tb.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+# --- SimHash -------------------------------------------------------------------------------
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+_SIMHASH_TERMS = "\n     + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+)
+SQL_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+hashes AS (SELECT doc_id, list_transform(tk, t -> {SQL_H7}) AS hs FROM toks)
+SELECT doc_id,
+       ({_SIMHASH_TERMS})::BIGINT AS simhash
+FROM hashes
+"""
+
+# --- Text quality features -----------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    return X.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_calc,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS_RAW}) END AS n_tokens,
+         len(list_distinct({SQL_TOKS_RAW})) AS n_distinct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       round(n_chars_calc / greatest(n_tokens, 1), 2) AS avg_token_len,
+       round(n_distinct / greatest(n_tokens, 1)::DOUBLE, 4) AS distinct_token_ratio,
+       round(n_digits / greatest(n_chars_calc, 1)::DOUBLE, 4) AS digit_ratio,
+       (n_tokens >= 5 AND round(n_chars_calc / greatest(n_tokens, 1), 2) <= 12.0
+        AND round(n_distinct / greatest(n_tokens, 1)::DOUBLE, 4) >= 0.1) AS keep
+FROM base
+ORDER BY doc_id
+"""
+
+# --- Language ID accuracy ---------------------------------------------------------------------
+
+def q_language_id(spark, sf_dir):
+    pred = X.language_id(_docs(spark, sf_dir))
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+_LANG_STRUCTS = ",\n           ".join(
+    "{'score': len(list_filter(tk, t -> t IN (%s))), 'lang': '%s'}"
+    % (", ".join(f"'{m}'" for m in markers), lang)
+    for lang, markers in sorted(LANG_MARKERS.items())
+)
+SQL_LANGUAGE_ID = f"""
+WITH toks AS (SELECT doc_id, lang, {SQL_TOKS_RAW} AS tk FROM documents),
+scored AS (
+  SELECT lang,
+         list_max([{_LANG_STRUCTS}]) AS best
+  FROM toks
+)
+SELECT lang,
+       CASE WHEN best.score > 0 THEN best.lang END AS predicted_lang,
+       count(*) AS n
+FROM scored
+GROUP BY 1, 2
+ORDER BY lang, predicted_lang
+"""
+
+# --- Token counting per language -----------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "lang",
+            X.token_count("text").alias("nt"),
+            X.word_like_token_count("text").alias("nw"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nw").alias("total_word_tokens"),
+            F.round(F.avg("nt"), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_COUNTS = rf"""
+WITH per_doc AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS_RAW}) END AS nt,
+         (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> t <> ''))
+          + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')))::INT AS nw
+  FROM documents
+)
+SELECT lang,
+       sum(nt)::BIGINT AS total_tokens,
+       sum(nw)::BIGINT AS total_word_tokens,
+       round(avg(nt), 2) AS avg_tokens
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+# --- Similarity search -----------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.brute_force_topk(emb, qvec, k=10)
+
+
+SQL_COSINE_TOPK = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+PAIR_THRESHOLD = 0.35
+
+
+def q_embedding_pairs(spark, sf_dir):
+    return S.all_pairs_above(_emb(spark, sf_dir), PAIR_THRESHOLD).orderBy("id_a", "id_b")
+
+
+SQL_EMBEDDING_PAIRS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= {PAIR_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def q_lsh_pairs(spark, sf_dir):
+    # Approximate variant — recall measured against the exact op in pytest;
+    # rows-only for the driver (hyperplane SQL twin would be meaningless).
+    return S.lsh_pairs_above(_emb(spark, sf_dir), PAIR_THRESHOLD, n_planes=4, n_tables=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --- Multimodal metadata -----------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    media = M.attach_binary(_docs(spark, sf_dir))
+    return media.select("doc_id", "mime", "n_bytes", "sha").orderBy("doc_id")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_image_features(spark, sf_dir):
+    # mapInPandas fake-decode plumbing — deterministic but not SQL-expressible
+    media = M.attach_binary(_docs(spark, sf_dir))
+    return M.decode_image_fake(media).orderBy("doc_id")
+
+
+def q_frame_samples(spark, sf_dir):
+    media = M.attach_binary(_docs(spark, sf_dir))
+    return M.frame_sample_fake(media).orderBy("doc_id", "frame_idx")
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
+    "near_duplicates": (q_near_duplicates, SQL_NEAR_DUPLICATES),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "language_id": (q_language_id, SQL_LANGUAGE_ID),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
+    "lsh_pairs": (q_lsh_pairs, None),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "image_features": (q_image_features, None),
+    "frame_samples": (q_frame_samples, None),
+}

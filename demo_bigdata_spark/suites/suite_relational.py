@@ -1,3 +1,396 @@
-"""Placeholder — populated as the tier lands."""
+"""Relational-tier [EXT] queries over the TPC-H-ish star schema (SURVEY.md
+§2.5): joins (broadcast + shuffle), semi/anti, set ops, ranking/analytic/frame
+windows, rollup/cube/grouping-sets, pivot, and the custom as-of join."""
 
-QUERIES = {}
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators import relational as R
+from demo_bigdata_spark.sources.catalog import load_table
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- TPC-H Q1: pricing summary (scan -> filter -> wide hash aggregate) ------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --- Multi-join revenue by nation (broadcast dims, shuffle fact joins) -------
+
+def q_revenue_by_nation(spark, sf_dir):
+    li, orders, cust = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    nation, region = (_t(spark, sf_dir, n) for n in ("nation", "region"))
+    # fact-fact: shuffle joins on their keys (AQE picks strategy);
+    # nation/region: bounded dims -> broadcast (no shuffle of the fact side).
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    enriched = R.join_dim(
+        R.join_dim(facts, nation, facts.c_nationkey == nation.n_nationkey),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+    )
+    return (
+        enriched.groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+# --- Top-k customers by revenue (join -> agg -> TakeOrderedAndProject) -------
+
+def q_top_customers(spark, sf_dir):
+    li, orders, cust = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+# --- Semi / anti joins --------------------------------------------------------
+
+def q_segments_with_big_orders(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        R.semi_join(cust, big, cust.c_custkey == big.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SEGMENTS_WITH_BIG_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        R.anti_join(cust, orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+# --- Set operations ------------------------------------------------------------
+
+def _spenders(spark, sf_dir, year):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+            & (F.col("o_totalprice") > 200000)
+        )
+        .select("o_custkey")
+    )
+
+
+def q_set_union(spark, sf_dir):
+    return (
+        _spenders(spark, sf_dir, 1997)
+        .unionByName(_spenders(spark, sf_dir, 1998))
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+SQL_SET_UNION = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice > 200000
+UNION
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' AND o_totalprice > 200000
+ORDER BY o_custkey
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    return _spenders(spark, sf_dir, 1997).intersect(_spenders(spark, sf_dir, 1998)).orderBy("o_custkey")
+
+
+SQL_SET_INTERSECT = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice > 200000
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' AND o_totalprice > 200000
+ORDER BY o_custkey
+"""
+
+
+def q_set_except(spark, sf_dir):
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep multiplicity
+    return _spenders(spark, sf_dir, 1997).subtract(_spenders(spark, sf_dir, 1998)).orderBy("o_custkey")
+
+
+SQL_SET_EXCEPT = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice > 200000
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' AND o_totalprice > 200000
+ORDER BY o_custkey
+"""
+
+# --- Window functions ------------------------------------------------------------
+
+def q_top_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return R.rank_per_group(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.col("o_orderkey")], k=2
+    ).select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 2
+"""
+
+
+def q_running_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return R.running_aggregate(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        "o_totalprice",
+        out_col="running_total",
+    ).select(
+        "o_custkey", "o_orderkey", F.round("running_total", 2).alias("running_total")
+    )
+
+
+SQL_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_order_gaps(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    lagged = R.with_lag(
+        orders, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")],
+        "o_orderdate", out_col="prev_date",
+    )
+    return lagged.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.col("prev_date")).alias("gap_days"),
+    )
+
+
+SQL_ORDER_GAPS = """
+SELECT o_custkey, o_orderkey,
+       datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate)::INT AS gap_days
+FROM orders
+"""
+
+# --- Multi-dimensional aggregates --------------------------------------------------
+
+def q_rollup_flags(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return R.rollup_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")],
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+SQL_ROLLUP_FLAGS = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return R.cube_aggregate(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price")],
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+# --- Pivot --------------------------------------------------------------------------
+
+def q_pivot_linestatus(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = R.pivot_table(
+        li, "l_returnflag", "l_linestatus", ["O", "F"], F.round(F.sum("l_quantity"), 2)
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("O").alias("qty_o"),
+        F.col("F").alias("qty_f"),
+    ).orderBy("l_returnflag")
+
+
+SQL_PIVOT_LINESTATUS = """
+SELECT l_returnflag,
+       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o,
+       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# --- As-of join (custom operator; DuckDB twin is native ASOF JOIN) -------------------
+
+def q_asof_purchase_click(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = R.asof_join(purchases, clicks, on="user_id", ts_col="ts", right_value_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("asof_value", 2).alias("last_click_value"),
+    )
+
+
+SQL_ASOF_PURCHASE_CLICK = """
+SELECT p.event_id, p.user_id, round(c.value, 2) AS last_click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+QUERIES = {
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "segments_with_big_orders": (q_segments_with_big_orders, SQL_SEGMENTS_WITH_BIG_ORDERS),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "set_union": (q_set_union, SQL_SET_UNION),
+    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
+    "set_except": (q_set_except, SQL_SET_EXCEPT),
+    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
+    "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
+    "order_gaps": (q_order_gaps, SQL_ORDER_GAPS),
+    "rollup_flags": (q_rollup_flags, SQL_ROLLUP_FLAGS),
+    "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "pivot_linestatus": (q_pivot_linestatus, SQL_PIVOT_LINESTATUS),
+    "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
+}

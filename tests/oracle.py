@@ -36,12 +36,17 @@ def _norm(v):
     return v
 
 
+def _strict(v):
+    """Stringify WITHOUT unifying int/float — mirrors a driver that hashes
+    serialized values, where 3549 (Spark bigint) != 3549.0 (DuckDB hugeint
+    via pandas float). Type drift must be fixed in the SQL, not papered over."""
+    n = _norm(v)
+    return f"{type(n).__name__}:{n}"
+
+
 def _multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t),
-    )
+    return sorted(tuple(_strict(r[i]) for i in order) for r in rows)
 
 
 def compare(spark_df, con, sql: str, name: str = "?") -> None:

@@ -1,0 +1,111 @@
+"""Operator unit tests: ingest edge cases, as-of join semantics, LSH recall,
+multimodal plumbing, partitioned writes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators.ingest import process_raw_events
+from demo_bigdata_spark.operators.multimodal import attach_binary, decode_image_fake, frame_sample_fake
+from demo_bigdata_spark.operators.relational import asof_join
+from demo_bigdata_spark.operators.similarity import all_pairs_above, lsh_pairs_above
+from demo_bigdata_spark.sources.catalog import load_table
+
+GOOD = (
+    '{"id":"1","type":"PushEvent","actor":{"id":7,"login":"alice"},'
+    '"repo":{"id":9,"name":"org/r"},"public":true,'
+    '"created_at":"2024-01-01T10:00:00Z",'
+    '"payload":{"action":"opened","nested":{"a":[1,2]}}}'
+)
+UNKNOWN_TYPE = (
+    '{"id":"2","type":"WeirdEvent","actor":{"id":8,"login":"bob"},'
+    '"created_at":"2024-01-01T11:00:00Z","payload":{}}'
+)
+NO_CREATED = '{"id":"3","type":"PushEvent","payload":{}}'
+MALFORMED = "{this is not json"
+
+
+@pytest.fixture(scope="module")
+def flat(spark):
+    raw = spark.createDataFrame(
+        [(GOOD,), (UNKNOWN_TYPE,), (NO_CREATED,), (MALFORMED,)], ["raw_json"]
+    )
+    return process_raw_events(raw).cache()
+
+
+def test_ingest_drops_bad_rows(flat):
+    ids = {r["event_id"] for r in flat.collect()}
+    assert ids == {"1", "2"}  # malformed + missing created_at dropped
+
+
+def test_ingest_categorizes(flat):
+    cats = {r["event_id"]: r["event_category"] for r in flat.collect()}
+    assert cats == {"1": "code", "2": "other"}
+
+
+def test_ingest_payload_survives_nesting(flat):
+    row = flat.filter(F.col("event_id") == "1").head()
+    assert row["action"] == "opened"
+    assert '"a":[1,2]' in row["payload_json"].replace(" ", "")
+
+
+def test_ingest_flags(flat):
+    row1 = flat.filter(F.col("event_id") == "1").head()
+    row2 = flat.filter(F.col("event_id") == "2").head()
+    assert (row1["has_actor"], row1["has_repo"], row1["has_org"]) == (True, True, False)
+    assert (row2["has_actor"], row2["has_repo"]) == (True, False)
+    assert row1["processing_date"] == "2024-01-01" and row1["processing_hour"] == 10
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "L1"), (1, "2024-01-01 12:00:00", "L2"),
+         (2, "2024-01-01 09:00:00", "L3")],
+        ["k", "ts", "tag"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 11:00:00", 20.0),
+         (1, "2024-01-01 12:00:00", 30.0), (2, "2024-01-01 09:30:00", 99.0)],
+        ["k", "ts", "v"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(left, right, on="k", ts_col="ts", right_value_cols=["v"]).collect()
+    }
+    # L1: only 09:30 precedes -> 10.0; L2: equal ts matches (<=) -> 30.0;
+    # L3: no right row at or before 09:00 -> null
+    assert out == {"L1": 10.0, "L2": 30.0, "L3": None}
+
+
+def test_lsh_recall_and_precision(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["id_a"], r["id_b"]) for r in all_pairs_above(emb, 0.35).collect()}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_pairs_above(emb, 0.35, n_planes=4, n_tables=8).collect()
+    }
+    assert approx <= exact  # scoring is exact within buckets -> no false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_binary(docs)
+    feats = decode_image_fake(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r["width"] >= 1 and r["height"] >= 1 for r in rows)
+    # deterministic: second run identical
+    assert rows == decode_image_fake(media).collect()
+    frames = frame_sample_fake(media).groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 8 for r in frames)
+
+
+def test_multimodal_real_decoder_is_stubbed(spark, sf_dir):
+    from demo_bigdata_spark.operators.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(attach_binary(load_table(spark, sf_dir, "documents")))
