@@ -31,6 +31,8 @@ HEADLINE = [
     "numeric_profile",
     "recent_events",
     "json_extract",
+    "sessionize",
+    "scalar_functions",
     # ingest pipeline (JSON parse/flatten/quality end-to-end)
     "ingest_category_stats",
     # relational [EXT]
@@ -46,6 +48,7 @@ HEADLINE = [
     # LLM ops [EXT]
     "dedup_exact",
     "minhash_signature",
+    "minhash_shingles",
     "near_duplicates",
     "simhash",
     "text_quality",

@@ -206,6 +206,49 @@ def recent_events(df: DataFrame, ts_col: str = "ts", n: int = 200, tiebreak: str
     return df.orderBy(F.desc(ts_col), F.col(tiebreak)).limit(n)
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization via lag + cumulative sum (the classic pattern;
+    streaming twin is F.session_window in streaming/pipeline.py).
+
+    One shuffle on the key; session boundaries are a lag() comparison and the
+    session id a running sum — all window work, no self-join. Output: one row
+    per (key, session) with bounds, size and duration.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    marked = df.withColumn(
+        "new_session",
+        F.when(
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
+            > gap_s,
+            1,
+        )
+        .when(F.lag(F.col(ts_col)).over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessioned = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy(key_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.round(
+                F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")), 2
+            ).alias("duration_s"),
+        )
+    )
+
+
 def paginate(
     df: DataFrame, order_by: list[Column], page: int, page_size: int
 ) -> DataFrame:

@@ -82,24 +82,50 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --- MinHash + LSH -----------------------------------------------------------
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
-    """Append ``sig``: array<bigint> of k MinHash values over distinct tokens.
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", k: int = 16, shingle_n: int | None = None
+) -> DataFrame:
+    """Append ``sig``: array<bigint> of k MinHash values over distinct tokens
+    (or distinct ``shingle_n``-token shingles when given — the classic
+    shingle->minhash->band pipeline).
 
-    minhash_i = min over tokens t of (a_i * h(t) + b_i) mod P. Linear scan,
+    minhash_i = min over units u of (a_i * h(u) + b_i) mod P. Linear scan,
     no shuffle; k folds over the token array, all inside codegen.
     """
-    toks = distinct_tokens(text_col)
+    if shingle_n is not None:
+        from demo_bigdata_spark.operators.text import shingles
+
+        toks = F.array_distinct(shingles(text_col, shingle_n))
+    else:
+        toks = distinct_tokens(text_col)
     hashes = F.transform(toks, token_hash)
+    coeffs = MINHASH_COEFFS[:k]
 
-    def _perm(a: int, b: int):
-        # closure factory: Spark infers lambda arity from the signature, so
-        # default-arg capture (lambda h, a=a: ...) would read as 3-arg
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
-
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, _perm(a, b))) for a, b in MINHASH_COEFFS[:k]]
+    # Single-pass fold computing all k mins at once. The naive form —
+    # k separate array_min(transform(hashes, ...)) projections — gets the
+    # `hashes` subtree (tokenize+shingle+md5) INLINED k times by Catalyst's
+    # CollapseProject (no common-subexpression elimination across array
+    # expressions), costing k full re-evaluations per row (~20x slower for
+    # shingles). One aggregate references `hashes` exactly once; the finish
+    # lambda keeps the struct->array extraction inside the fold too.
+    init = F.struct(
+        *[F.lit(MINHASH_PRIME).cast("bigint").alias(f"m{i}") for i in range(k)]
     )
-    return df.withColumn("sig", sig)
+
+    def _merge(acc, h):
+        return F.struct(
+            *[
+                F.least(acc[f"m{i}"], (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).alias(
+                    f"m{i}"
+                )
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+
+    def _finish(acc):
+        return F.array(*[acc[f"m{i}"] for i in range(k)])
+
+    return df.withColumn("sig", F.aggregate(hashes, init, _merge, _finish))
 
 
 def lsh_bands(df: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4) -> DataFrame:
@@ -230,17 +256,26 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """
     hashes = F.transform(distinct_tokens(text_col), token_hash)
 
-    def _bit_sum(j: int):
-        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+    # Single fold for all bit counters (see minhash_signature for why:
+    # separate aggregates would re-evaluate `hashes` per bit).
+    init = F.struct(*[F.lit(0).cast("bigint").alias(f"b{j}") for j in range(bits)])
 
-    bit_terms = [
-        F.when(
-            F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_sum(j)) > 0,
-            F.lit(1 << j).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(bits)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return df.withColumn("simhash", total)
+    def _merge(acc, h):
+        return F.struct(
+            *[
+                (acc[f"b{j}"] + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(
+                    f"b{j}"
+                )
+                for j in range(bits)
+            ]
+        )
+
+    def _finish(acc):
+        total = F.lit(0).cast("bigint")
+        for j in range(bits):
+            total = total + F.when(acc[f"b{j}"] > 0, F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        return total
+
+    return df.withColumn("simhash", F.aggregate(hashes, init, _merge, _finish))

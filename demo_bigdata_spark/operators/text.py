@@ -50,6 +50,22 @@ def word_like_token_count(text: Column | str) -> Column:
     return (words + puncts).cast("int")
 
 
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """n-token shingles (overlapping n-grams of the whitespace tokens).
+    Documents with fewer than n tokens yield one whole-text shingle.
+    Pure higher-order-function composition — no explode, no shuffle."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokens(col)
+
+    def _shingle(i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(toks, i + 1, n))
+
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), _shingle),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: length, token count, mean token length,
     uppercase/punct/digit ratios, distinct-token ratio. Pure projection —

@@ -111,6 +111,38 @@ def session_windows(
     )
 
 
+def running_user_totals(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """[EXT] custom stateful streaming operator: per-key running event count
+    and value total, via ``applyInPandasWithState`` (Arrow-batched, state in
+    the state store).
+
+    This is the escape hatch for operators Structured Streaming lacks —
+    arbitrary per-key state with update-mode emission. State here is two
+    scalars per key, so the state store stays tiny at any key cardinality;
+    the shuffle is one hash partition by key per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_partitioned_stream(
     df: DataFrame,
     path: str,

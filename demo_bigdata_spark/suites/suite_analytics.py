@@ -220,6 +220,102 @@ ORDER BY event_type
 """
 
 
+# --- Batch sessionization (lag + cumsum windows) -----------------------------
+
+def q_sessionize(spark, sf_dir):
+    return A.sessionize(_events(spark, sf_dir), gap_minutes=30).orderBy(
+        "user_id", "session_id"
+    )
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(epoch(max(ts)) - epoch(min(ts)), 2) AS duration_s
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+# --- §2.7 scalar-function surface (string/date/math builtins) ------------------
+
+def q_scalar_functions(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.ceil("value")), 2).alias("avg_ceil"),
+            F.round(F.avg(F.floor("value")), 2).alias("avg_floor"),
+            F.round(F.sum(F.pow("value", F.lit(2))), 2).alias("sum_sq"),
+            F.round(F.avg(F.sqrt(F.abs("value"))), 4).alias("avg_sqrt"),
+            F.max(F.year("ts")).alias("max_year"),
+            F.countDistinct(F.weekday("ts") + 1).alias("n_isodow"),
+        )
+        .select(
+            "event_type",
+            # reference string ops: initcap labels, regexp ref-strip
+            # (events.js:58, events.js:203 -> SURVEY §2.7)
+            F.initcap("event_type").alias("label"),
+            F.regexp_replace(
+                F.concat(F.lit("refs/heads/"), F.col("event_type")), "^refs/heads/", ""
+            ).alias("branch"),
+            F.reverse("event_type").alias("reversed"),
+            F.lpad("event_type", 10, "_").alias("padded"),
+            "n",
+            "avg_ceil",
+            "avg_floor",
+            "sum_sq",
+            "avg_sqrt",
+            "max_year",
+            "n_isodow",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT event_type,
+       upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS label,
+       regexp_replace('refs/heads/' || event_type, '^refs/heads/', '') AS branch,
+       reverse(event_type) AS reversed,
+       lpad(event_type, 10, '_') AS padded,
+       count(*) AS n,
+       round(avg(ceil(value)::DOUBLE), 2) AS avg_ceil,
+       round(avg(floor(value)::DOUBLE), 2) AS avg_floor,
+       round(sum(pow(value, 2)), 2) AS sum_sq,
+       round(avg(sqrt(abs(value))), 4) AS avg_sqrt,
+       max(year(ts)) AS max_year,
+       count(DISTINCT isodow(ts)) AS n_isodow
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# --- A1/A9 approx sketch variants (engine-specific values -> rows-only) ---------
+
+def q_approx_stats(spark, sf_dir):
+    return A.global_stats_approx(_events(spark, sf_dir))
+
+
+def q_approx_quantiles(spark, sf_dir):
+    return A.numeric_profile_approx(_events(spark, sf_dir))
+
+
 QUERIES = {
     "global_stats": (q_global_stats, SQL_GLOBAL_STATS),
     "type_distribution": (q_type_distribution, SQL_TYPE_DISTRIBUTION),
@@ -232,4 +328,8 @@ QUERIES = {
     "recent_events": (q_recent_events, SQL_RECENT_EVENTS),
     "pagination": (q_pagination, SQL_PAGINATION),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
+    "approx_stats": (q_approx_stats, None),
+    "approx_quantiles": (q_approx_quantiles, None),
 }

@@ -65,6 +65,31 @@ SELECT doc_id,
 FROM hashes
 """
 
+# --- MinHash over 3-token shingles (shingle->minhash->band pipeline) -------------
+
+def q_minhash_shingles(spark, sf_dir):
+    sigs = D.minhash_signature(_docs(spark, sf_dir), shingle_n=3)
+    return sigs.select(
+        "doc_id", F.array_join(F.col("sig").cast("array<string>"), "-").alias("sig")
+    )
+
+
+SQL_MINHASH_SHINGLES = f"""
+WITH raw AS (SELECT doc_id, {SQL_TOKS_RAW} AS tkr FROM documents),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN len(tkr) >= 3
+              THEN list_distinct(list_transform(range(0, len(tkr) - 2),
+                                                i -> array_to_string(tkr[i+1:i+3], ' ')))
+              ELSE [array_to_string(tkr, ' ')] END AS tk
+  FROM raw
+),
+hashes AS (SELECT doc_id, list_transform(tk, t -> {SQL_H7}) AS hs FROM toks)
+SELECT doc_id,
+       array_to_string([{_SIG_TERMS}], '-') AS sig
+FROM hashes
+"""
+
 # --- MinHash-LSH candidate pairs -----------------------------------------------------
 
 MAX_BUCKET = 1000  # dup-farm cutoff, mirrored in the SQL twins
@@ -333,6 +358,7 @@ def q_frame_samples(spark, sf_dir):
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "minhash_shingles": (q_minhash_shingles, SQL_MINHASH_SHINGLES),
     "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
     "near_duplicates": (q_near_duplicates, SQL_NEAR_DUPLICATES),
     "simhash": (q_simhash, SQL_SIMHASH),

@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: pin the physical-plan properties that matter
+at scale, independent of result correctness (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators import analytics as A
+from demo_bigdata_spark.plans.inspect import (
+    executed_plan,
+    has_broadcast_join,
+    has_cartesian,
+    has_pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from demo_bigdata_spark.sources.catalog import load_table
+from demo_bigdata_spark.suites.suite_relational import (
+    q_asof_purchase_click,
+    q_revenue_by_nation,
+    q_top_customers,
+)
+
+
+def test_filters_push_down_to_scan(spark, sf_dir):
+    df = A.time_range(load_table(spark, sf_dir, "events"), "ts", start="2024-01-10")
+    df = A.apply_filters(df, event_type="purchase")
+    out = df.select("event_id")
+    assert has_pushed_filters(out, "event_type"), executed_plan(out)
+    assert has_pushed_filters(out, "ts"), executed_plan(out)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    df = q_revenue_by_nation(spark, sf_dir)
+    assert has_broadcast_join(df), executed_plan(df)
+
+
+def test_no_cartesian_in_joins(spark, sf_dir):
+    for q in (q_revenue_by_nation, q_top_customers, q_asof_purchase_click):
+        df = q(spark, sf_dir)
+        assert not has_cartesian(df), f"{q.__name__}: {executed_plan(df)}"
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = A.recent_events(load_table(spark, sf_dir, "events"), n=200)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_aggregates_are_codegenerated(spark, sf_dir):
+    df = A.type_distribution(load_table(spark, sf_dir, "events"))
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # partial (map-side) HashAggregate must appear below the exchange
+    df = load_table(spark, sf_dir, "events").groupBy("event_type").count()
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan

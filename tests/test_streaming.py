@@ -13,6 +13,7 @@ from demo_bigdata_spark.streaming.pipeline import (
     dedup_stream,
     read_events_stream,
     run_stream_to_memory,
+    running_user_totals,
     windowed_counts,
     write_partitioned_stream,
 )
@@ -57,6 +58,37 @@ def test_dedup_stream_collapses_replay(spark, sf_dir, stream_src, tmp_path):
     finally:
         q.stop()
     assert n == ev.count()
+
+
+def test_stateful_running_totals(spark, sf_dir, stream_src):
+    """applyInPandasWithState: per-user running totals across micro-batches
+    must converge to the batch groupBy result."""
+    stream = read_events_stream(spark, stream_src, max_files_per_trigger=1)
+    updates = running_user_totals(stream)
+    q = updates.writeStream.outputMode("update").format("memory").queryName("state_out").start()
+    try:
+        q.processAllAvailable()
+        # last update per user = the converged running total
+        final = spark.sql(
+            """
+            SELECT user_id, max_by(n, n) AS n, max_by(total, n) AS total
+            FROM state_out GROUP BY user_id
+            """
+        ).collect()
+    finally:
+        q.stop()
+    got = {r["user_id"]: (r["n"], r["total"]) for r in final}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["total"]) for r in batch}
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0]
+        assert abs(got[u][1] - expected[u][1]) < 0.05  # per-batch rounding drift
 
 
 def test_partitioned_stream_sink(spark, stream_src, tmp_path):
