@@ -62,6 +62,8 @@ def main() -> None:
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     queries = all_queries()
+    # warm the JVM/codegen/catalog once (not the queries themselves)
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

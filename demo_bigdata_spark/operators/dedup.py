@@ -245,6 +245,60 @@ def near_duplicates(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Assign a cluster id (= min member id) to every document, where the
+    cluster graph connects docs sharing any LSH band bucket.
+
+    This is how dup-farm buckets (too big for pairwise verification — see
+    minhash_candidates.max_bucket) are handled at scale: label propagation
+    over the bipartite doc<->bucket graph instead of quadratic pair expansion.
+    Each iteration is two aggregate/join rounds (doc->bucket min, bucket->doc
+    min); labels are monotonically non-increasing, so convergence is exact
+    when an iteration changes nothing. Iterations are driver-side loops over
+    lazy plans with localCheckpoint() to cut lineage (standard iterative
+    Spark); diameter of real dup clusters is tiny, so it converges in a few
+    rounds.
+
+    Returns (id_col, cluster_id).
+    """
+    sigs = minhash_signature(df, text_col)
+    bands_df = lsh_bands(sigs, id_col, bands, rows).select(
+        id_col, F.concat_ws("|", "band_idx", "band_sig").alias("bucket")
+    )
+    bands_df = bands_df.localCheckpoint()
+    labels = bands_df.select(id_col).distinct().withColumn(
+        "cluster_id", F.col(id_col)
+    )
+    for _ in range(max_iterations):
+        bucket_min = (
+            bands_df.join(labels, id_col)
+            .groupBy("bucket")
+            .agg(F.min("cluster_id").alias("bmin"))
+        )
+        new_labels = (
+            bands_df.join(bucket_min, "bucket")
+            .groupBy(id_col)
+            .agg(F.min("bmin").alias("cluster_id"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # --- SimHash ------------------------------------------------------------------
 
 

@@ -145,6 +145,102 @@ def all_pairs_above(
     return block_pairs.mapInPandas(_score, out_schema)
 
 
+def assign_clusters(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append ``cluster``: argmax-cosine centroid index. One linear scan;
+    the centroid matrix rides into each Arrow batch as a closure and the
+    assignment is a single GEMM per batch."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cl = np.argmax(Vn @ Cn.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], "v": pdf["v"], "cluster": cl})
+
+    src = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    return src.mapInPandas(_assign, out_schema)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> np.ndarray:
+    """Deterministic mini k-means (Lloyd) for the IVF index.
+
+    Assignment is distributed (GEMM per Arrow batch); the update step
+    aggregates per-cluster sums via posexplode + groupBy — the collected
+    state is only n_centroids x dim floats per iteration, never the data.
+    """
+    rng = np.random.RandomState(seed)
+    C = rng.randn(n_centroids, dim)
+    for _ in range(iterations):
+        assigned = assign_clusters(df, C, vec_col, id_col)
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = np.zeros(n_centroids)
+        acc = np.zeros((n_centroids, dim))
+        for r in sums:
+            acc[r["cluster"], r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        for c in range(n_centroids):
+            if counts[c] > 0:
+                newC[c] = acc[c] / counts[c]
+        C = newC
+    return C
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids against the query driver-side
+    (n_centroids floats — trivial), scan only the ``n_probe`` closest
+    clusters, exact-score within them.
+
+    At scale the assigned table is written partitioned BY cluster, so the
+    probe filter becomes partition pruning and a query touches n_probe/n_lists
+    of the corpus.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    Cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(Cn @ qn))[:n_probe]]
+    assigned = assign_clusters(df, centroids, vec_col, id_col)
+    scoped = assigned.filter(F.col("cluster").isin(probes))
+    return brute_force_topk(scoped, [float(x) for x in q], k=k, vec_col="v", id_col=id_col)
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH (frozen by seed)."""
     rng = np.random.RandomState(seed)

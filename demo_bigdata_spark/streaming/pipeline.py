@@ -172,3 +172,27 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") 
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     return q
+
+
+def progress_summary(query: StreamingQuery) -> dict:
+    """T8 progress monitoring (reference polls lastProgress for rows/sec and
+    counters — services/streaming-service/api.py:323-338)."""
+    p = query.lastProgress or {}
+    return {
+        "id": str(query.id),
+        "is_active": query.isActive,
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "input_rows_per_second": p.get("inputRowsPerSecond"),
+        "processed_rows_per_second": p.get("processedRowsPerSecond"),
+    }
+
+
+def stop_all_streams(spark) -> list[str]:
+    """T9 lifecycle: stop every active query (reference start/stop REST
+    surface — api.py:364-409); returns the stopped query names/ids."""
+    stopped = []
+    for q in spark.streams.active:
+        stopped.append(q.name or str(q.id))
+        q.stop()
+    return stopped

@@ -174,6 +174,14 @@ WHERE jaccard >= {NEAR_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """
 
+# --- Duplicate clusters (label propagation over band buckets) ----------------------
+
+def q_dup_clusters(spark, sf_dir):
+    # iterative algorithm (driver-side convergence loop) -> rows-only check;
+    # the connectivity property is pytest-verified (tests/test_operators.py)
+    return D.duplicate_clusters(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # --- SimHash -------------------------------------------------------------------------------
 
 def q_simhash(spark, sf_dir):
@@ -319,6 +327,16 @@ ORDER BY id_a, id_b
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    # IVF index: deterministic k-means (seeded) -> probe 4/16 clusters.
+    # Iterative training + approx recall -> rows-only; recall vs brute force
+    # is pytest-asserted (tests/test_operators.py).
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    C = S.train_ivf_centroids(emb, n_centroids=16, iterations=2)
+    return S.ivf_topk(emb, C, qvec, k=10, n_probe=4)
+
+
 def q_lsh_pairs(spark, sf_dir):
     # Approximate variant — recall measured against the exact op in pytest;
     # rows-only for the driver (hyperplane SQL twin would be meaningless).
@@ -361,6 +379,7 @@ QUERIES = {
     "minhash_shingles": (q_minhash_shingles, SQL_MINHASH_SHINGLES),
     "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
     "near_duplicates": (q_near_duplicates, SQL_NEAR_DUPLICATES),
+    "dup_clusters": (q_dup_clusters, None),
     "simhash": (q_simhash, SQL_SIMHASH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
@@ -368,6 +387,7 @@ QUERIES = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "lsh_pairs": (q_lsh_pairs, None),
+    "ivf_topk": (q_ivf_topk, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_features": (q_image_features, None),
     "frame_samples": (q_frame_samples, None),

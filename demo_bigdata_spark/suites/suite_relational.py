@@ -111,6 +111,59 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """
 
+# --- TPC-H Q6-style: pure predicate aggregation (pushdown showcase) -----------
+
+def q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# --- TPC-H Q4-style: semi-join with mixed equi + range condition ----------------
+
+def q_late_shipment_orders(spark, sf_dir):
+    orders, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_LATE_SHIPMENT_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # --- Semi / anti joins --------------------------------------------------------
 
 def q_segments_with_big_orders(spark, sf_dir):
@@ -378,6 +431,8 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click'
 
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "late_shipment_orders": (q_late_shipment_orders, SQL_LATE_SHIPMENT_ORDERS),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "segments_with_big_orders": (q_segments_with_big_orders, SQL_SEGMENTS_WITH_BIG_ORDERS),

@@ -91,6 +91,58 @@ def test_lsh_recall_and_precision(spark, sf_dir):
         assert recall >= 0.4, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall(spark, sf_dir):
+    from demo_bigdata_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    C = train_ivf_centroids(emb, n_centroids=16, iterations=2)
+    approx = [r["vec_id"] for r in ivf_topk(emb, C, qvec, k=10, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+    # full probe == exact
+    full = [r["vec_id"] for r in ivf_topk(emb, C, qvec, k=10, n_probe=16).collect()]
+    assert full == exact
+
+
+def test_duplicate_clusters_connectivity(spark, sf_dir):
+    """Every pair sharing an LSH band bucket must land in the same cluster,
+    and the cluster id must be the minimum member id (converged labels)."""
+    from demo_bigdata_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_bands,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(docs).collect()}
+    bands = lsh_bands(minhash_signature(docs)).collect()
+    buckets: dict = {}
+    for r in bands:
+        buckets.setdefault((r["band_idx"], r["band_sig"]), []).append(r["doc_id"])
+    # union-find ground truth
+    parent = {d: d for d in labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    for d, lbl in labels.items():
+        assert lbl == find(d), f"doc {d}: got {lbl}, want {find(d)}"
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = attach_binary(docs)

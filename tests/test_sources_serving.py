@@ -1,0 +1,109 @@
+"""Source/sink formats (NDJSON/CSV/JSON/ORC/DDL) and the serving layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark import serving
+from demo_bigdata_spark.operators.ingest import process_raw_events
+from demo_bigdata_spark.sources import formats
+from demo_bigdata_spark.sources.catalog import load_table
+
+
+def test_ndjson_replay_through_ingest(spark, tmp_path):
+    lines = [
+        '{"id":"1","type":"PushEvent","actor":{"id":1,"login":"a"},'
+        '"created_at":"2024-01-01T00:00:00Z","payload":{"action":"x"}}',
+        "{broken",
+        '{"id":"2","type":"WatchEvent","actor":{"id":2,"login":"b"},'
+        '"created_at":"2024-01-02T00:00:00Z","payload":{}}',
+    ]
+    src = tmp_path / "events.ndjson"
+    src.write_text("\n".join(lines))
+    raw = formats.read_ndjson_events(spark, str(src))
+    flat = process_raw_events(raw)
+    got = {r["event_id"]: r["event_category"] for r in flat.collect()}
+    assert got == {"1": "code", "2": "social"}
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    formats.write_csv(df, out)
+    back = formats.read_csv(spark, out, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_and_json_roundtrip(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    formats.write_orc(df, str(tmp_path / "r_orc"))
+    back = formats.read_orc(spark, str(tmp_path / "r_orc"))
+    assert back.count() == df.count()
+    formats.write_json(df, str(tmp_path / "r_json"))
+    back_j = spark.read.schema(df.schema).json(str(tmp_path / "r_json"))
+    assert sorted(map(tuple, back_j.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_ddl_create_describe_count(spark, sf_dir, tmp_path):
+    formats.create_database(spark, "gh")
+    formats.create_partitioned_events_table(
+        spark, "gh.events_fact", location=str(tmp_path / "fact")
+    )
+    desc = formats.describe_table(spark, "gh.events_fact")
+    cols = {r["col_name"] for r in desc.collect()}
+    assert {"event_id", "processing_date", "processing_hour"} <= cols
+    assert formats.table_count(spark, "gh.events_fact") == 0
+
+
+def test_dashboard_stats_fanout(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    stats = serving.dashboard_stats(ev, start="2024-01-05", end="2024-01-25")
+    totals = stats["totals"].head()
+    assert totals["total_events"] > 0
+    assert stats["type_distribution"].count() == 5
+    assert stats["top_entities"].count() == 10
+    assert stats["recent"].count() == 200
+    assert abs(
+        sum(r["percentage"] for r in stats["type_distribution"].collect()) - 100.0
+    ) < 0.1
+
+
+def test_list_events_pagination_contract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    page0, total = serving.list_events(ev, page=0, page_size=50, event_type="click")
+    rows0 = page0.collect()
+    assert len(rows0) == 50
+    assert all(r["event_type"] == "click" for r in rows0)
+    page1, _ = serving.list_events(ev, page=1, page_size=50, event_type="click")
+    ids0 = {r["event_id"] for r in rows0}
+    ids1 = {r["event_id"] for r in page1.collect()}
+    assert not ids0 & ids1  # stable, non-overlapping pages
+    assert total.head()["total"] >= 100
+
+
+def test_json_rows_and_health(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = serving.to_json_rows(ev.select("event_id", "event_type"), limit=3)
+    assert len(rows) == 3 and all(r.startswith("{") for r in rows)
+    h = serving.health_check(spark, ev)
+    assert h["status"] == "healthy" and h["row_count"] == ev.count()
+
+
+def test_stream_progress_and_lifecycle(spark, sf_dir, tmp_path):
+    from demo_bigdata_spark.streaming.pipeline import (
+        progress_summary,
+        read_events_stream,
+        stop_all_streams,
+        windowed_counts,
+    )
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").limit(500).write.parquet(src)
+    stream = windowed_counts(read_events_stream(spark, src))
+    q = stream.writeStream.outputMode("complete").format("memory").queryName("prog").start()
+    q.processAllAvailable()
+    p = progress_summary(q)
+    assert p["is_active"] and p["num_input_rows"] == 500
+    stopped = stop_all_streams(spark)
+    assert "prog" in stopped
+    assert not spark.streams.active
