@@ -148,6 +148,52 @@ def asof_join(
     )
 
 
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: salt -> partial agg on
+    (key, salt) -> final agg on key.
+
+    ``aggs`` maps output name -> (column, fn) for algebraic fns
+    (count/sum/min/max): the partial result re-aggregates exactly (counts and
+    sums re-sum; min/max re-min/max), so results are identical to a direct
+    groupBy. Use when one key holds a disproportionate share of rows and
+    AQE's skew handling isn't enough (e.g. a null-key flood): the salt fans
+    the hot key across ``salt_buckets`` reducers, the final agg touches only
+    (n_keys x salt_buckets) rows.
+    """
+    _FINAL = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    _PARTIAL = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
+    for name, (_, fn) in aggs.items():
+        if fn not in _FINAL:
+            raise ValueError(f"{name}: non-algebraic fn {fn!r} cannot be salted")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(*group_cols, F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        *[_PARTIAL[fn](col).alias(f"__p_{name}") for name, (col, fn) in aggs.items()]
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[_FINAL[fn](f"__p_{name}").alias(name) for name, (_, fn) in aggs.items()]
+    )
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MERGE INTO emulation (upsert) without a table format that supports it:
+    anti-join the target against the update keys, union the updates back.
+
+    This is the batch CDC/SCD pattern when Delta/Iceberg MERGE is
+    unavailable; with those formats the same call becomes a metadata-level
+    MERGE. The anti-join shuffles on the key; updates are usually small
+    enough to broadcast (Catalyst decides via AQE).
+    """
+    survivors = target.join(updates.select(*key_cols), key_cols, "left_anti")
+    return survivors.unionByName(updates)
+
+
 def rollup_aggregate(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
     """ROLLUP — hierarchical subtotals. Spark plans a single Expand + hash
     aggregate (one pass over the fact, no N separate jobs)."""

@@ -265,6 +265,107 @@ WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01
 ORDER BY o_custkey
 """
 
+def q_set_intersect_all(spark, sf_dir):
+    return (
+        _spenders(spark, sf_dir, 1997)
+        .intersectAll(_spenders(spark, sf_dir, 1998))
+        .orderBy("o_custkey")
+    )
+
+
+SQL_SET_INTERSECT_ALL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice > 200000
+INTERSECT ALL
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' AND o_totalprice > 200000
+ORDER BY o_custkey
+"""
+
+
+def q_set_except_all(spark, sf_dir):
+    return (
+        _spenders(spark, sf_dir, 1997)
+        .exceptAll(_spenders(spark, sf_dir, 1998))
+        .orderBy("o_custkey")
+    )
+
+
+SQL_SET_EXCEPT_ALL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice > 200000
+EXCEPT ALL
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' AND o_totalprice > 200000
+ORDER BY o_custkey
+"""
+
+# --- MERGE/upsert emulation -----------------------------------------------------
+
+def q_merge_upsert(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    updates = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("event_type", F.lit("error_resolved"))
+        .withColumn("value", F.round(F.col("value") * 2, 2))
+    )
+    merged = R.merge_upsert(ev, updates, ["event_id"])
+    return (
+        merged.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH updates AS (
+  SELECT event_id, ts, user_id, 'error_resolved' AS event_type,
+         round(value * 2, 2) AS value, props
+  FROM events WHERE event_type = 'error'
+),
+merged AS (
+  SELECT * FROM events WHERE event_id NOT IN (SELECT event_id FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# --- Skew-salted aggregation (identical results to direct groupBy) ----------------
+
+def q_salted_aggregate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = R.salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "min_qty",
+        "max_qty",
+    ).orderBy("l_returnflag")
+
+
+SQL_SALTED_AGGREGATE = """
+SELECT l_returnflag, count(l_quantity) AS n, round(sum(l_quantity), 2) AS sum_qty,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 # --- Window functions ------------------------------------------------------------
 
 def q_top_orders_per_customer(spark, sf_dir):
@@ -440,6 +541,10 @@ QUERIES = {
     "set_union": (q_set_union, SQL_SET_UNION),
     "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
     "set_except": (q_set_except, SQL_SET_EXCEPT),
+    "set_intersect_all": (q_set_intersect_all, SQL_SET_INTERSECT_ALL),
+    "set_except_all": (q_set_except_all, SQL_SET_EXCEPT_ALL),
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "salted_aggregate": (q_salted_aggregate, SQL_SALTED_AGGREGATE),
     "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "order_gaps": (q_order_gaps, SQL_ORDER_GAPS),

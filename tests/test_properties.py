@@ -1,0 +1,72 @@
+"""Hypothesis property tests: engine operators vs simple Python reference
+implementations on generated data (small example counts — each example builds
+a Spark DataFrame)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators.analytics import paginate, sessionize
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=72000),  # seconds offset (20h span)
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+def _make_df(spark, rows):
+    data = [
+        (i, u, EPOCH + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(sorted(rows))
+    ]
+    return spark.createDataFrame(data, ["event_id", "user_id", "ts"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=events_strategy)
+def test_sessionize_matches_reference(spark, rows):
+    gap_min = 30
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize(_make_df(spark, rows), gap_minutes=gap_min).collect()
+    }
+    # python reference: sort per user, split on gap
+    expected: dict = {}
+    per_user: dict = {}
+    for u, s in rows:
+        per_user.setdefault(u, []).append(s)
+    for u, ss in per_user.items():
+        ss.sort()
+        start, n, prev = ss[0], 0, None
+        for s in ss:
+            if prev is not None and s - prev > gap_min * 60:
+                expected[(u, (EPOCH + dt.timedelta(seconds=start)).strftime("%Y-%m-%d %H:%M:%S"))] = n
+                start, n = s, 0
+            n += 1
+            prev = s
+        expected[(u, (EPOCH + dt.timedelta(seconds=start)).strftime("%Y-%m-%d %H:%M:%S"))] = n
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy, page_size=st.integers(min_value=1, max_value=7))
+def test_pagination_partitions_the_order(spark, rows, page_size):
+    df = _make_df(spark, rows)
+    n = len(rows)
+    seen = []
+    for page in range((n + page_size - 1) // page_size):
+        chunk = paginate(df, [F.desc("ts"), F.col("event_id")], page, page_size).collect()
+        seen.extend((r["ts"], r["event_id"]) for r in chunk)
+    # pages concatenate to exactly the full ordering: no dupes, no gaps
+    assert len(seen) == n
+    assert seen == sorted(seen, key=lambda t: (-(t[0].timestamp()), t[1]))

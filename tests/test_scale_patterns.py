@@ -1,0 +1,79 @@
+"""Scale patterns: bucketed co-located joins (no Exchange), salted aggregation
+equivalence, merge/upsert semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators.relational import merge_upsert, salted_aggregate
+from demo_bigdata_spark.plans.inspect import executed_plan
+from demo_bigdata_spark.sources.catalog import load_table
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path_factory):
+    """Writing both sides bucketed+sorted on the join key lets the sort-merge
+    join run without any Exchange — THE pattern for repeated fact-fact joins
+    at 100 TB (pay the shuffle once at write time, never per query)."""
+    wh = str(tmp_path_factory.mktemp("warehouse"))  # explicit path per table
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{wh}/li_b").mode("overwrite").saveAsTable("li_b")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{wh}/ord_b").mode("overwrite").saveAsTable("ord_b")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        joined.collect()
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffle
+        # sanity: same result as the plain join
+        plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = salted_aggregate(
+        ev,
+        ["event_type"],
+        {"n": ("value", "count"), "total": ("value", "sum"), "mx": ("value", "max")},
+        salt_buckets=8,
+    ).withColumn("total", F.round("total", 2))
+    plain = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.max("value").alias("mx"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark, sf_dir):
+    import pytest
+
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(ev, ["event_type"], {"a": ("value", "avg")})
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "tag", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], ["id", "tag", "v"]
+    )
+    merged = {r["id"]: (r["tag"], r["v"]) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert merged == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
