@@ -63,7 +63,7 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col(id_col).alias("doc_id"),
         payload.alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
         F.sha2(payload, 256).alias("sha"),
     )
 

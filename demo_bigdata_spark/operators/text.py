@@ -76,8 +76,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = token_count(c)
     return df.select(
         "doc_id",
-        n_chars.alias("n_chars_calc"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 2).alias("avg_token_len"),
         F.round(
             F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)).cast("double"), 4

@@ -263,7 +263,7 @@ def q_scalar_functions(spark, sf_dir):
             F.round(F.avg(F.floor("value")), 2).alias("avg_floor"),
             F.round(F.sum(F.pow("value", F.lit(2))), 2).alias("sum_sq"),
             F.round(F.avg(F.sqrt(F.abs("value"))), 4).alias("avg_sqrt"),
-            F.max(F.year("ts")).alias("max_year"),
+            F.max(F.year("ts")).cast("bigint").alias("max_year"),
             F.countDistinct(F.weekday("ts") + 1).alias("n_isodow"),
         )
         .select(

@@ -133,7 +133,8 @@ ORDER BY action
 def q_ingest_partitions(spark, sf_dir):
     flat = process_raw_events(raw_github_json(spark, sf_dir))
     return (
-        flat.groupBy("processing_date", "processing_hour")
+        flat.withColumn("processing_hour", F.col("processing_hour").cast("bigint"))
+        .groupBy("processing_date", "processing_hour")
         .agg(F.count("*").alias("n"))
         .orderBy("processing_date", "processing_hour")
     )

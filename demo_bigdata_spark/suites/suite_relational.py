@@ -372,7 +372,7 @@ def q_top_orders_per_customer(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return R.rank_per_group(
         orders, ["o_custkey"], [F.desc("o_totalprice"), F.col("o_orderkey")], k=2
-    ).select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+    ).select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), F.col("rnk").cast("bigint").alias("rnk"))
 
 
 SQL_TOP_ORDERS_PER_CUSTOMER = """

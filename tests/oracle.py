@@ -54,6 +54,13 @@ def compare(spark_df, con, sql: str, name: str = "?") -> None:
     ddf = con.sql(sql).df()
     s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
     assert s_cols == d_cols, f"{name}: columns differ spark={s_cols} duck={d_cols}"
+    # dtype parity: a schema-comparing driver would flag int32 vs int64 etc.
+    dt_diff = [
+        (c, str(sdf[c].dtype), str(ddf[c].dtype))
+        for c in s_cols
+        if str(sdf[c].dtype) != str(ddf[c].dtype)
+    ]
+    assert not dt_diff, f"{name}: dtype drift {dt_diff}"
     assert len(sdf) == len(ddf), f"{name}: rowcount spark={len(sdf)} duck={len(ddf)}"
     s_rows = _multiset(sdf.itertuples(index=False, name=None), list(sdf.columns))
     d_rows = _multiset(
