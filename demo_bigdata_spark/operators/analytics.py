@@ -46,12 +46,38 @@ def time_range(df: DataFrame, ts_col: str, start=None, end=None) -> DataFrame:
     """Literal time-range predicate (reference P13:
     services/api-service/data_service.py:119-126 — but parameterized instead
     of ``now() - hours``, for determinism). Prunes event-date partitions when
-    the table is partitioned by event date (sources/catalog.py)."""
+    the table is partitioned by event date (sources/catalog.py).
+
+    When the table carries a raw nanos companion column (``_<ts_col>_ns``,
+    see sources.catalog.load_table), the predicate is applied to the RAW
+    attribute with ns-converted literals: a filter on the derived timestamp
+    expression cannot push to the parquet scan, one on the stored long can —
+    verified in tests/test_plans.py. floor(ns/1000) >= T_us  <=>
+    ns >= T_us*1000 for integer T_us, so semantics are exact.
+    """
+    ns_col = f"_{ts_col}_ns"
+    if ns_col in df.columns:
+        if start is not None:
+            df = df.filter(F.col(ns_col) >= F.lit(_to_ns(start)))
+        if end is not None:
+            df = df.filter(F.col(ns_col) < F.lit(_to_ns(end)))
+        return df
     if start is not None:
         df = df.filter(F.col(ts_col) >= F.lit(start))
     if end is not None:
         df = df.filter(F.col(ts_col) < F.lit(end))
     return df
+
+
+def _to_ns(value) -> int:
+    """Literal timestamp (ISO string or datetime, UTC) -> epoch nanoseconds."""
+    import calendar
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(value) if isinstance(value, str) else value
+    return (
+        calendar.timegm(d.timetuple()) * 1_000_000 + d.microsecond
+    ) * 1000
 
 
 def distinct_values(df: DataFrame, col_name: str) -> DataFrame:

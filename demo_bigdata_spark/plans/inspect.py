@@ -22,6 +22,8 @@ def executed_plan(df: DataFrame) -> str:
 
 
 def explain_formatted(df: DataFrame) -> str:
+    """Formatted explain — unlike executedPlan().toString(), field lists
+    (PushedFilters, ReadSchema) are NOT truncated at 100 chars here."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "formatted"
     )
@@ -30,7 +32,7 @@ def explain_formatted(df: DataFrame) -> str:
 def has_pushed_filters(df: DataFrame, fragment: str | None = None) -> bool:
     """True if the parquet scan received pushed-down predicates (optionally
     containing ``fragment``, e.g. a column name)."""
-    plan = executed_plan(df)
+    plan = explain_formatted(df)
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         body = m.group(1).strip()
         if body and (fragment is None or fragment in body):
@@ -39,7 +41,7 @@ def has_pushed_filters(df: DataFrame, fragment: str | None = None) -> bool:
 
 
 def has_partition_filter(df: DataFrame, col: str) -> bool:
-    plan = executed_plan(df)
+    plan = explain_formatted(df)
     return bool(re.search(rf"PartitionFilters: \[[^\]]*{re.escape(col)}", plan))
 
 
@@ -65,7 +67,7 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 
 def read_schema_columns(df: DataFrame) -> list[str]:
     """Columns actually read from parquet (column pruning check)."""
-    m = re.search(r"ReadSchema: struct<([^>]*)>", executed_plan(df))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", explain_formatted(df))
     if not m:
         return []
     return [c.split(":")[0] for c in m.group(1).split(",") if c]

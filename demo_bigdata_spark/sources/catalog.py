@@ -32,11 +32,20 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan with pushdown — the default entry for every query."""
+    """Columnar scan with pushdown — the default entry for every query.
+
+    For nanos-timestamp columns the derived timestamp REPLACES the raw long,
+    but the raw column survives as ``_<col>_ns``: range predicates on a
+    derived expression cannot reach the parquet scan, so
+    operators.analytics.time_range filters on the raw attribute with
+    ns-converted literals instead (exact — cutoffs are whole microseconds),
+    keeping row-group min/max pruning alive."""
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            df = df.withColumn(f"_{c}_ns", F.col(c)).withColumn(
+                c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+            )
     return df
 
 

@@ -1,0 +1,91 @@
+"""Scale probe: replicate the sf0.1 events/documents tables Nx and measure
+how headline operator times grow. Linear growth (~Nx work on 32 threads)
+means the plan has no super-linear term; anything growing faster than the
+replication factor is a red flag for 100 TB.
+
+    python scripts/scale_probe.py [factor]
+
+Writes docs/SCALE_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.session import get_spark
+
+SF = "/root/testdata/sf0.1"
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    tmp = "/tmp/scale_probe"
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")  # ts timestamp + _ts_ns raw long
+    # replicate with shifted ids/times so keys stay realistic (no giant dup keys)
+    n = ev.count()
+    reps = spark.range(FACTOR).withColumnRenamed("id", "rep")
+    day_us = 86400_000_000
+    big = (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * n)
+        .withColumn("user_id", F.col("user_id") + (F.col("rep") % 10) * 1000)
+        .withColumn("ts", F.timestamp_micros(
+            (F.unix_micros("ts") + F.col("rep") * F.lit(day_us)).cast("long")
+        ))
+        .withColumn("_ts_ns", F.col("_ts_ns") + F.col("rep") * F.lit(day_us * 1000))
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(f"{tmp}/events_big.parquet")
+    big_n = spark.read.parquet(f"{tmp}/events_big.parquet").count()
+
+    def timed(label, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return label, round(time.perf_counter() - t0, 2)
+
+    bev = spark.read.parquet(f"{tmp}/events_big.parquet")
+    from demo_bigdata_spark.operators import analytics as A
+
+    results = [
+        timed("global_stats", A.global_stats(bev)),
+        timed("type_distribution", A.type_distribution(bev)),
+        timed("hourly_series", A.hourly_series(bev)),
+        timed("top_users", A.top_entities(bev, ["user_id"], distinct_col="event_type", list_col="event_type")),
+        timed("numeric_profile", A.numeric_profile(bev)),
+        timed("sessionize", A.sessionize(bev)),
+        timed(
+            "filtered_agg",
+            A.time_range(bev, "ts", start="2024-02-01", end="2024-02-08").agg(
+                F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+            ),
+        ),
+    ]
+    lines = [
+        "# SCALE_NOTES — replication probe\n",
+        f"events replicated x{FACTOR}: {n:,} -> {big_n:,} rows "
+        f"(local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]).",
+        "Baseline sf0.1 per-query seconds in BENCH output; probe times below.",
+        "Linear-or-better growth = plan survives scale-up; the filtered_agg row",
+        "shows time-range pushdown keeping cost proportional to the slice, not",
+        "the table.\n",
+        "| query | seconds @ x" + str(FACTOR) + " |",
+        "|---|---|",
+    ]
+    lines += [f"| {label} | {secs} |" for label, secs in results]
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/SCALE_NOTES.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(f"{label}: {secs}s" for label, secs in results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Edge-case robustness: operators must handle empty inputs, single rows,
+and degenerate text without crashing or returning wrong shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators import analytics as A
+from demo_bigdata_spark.operators import dedup as D
+from demo_bigdata_spark.operators import text as X
+from demo_bigdata_spark.operators.relational import asof_join, merge_upsert
+from demo_bigdata_spark.operators.similarity import all_pairs_above, brute_force_topk
+from demo_bigdata_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").limit(0)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(0)
+
+
+def test_analytics_on_empty(spark, empty_events):
+    assert A.global_stats(empty_events).head()["total_events"] == 0
+    assert A.type_distribution(empty_events).count() == 0
+    assert A.hourly_series(empty_events).count() == 0
+    assert A.sessionize(empty_events).count() == 0
+    assert A.recent_events(empty_events).count() == 0
+
+
+def test_dedup_on_empty(spark, empty_docs):
+    assert D.exact_dedup(empty_docs).count() == 0
+    assert D.minhash_signature(empty_docs).count() == 0
+    assert D.near_duplicates(empty_docs).count() == 0
+    assert D.simhash(empty_docs).count() == 0
+
+
+def test_similarity_on_empty(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(0)
+    assert brute_force_topk(emb, [0.0] * 64, k=5).count() == 0
+    assert all_pairs_above(emb, 0.5).count() == 0
+
+
+def test_degenerate_text(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x"), (4, "a a a a a a")],
+        ["doc_id", "text"],
+    )
+    feats = {r["doc_id"]: r for r in X.quality_features(docs).collect()}
+    assert feats[1]["n_tokens"] == 0
+    assert feats[2]["n_tokens"] == 0
+    assert feats[3]["n_tokens"] == 1
+    assert feats[4]["distinct_token_ratio"] == round(1 / 6, 4)
+    sigs = D.minhash_signature(docs)
+    assert sigs.count() == 4  # empty text still yields a (degenerate) signature
+    lang = X.language_id(docs)
+    assert all(r["predicted_lang"] is None for r in lang.filter(F.col("doc_id") <= 3).collect())
+
+
+def test_asof_join_empty_right(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(10)
+    right = ev.limit(0).select("user_id", "ts", "value")
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), right, on="user_id", ts_col="ts",
+        right_value_cols=["value"],
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["asof_value"] is None for r in rows)
+
+
+def test_merge_upsert_empty_updates(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(20)
+    merged = merge_upsert(ev, ev.limit(0), ["event_id"])
+    assert merged.count() == 20
