@@ -21,6 +21,30 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# SQL confs every query depends on, all runtime-settable — applied
+# defensively by sources.catalog.load_table so the engine works on a
+# SparkSession it didn't build (e.g. the verification driver's):
+# - nanosAsLong: the testdata's events.ts is parquet TIMESTAMP(NANOS), which
+#   Spark otherwise refuses to read at all
+# - UTC session TZ: timestamp formatting must match the TZ-naive DuckDB oracle
+RUNTIME_SQL_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs the engine requires to ANY session."""
+    for k, v in RUNTIME_SQL_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some build — the factory path sets it anyway
+    return spark
+
+
 def get_spark(
     app_name: str = "demo_bigdata_spark",
     master: str | None = None,

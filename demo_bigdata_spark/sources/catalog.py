@@ -40,6 +40,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     operators.analytics.time_range filters on the raw attribute with
     ns-converted literals instead (exact — cutoffs are whole microseconds),
     keeping row-group min/max pruning alive."""
+    from demo_bigdata_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # works on sessions the engine didn't build
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
