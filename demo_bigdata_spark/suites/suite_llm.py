@@ -293,6 +293,29 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# --- Corpus token frequencies (explode + aggregate) --------------------------------
+
+def q_top_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(X.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+SQL_TOP_TOKENS = rf"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({SQL_TOKS_RAW}) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
 # --- Similarity search -----------------------------------------------------------------------------
 
 def q_cosine_topk(spark, sf_dir):
@@ -384,6 +407,7 @@ QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "lsh_pairs": (q_lsh_pairs, None),

@@ -428,6 +428,110 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """
 
+# --- Outer joins --------------------------------------------------------------------
+
+def q_left_join_order_counts(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        cust.join(counts, cust.c_custkey == counts.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SQL_LEFT_JOIN_ORDER_COUNTS = """
+SELECT c_custkey, c_mktsegment, coalesce(n_orders, 0) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+def q_full_outer_nations(spark, sf_dir):
+    cust, sup = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    c = cust.groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = sup.groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+SQL_FULL_OUTER_NATIONS = """
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+# --- Analytic window distribution functions -------------------------------------------
+
+def q_window_analytics(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+# --- Correlation / covariance aggregates -----------------------------------------------
+
+def q_correlations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_CORRELATIONS = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 # --- Multi-dimensional aggregates --------------------------------------------------
 
 def q_rollup_flags(spark, sf_dir):
@@ -546,6 +650,10 @@ QUERIES = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "salted_aggregate": (q_salted_aggregate, SQL_SALTED_AGGREGATE),
     "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
+    "left_join_order_counts": (q_left_join_order_counts, SQL_LEFT_JOIN_ORDER_COUNTS),
+    "full_outer_nations": (q_full_outer_nations, SQL_FULL_OUTER_NATIONS),
+    "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
+    "correlations": (q_correlations, SQL_CORRELATIONS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "order_gaps": (q_order_gaps, SQL_ORDER_GAPS),
     "rollup_flags": (q_rollup_flags, SQL_ROLLUP_FLAGS),
