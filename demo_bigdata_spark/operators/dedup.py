@@ -245,6 +245,59 @@ def near_duplicates(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    bits: int = 16,
+    segments: int = 4,
+) -> DataFrame:
+    """EXACT near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole: two sketches within Hamming d of each other must agree on at
+    least one of (d+1) bit segments — with segments > max_hamming the
+    segment-bucket equi-join is a COMPLETE candidate generator, so the final
+    bit_count(xor) filter yields the exact result (no recall loss). Cost
+    structure is the same as MinHash banding: explode x segments, equi-join,
+    verify cheap per pair.
+    """
+    assert segments > max_hamming, "need segments > max_hamming for completeness"
+    seg_bits = bits // segments
+    mask = (1 << seg_bits) - 1
+    sk = simhash(df, text_col, bits).select(id_col, "simhash")
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seg_idx"),
+                F.shiftright("simhash", s * seg_bits).bitwiseAND(F.lit(mask)).alias("seg_val"),
+            )
+            for s in range(segments)
+        ]
+    )
+    exploded = sk.select(id_col, "simhash", F.explode(seg_structs).alias("seg")).select(
+        id_col, "simhash", F.col("seg.seg_idx").alias("seg_idx"), F.col("seg.seg_val").alias("seg_val")
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "seg_idx", "seg_val"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        F.col("seg_idx").alias("seg_idx_b"), F.col("seg_val").alias("seg_val_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("seg_idx") == F.col("seg_idx_b"))
+            & (F.col("seg_val") == F.col("seg_val_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def duplicate_clusters(
     df: DataFrame,
     text_col: str = "text",

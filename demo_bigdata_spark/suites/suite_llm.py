@@ -200,6 +200,31 @@ SELECT doc_id,
 FROM hashes
 """
 
+# --- SimHash Hamming-ball pair search (exact via segment pigeonhole) ---------------
+
+def q_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=2).orderBy("id_a", "id_b")
+
+
+_SIMHASH_SEGMENTS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {s} AS seg_idx, (simhash >> {s * 4}) & 15 AS seg_val FROM sketches"
+    for s in range(4)
+)
+SQL_SIMHASH_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+hashes AS (SELECT doc_id, list_transform(tk, t -> {SQL_H7}) AS hs FROM toks),
+sketches AS (
+  SELECT doc_id, ({_SIMHASH_TERMS})::BIGINT AS simhash FROM hashes
+),
+segs AS ({_SIMHASH_SEGMENTS_SQL})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM segs a
+JOIN segs b ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY id_a, id_b
+"""
+
 # --- Text quality features -----------------------------------------------------------------
 
 def q_text_quality(spark, sf_dir):
@@ -404,6 +429,7 @@ QUERIES = {
     "near_duplicates": (q_near_duplicates, SQL_NEAR_DUPLICATES),
     "dup_clusters": (q_dup_clusters, None),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

@@ -428,6 +428,34 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """
 
+# --- Argmin per group (TPC-H Q2 flavor: cheapest supplier per part) -------------------
+
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    best = R.rank_per_group(
+        li,
+        ["l_partkey"],
+        [F.col("l_extendedprice"), F.col("l_suppkey"), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=1,
+    )
+    return best.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_extendedprice", 2).alias("best_price"),
+    ).orderBy("l_partkey")
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+SELECT l_partkey, l_suppkey, round(l_extendedprice, 2) AS best_price
+FROM (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         row_number() OVER (PARTITION BY l_partkey
+             ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+ORDER BY l_partkey
+"""
+
 # --- Outer joins --------------------------------------------------------------------
 
 def q_left_join_order_counts(spark, sf_dir):
@@ -653,6 +681,7 @@ QUERIES = {
     "left_join_order_counts": (q_left_join_order_counts, SQL_LEFT_JOIN_ORDER_COUNTS),
     "full_outer_nations": (q_full_outer_nations, SQL_FULL_OUTER_NATIONS),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
+    "cheapest_supplier_per_part": (q_cheapest_supplier_per_part, SQL_CHEAPEST_SUPPLIER_PER_PART),
     "correlations": (q_correlations, SQL_CORRELATIONS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "order_gaps": (q_order_gaps, SQL_ORDER_GAPS),
