@@ -506,6 +506,33 @@ FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s
 ORDER BY nationkey
 """
 
+# --- TPC-H Q13-style: count-of-counts histogram over an outer join ---------------------
+
+def q_order_count_histogram(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_ORDER_COUNT_HISTOGRAM = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
 # --- Analytic window distribution functions -------------------------------------------
 
 def q_window_analytics(spark, sf_dir):
@@ -680,6 +707,7 @@ QUERIES = {
     "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
     "left_join_order_counts": (q_left_join_order_counts, SQL_LEFT_JOIN_ORDER_COUNTS),
     "full_outer_nations": (q_full_outer_nations, SQL_FULL_OUTER_NATIONS),
+    "order_count_histogram": (q_order_count_histogram, SQL_ORDER_COUNT_HISTOGRAM),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "cheapest_supplier_per_part": (q_cheapest_supplier_per_part, SQL_CHEAPEST_SUPPLIER_PER_PART),
     "correlations": (q_correlations, SQL_CORRELATIONS),
