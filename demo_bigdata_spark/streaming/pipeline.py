@@ -111,6 +111,42 @@ def session_windows(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """[EXT] stream-stream inner join: pair each left event with right events
+    from the same key within ``max_lag`` BEFORE it.
+
+    Both sides are watermarked and the join carries a time-range condition —
+    that bound is what lets Spark evict state (unbounded stream-stream joins
+    would buffer both streams forever). Works identically on batch inputs
+    (the oracle path). State per key is bounded by watermark + max_lag.
+    """
+    lt = left.withColumnRenamed(ts_col, "l_ts").withWatermark(
+        "l_ts", watermark
+    ) if left.isStreaming else left.withColumnRenamed(ts_col, "l_ts")
+    rt = (
+        right.select(
+            F.col(key_col).alias("r_key"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    if right.isStreaming:
+        rt = rt.withWatermark("r_ts", watermark)
+    cond = (
+        (lt[key_col] == rt["r_key"])
+        & (rt["r_ts"] <= lt["l_ts"])
+        & (rt["r_ts"] >= lt["l_ts"] - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lt.join(rt, cond, "inner")
+
+
 def running_user_totals(df: DataFrame, key_col: str = "user_id") -> DataFrame:
     """[EXT] custom stateful streaming operator: per-key running event count
     and value total, via ``applyInPandasWithState`` (Arrow-batched, state in

@@ -385,6 +385,31 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, C, qvec, k=10, n_probe=4)
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: drop the higher id of every pair
+    above the threshold, keep survivors (greedy, deterministic)."""
+    emb = _emb(spark, sf_dir)
+    pairs = S.all_pairs_above(emb, PAIR_THRESHOLD)
+    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    survivors = emb.join(dups, "vec_id", "left_anti")
+    return survivors.agg(
+        F.count("*").alias("n_survivors"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+SQL_EMBEDDING_DEDUP = f"""
+WITH dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= {PAIR_THRESHOLD}
+)
+SELECT count(*) AS n_survivors, count(DISTINCT label) AS n_labels
+FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
 def q_lsh_pairs(spark, sf_dir):
     # Approximate variant — recall measured against the exact op in pytest;
     # rows-only for the driver (hyperplane SQL twin would be meaningless).
@@ -436,6 +461,7 @@ QUERIES = {
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
+    "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "lsh_pairs": (q_lsh_pairs, None),
     "ivf_topk": (q_ivf_topk, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

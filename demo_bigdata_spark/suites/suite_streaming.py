@@ -112,9 +112,39 @@ ORDER BY event_type
 """
 
 
+# --- Stream-stream interval join (batch twin; true streaming in pytest) ---------
+
+def q_interval_join(spark, sf_dir):
+    from demo_bigdata_spark.streaming.pipeline import stream_stream_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = stream_stream_join(purchases, clicks, max_lag="30 minutes")
+    return joined.select(
+        "event_id",
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("r_ts_s"),
+        F.round("r_value", 2).alias("r_value"),
+    ).orderBy("event_id", "r_ts_s")
+
+
+SQL_INTERVAL_JOIN = """
+SELECT p.event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_s,
+       round(c.value, 2) AS r_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ORDER BY event_id, r_ts_s
+"""
+
+
 QUERIES = {
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
 }
