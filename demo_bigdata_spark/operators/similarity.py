@@ -241,6 +241,44 @@ def ivf_topk(
     return brute_force_topk(scoped, [float(x) for x in q], k=k, vec_col="v", id_col=id_col)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF inverted lists: the assigned table written as
+    parquet partitioned BY cluster. This is the scale path `ivf_topk`'s
+    docstring promises — after this one-time pass, a probe query's
+    `cluster IN (...)` filter is pure partition pruning: the scan touches
+    n_probe/n_lists of the corpus and never re-runs assignment."""
+    assigned = assign_clusters(df, centroids, vec_col, id_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k against a persisted index (see ``build_ivf_index``).
+    Centroid ranking stays driver-side (n_centroids floats); the cluster
+    predicate prunes parquet partitions, so only the probed inverted lists
+    are read — no assignment recompute, no full scan."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    Cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(Cn @ qn))[:n_probe]]
+    assigned = spark.read.parquet(index_path)
+    scoped = assigned.filter(F.col("cluster").isin(probes))
+    return brute_force_topk(scoped, [float(x) for x in q], k=k, vec_col="v", id_col=id_col)
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH (frozen by seed)."""
     rng = np.random.RandomState(seed)

@@ -179,6 +179,62 @@ def running_user_totals(df: DataFrame, key_col: str = "user_id") -> DataFrame:
     )
 
 
+def running_user_totals_tws(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """[EXT] ``running_user_totals`` on the Spark 4.x successor API,
+    ``transformWithStateInPandas``: typed per-key ValueState, explicit
+    processor lifecycle, and (unlike GroupState) composable state variables
+    and timers for richer operators later.
+
+    Requires the RocksDB state store (a transformWithState constraint) —
+    set here on the session so callers don't have to know; RocksDB is also
+    the right answer at scale (state spills to disk + changelog
+    checkpointing instead of JVM-heap HDFSBackedStateStore).
+
+    Environment note: the worker-side state protocol needs ``google.protobuf``
+    (ships with a full pyspark[sql] install). Where it's absent the query
+    fails at start; ``running_user_totals`` (applyInPandasWithState) is the
+    dependency-free fallback with identical output.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [round(total, 2)]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def write_partitioned_stream(
     df: DataFrame,
     path: str,

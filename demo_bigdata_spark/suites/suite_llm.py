@@ -418,6 +418,55 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
+# --- Composite training-data pipeline: quality gate -> exact dedup -> stats -------
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The end-to-end pre-training corpus pass, composed from the operator
+    library: quality-gate the documents, collapse exact duplicates (keep min
+    id), report per-language retention and volume."""
+    docs = _docs(spark, sf_dir)
+    gated = X.quality_score(docs).filter(F.col("keep")).select("doc_id")
+    kept_docs = docs.join(gated, "doc_id")
+    reps = D.exact_dedup(kept_docs).select(F.col("keep_id").alias("doc_id"))
+    final = docs.join(reps, "doc_id")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(X.token_count("text").cast("bigint")).alias("n_tokens"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_PIPELINE = rf"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS_RAW}) END AS nt,
+         len(list_distinct({SQL_TOKS_RAW})) AS nd
+  FROM documents
+),
+gated AS (
+  SELECT doc_id FROM feats
+  WHERE nt >= 5 AND round(nc / greatest(nt, 1), 2) <= 12.0
+    AND round(nd / greatest(nt, 1)::DOUBLE, 4) >= 0.1
+),
+reps AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents JOIN gated USING (doc_id)
+  GROUP BY md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' '))
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS_RAW}) END)::BIGINT AS n_tokens,
+       round(avg(length(text)), 2) AS avg_chars
+FROM documents JOIN reps USING (doc_id)
+GROUP BY lang
+ORDER BY lang
+"""
+
 # --- Multimodal metadata -----------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -459,6 +508,7 @@ QUERIES = {
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),

@@ -689,6 +689,116 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click'
 """
 
 
+# --- TPC-H Q2-style: correlated min-per-group subquery, keeping ties ---------
+
+def q_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2-style correlated subquery: for each part, the EUROPE
+    supplier(s) offering the minimum price (lineitem stands in for partsupp;
+    ties kept, unlike rank_per_group's row_number). The correlated
+    `= (SELECT min(..) WHERE same part)` is expressed Spark-first as a window
+    min over the part partition — one shuffle on l_partkey, no self-join.
+    nation/region are fixed-size (25/5 rows) -> broadcast; supplier scales
+    with SF -> left to AQE (broadcasts at test SF, shuffles at cluster SF)."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = li.join(eu_supp, li.l_suppkey == eu_supp.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("min_price", F.min("l_extendedprice").over(w)).filter(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    part = _t(spark, sf_dir, "part")
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("min_price", 2).alias("min_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+SQL_MIN_PRICE_SUPPLIER = """
+WITH eu_offers AS (
+  SELECT l.l_partkey, l.l_extendedprice, s.s_name, s.s_acctbal, n.n_name
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT round(o.s_acctbal, 2) AS s_acctbal, o.s_name, o.n_name,
+       p.p_partkey, p.p_type, round(o.l_extendedprice, 2) AS min_price
+FROM eu_offers o
+JOIN part p ON o.l_partkey = p.p_partkey
+WHERE o.l_extendedprice = (
+  SELECT min(o2.l_extendedprice) FROM eu_offers o2 WHERE o2.l_partkey = o.l_partkey
+)
+ORDER BY p.p_partkey, o.s_name
+"""
+
+# --- TPC-H Q15-style: view-over-aggregate, suppliers at the max --------------
+
+def q_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15-style: a revenue 'view' (per-supplier quarter aggregate),
+    then the supplier(s) whose revenue equals the global max. The scalar max
+    is a 1-row aggregate broadcast back onto the view — no global sort, no
+    single-partition window. Revenue is rounded before the equality so the
+    comparison is stable against float summation-order noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("max_rev"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
@@ -718,4 +828,6 @@ QUERIES = {
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "pivot_linestatus": (q_pivot_linestatus, SQL_PIVOT_LINESTATUS),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
+    "min_price_supplier": (q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
+    "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
 }

@@ -110,6 +110,37 @@ def test_ivf_recall(spark, sf_dir):
     assert full == exact
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted inverted lists (parquet partitioned by cluster) must
+    (a) return exactly what the recompute path returns and (b) turn the probe
+    predicate into partition pruning, so a query reads n_probe lists, not the
+    corpus."""
+    from demo_bigdata_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+    from demo_bigdata_spark.plans.inspect import explain_formatted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    C = train_ivf_centroids(emb, n_centroids=16, iterations=2)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, C, path)
+
+    recomputed = [(r["vec_id"], round(r["cosine"], 6))
+                  for r in ivf_topk(emb, C, qvec, k=10, n_probe=4).collect()]
+    indexed_df = ivf_topk_indexed(spark, path, C, qvec, k=10, n_probe=4)
+    indexed = [(r["vec_id"], round(r["cosine"], 6)) for r in indexed_df.collect()]
+    assert indexed == recomputed
+
+    # the cluster predicate must reach the scan as a partition filter
+    scoped = spark.read.parquet(path).filter(F.col("cluster").isin([1, 2]))
+    plan = explain_formatted(scoped)
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_duplicate_clusters_connectivity(spark, sf_dir):
     """Every pair sharing an LSH band bucket must land in the same cluster,
     and the cluster id must be the minimum member id (converged labels)."""

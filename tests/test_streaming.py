@@ -91,6 +91,41 @@ def test_stateful_running_totals(spark, sf_dir, stream_src):
         assert abs(got[u][1] - expected[u][1]) < 0.05  # per-batch rounding drift
 
 
+def test_transform_with_state_running_totals(spark, sf_dir, stream_src):
+    """transformWithStateInPandas (Spark 4.x typed-state API, RocksDB store):
+    same convergence contract as the applyInPandasWithState op."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+    from demo_bigdata_spark.streaming.pipeline import running_user_totals_tws
+
+    stream = read_events_stream(spark, stream_src, max_files_per_trigger=1)
+    updates = running_user_totals_tws(stream)
+    q = updates.writeStream.outputMode("update").format("memory").queryName("tws_out").start()
+    try:
+        q.processAllAvailable()
+        final = spark.sql(
+            """
+            SELECT user_id, max_by(n, n) AS n, max_by(total, n) AS total
+            FROM tws_out GROUP BY user_id
+            """
+        ).collect()
+    finally:
+        q.stop()
+    got = {r["user_id"]: (r["n"], r["total"]) for r in final}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["total"]) for r in batch}
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0]
+        assert abs(got[u][1] - expected[u][1]) < 0.05
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     """Stream-stream inner join with watermarks + time-range condition must
     produce exactly the batch join result once both streams drain."""
