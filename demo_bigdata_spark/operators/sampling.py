@@ -1,0 +1,90 @@
+"""Deterministic, hash-based sampling / splitting for training-data pipelines.
+
+`df.sample()` is seed-dependent per partition layout, so the same logical
+corpus can sample differently across runs, engines, or repartitions. A
+large-scale corpus pipeline wants *content-addressed* sampling instead: a
+document's fate depends only on its key, so samples are reproducible,
+join-stable across tables sharing the key, and identical on any engine
+(which is also what makes these ops DuckDB-oracle-checkable).
+
+All ops are pure narrow column expressions over the scan — no shuffle, no
+UDF, fully codegen'd — except the quota op, which is one hash shuffle on the
+group key (TakeOrdered-per-group semantics).
+
+Parity: reference has no sampling tier; this is part of the [EXT]
+LLM-data-pipeline surface (SURVEY.md §2.8 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 7 hex chars = 28 bits: small enough for an exact BIGINT everywhere,
+# large enough that bucket skew at any corpus size is negligible.
+_HEX_CHARS = 7
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key's string
+    form. Engine-portable (md5 is md5 everywhere), unlike hash()/xxhash64
+    whose seeds and algorithms differ between engines."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, _HEX_CHARS), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(n_buckets))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``fraction`` of buckets.
+    Reproducible on any engine / partitioning; resolution is 1/n_buckets."""
+    cutoff = int(round(fraction * n_buckets))
+    return df.filter(hash_bucket(key_col, n_buckets) < cutoff)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    n_buckets: int = 10_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a split label ('train'/'val'/'test', …) by cumulative bucket
+    ranges. Weights must sum to 1. A key always lands in the same split —
+    the property a train/test boundary must have across pipeline re-runs."""
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(key_col, n_buckets)
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = b < int(round(cum * n_buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(splits[-1][0]) if expr is None else expr.otherwise(F.lit(splits[-1][0]))
+    return df.withColumn(split_col, expr)
+
+
+def per_group_quota(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by the deterministic
+    hash order of ``key_col`` (an unbiased, reproducible 'random' n —
+    no seed, no partition-layout dependence). One shuffle on the group
+    key; rank is computed partially per partition by AQE where possible."""
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -467,6 +467,91 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# --- Deterministic sampling / splitting (operators.sampling) ----------------------
+
+# DuckDB twin of sampling.hash_bucket: md5 of the key string, first 7 hex
+# chars as bigint, mod n_buckets. Identical math on both engines.
+def _sql_bucket(key_expr: str, n_buckets: int) -> str:
+    return f"(('0x' || substr(md5({key_expr}), 1, 7))::BIGINT % {n_buckets})"
+
+
+def q_hash_sample(spark, sf_dir):
+    """Reproducible 10% corpus sample (content-addressed, not df.sample's
+    partition-layout-dependent RNG), summarized per language."""
+    from demo_bigdata_spark.operators import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    kept = SP.hash_sample(docs, "doc_id", 0.10)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+FROM documents
+WHERE {_sql_bucket('doc_id::VARCHAR', 10000)} < 1000
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (75/12.5/12.5 by key hash):
+    volume per split x language. The same doc lands in the same split on
+    every run and every engine — the invariant a training corpus needs."""
+    from demo_bigdata_spark.operators import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    tagged = SP.split_assign(
+        docs, "doc_id", [("train", 0.75), ("val", 0.125), ("test", 0.125)]
+    )
+    return (
+        tagged.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+SQL_CORPUS_SPLIT = f"""
+SELECT CASE
+         WHEN {_sql_bucket('doc_id::VARCHAR', 10000)} < 7500 THEN 'train'
+         WHEN {_sql_bucket('doc_id::VARCHAR', 10000)} < 8750 THEN 'val'
+         ELSE 'test'
+       END AS split,
+       lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+FROM documents
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+def q_lang_quota(spark, sf_dir):
+    """Per-language quota sampling: keep at most 40 docs per language chosen
+    by deterministic hash order (unbiased reproducible subset), then list the
+    kept ids — the balanced-corpus construction step."""
+    from demo_bigdata_spark.operators import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    kept = SP.per_group_quota(docs, ["lang"], 40, "doc_id")
+    return kept.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+SQL_LANG_QUOTA = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 40
+ORDER BY lang, doc_id
+"""
+
+
 # --- Multimodal metadata -----------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -509,6 +594,9 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
+    "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),

@@ -70,3 +70,57 @@ def test_pagination_partitions_the_order(spark, rows, page_size):
     # pages concatenate to exactly the full ordering: no dupes, no gaps
     assert len(seen) == n
     assert seen == sorted(seen, key=lambda t: (-(t[0].timestamp()), t[1]))
+
+
+# --- Deterministic sampling ops (operators.sampling) -------------------------
+
+keys_strategy = st.lists(
+    st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60, unique=True
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(keys=keys_strategy)
+def test_hash_sample_is_partition_invariant(spark, keys):
+    """The sample is a pure function of the key: repartitioning (or any
+    physical layout change) must not alter membership — the property
+    df.sample() does NOT have."""
+    from demo_bigdata_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    a = {r["k"] for r in hash_sample(df, "k", 0.3).collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(7), "k", 0.3).collect()}
+    assert a == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(keys=keys_strategy)
+def test_split_assign_partitions_exactly(spark, keys):
+    """Every key gets exactly one split label; nested sampling property:
+    a hash_sample of a split stays inside that split's keys."""
+    from demo_bigdata_spark.operators.sampling import hash_sample, split_assign
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    tagged = split_assign(df, "k", [("train", 0.75), ("val", 0.125), ("test", 0.125)])
+    rows = tagged.collect()
+    assert len(rows) == len(keys)  # no dup, no drop
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["k"])
+    assert set(by_split) <= {"train", "val", "test"}
+    train = spark.createDataFrame([(k,) for k in by_split.get("train", set())] or [(0,)], ["k"])
+    sub = {r["k"] for r in hash_sample(train, "k", 0.5).collect()}
+    assert sub <= (by_split.get("train", set()) | {0})
+
+
+def test_per_group_quota_caps_and_keeps_small_groups(spark):
+    from demo_bigdata_spark.operators.sampling import per_group_quota
+
+    data = [(g, i) for g in ("a", "b") for i in range(50)] + [("c", 0)]
+    df = spark.createDataFrame(data, ["g", "k"])
+    kept = per_group_quota(df, ["g"], 10, "k")
+    counts = {r["g"]: r["n"] for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10, "c": 1}
+    # deterministic: same result twice
+    again = per_group_quota(df.repartition(5), ["g"], 10, "k")
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
