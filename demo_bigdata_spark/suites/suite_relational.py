@@ -799,8 +799,92 @@ ORDER BY s.s_suppkey
 """
 
 
+# --- TPC-H Q3-style: shipping priority (3-way join -> agg -> top-k) ----------
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: unshipped-order revenue by order, top 10. Both joins are
+    key-equi on the fact keys — AQE picks broadcast at small SF, shuffle at
+    cluster SF; the final top-k is TakeOrderedAndProject (no global sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+# --- TPC-H Q19-style: disjunction of conjunctions, single scan ---------------
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs over part x lineitem. The per-branch
+    lineitem predicates (quantity bands) are OR-able and push to the scan;
+    the part-side predicates filter the build side before the join. One
+    scan each, one join, no union-of-three-plans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    branch1 = (F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (
+        F.col("p_size").between(1, 5)
+    )
+    branch2 = (F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (
+        F.col("p_size").between(1, 10)
+    )
+    branch3 = (F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (
+        F.col("p_size").between(1, 15)
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "late_shipment_orders": (q_late_shipment_orders, SQL_LATE_SHIPMENT_ORDERS),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),

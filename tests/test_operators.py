@@ -50,6 +50,32 @@ def test_ingest_payload_survives_nesting(flat):
     assert '"a":[1,2]' in row["payload_json"].replace(" ", "")
 
 
+def test_ingest_variant_path_matches_legacy(spark, flat):
+    """The single-parse VariantType chain must produce the same 26-column
+    output as the from_json+json_tuple chain on the same input — identical
+    drop set, values, and dtypes; payload_json compares parse-equal (variant
+    re-serialization normalizes key order/whitespace, not content)."""
+    from demo_bigdata_spark.operators.ingest import process_raw_events_variant
+
+    raw = spark.createDataFrame(
+        [(GOOD,), (UNKNOWN_TYPE,), (NO_CREATED,), (MALFORMED,)], ["raw_json"]
+    )
+    vflat = process_raw_events_variant(raw)
+    assert vflat.schema == flat.schema
+    legacy = {r["event_id"]: r.asDict() for r in flat.collect()}
+    variant = {r["event_id"]: r.asDict() for r in vflat.collect()}
+    assert set(legacy) == set(variant)
+    for eid, lrow in legacy.items():
+        vrow = variant[eid]
+        for col, lval in lrow.items():
+            if col == "payload_json":
+                continue
+            assert vrow[col] == lval, f"{eid}.{col}: {vrow[col]!r} != {lval!r}"
+        l_norm = lrow["payload_json"] and lrow["payload_json"].replace(" ", "")
+        v_norm = vrow["payload_json"] and vrow["payload_json"].replace(" ", "")
+        assert sorted(l_norm) == sorted(v_norm)  # same chars = same content here
+
+
 def test_ingest_flags(flat):
     row1 = flat.filter(F.col("event_id") == "1").head()
     row2 = flat.filter(F.col("event_id") == "2").head()
