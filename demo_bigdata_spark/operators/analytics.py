@@ -284,3 +284,62 @@ def paginate(
     native ``offset``: the plan is GlobalLimit/Offset over a bounded sort,
     still driver-safe. Order must be total (include a unique key)."""
     return df.orderBy(*order_by).offset(page * page_size).limit(page_size)
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """[EXT] ordered funnel: how many users completed step 1, then step 2
+    strictly after their first step-1 event, and so on. Returns one row per
+    step with the surviving-user count and conversion rate vs step 1.
+
+    Spark-first shape: ONE hash shuffle on the user key, then k chained
+    window-min passes over the same partitioning (Catalyst collapses them
+    into consecutive Window operators with no extra exchange — each step's
+    earliest-completion time references the previous step's column). No
+    self-joins, no per-user collect; state per row is k timestamps, so the
+    plan scales linearly in events at any user cardinality.
+    """
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, type_col, ts_col)
+    prev_t = None
+    t_cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_t))
+        name = f"_t{i}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_t = name
+        t_cols.append(name)
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(t).alias(t) for t in t_cols]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col(t).isNotNull(), 1)).cast("bigint").alias(f"_n{i}")
+            for i, t in enumerate(t_cols)
+        ]
+    )
+    # one row per step via explode of the single aggregate row — NOT a
+    # unionAll of k selects, which would re-execute the whole pipeline k times
+    step_structs = [
+        F.struct(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"_n{i}").alias("n_users"),
+            F.round(F.col(f"_n{i}") / F.greatest(F.col("_n0"), F.lit(1)), 4).alias(
+                "conversion"
+            ),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return (
+        counts.select(F.explode(F.array(*step_structs)).alias("s"))
+        .select("s.*")
+        .orderBy("step_idx")
+    )

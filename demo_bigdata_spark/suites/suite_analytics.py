@@ -306,6 +306,40 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# --- [EXT] Ordered funnel (view -> click -> purchase) ---------------------------
+
+def q_funnel(spark, sf_dir):
+    """Sequential conversion funnel: users who viewed, then clicked after
+    their first view, then purchased after that click. One shuffle on
+    user_id; see operators.analytics.funnel_counts."""
+    return A.funnel_counts(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, event_type, ts,
+         min(ts) FILTER (WHERE event_type = 'view') OVER (PARTITION BY user_id) AS v_t
+  FROM events
+), t2 AS (
+  SELECT *, min(ts) FILTER (WHERE event_type = 'click' AND ts > v_t)
+              OVER (PARTITION BY user_id) AS c_t
+  FROM t1
+), t3 AS (
+  SELECT *, min(ts) FILTER (WHERE event_type = 'purchase' AND ts > c_t)
+              OVER (PARTITION BY user_id) AS p_t
+  FROM t2
+), per_user AS (
+  SELECT user_id, max(v_t) AS v_t, max(c_t) AS c_t, max(p_t) AS p_t
+  FROM t3 GROUP BY user_id
+), c AS (
+  SELECT count(v_t) AS n0, count(c_t) AS n1, count(p_t) AS n2 FROM per_user
+)
+SELECT step_idx, step, n_users, round(n_users / greatest(n0, 1)::DOUBLE, 4) AS conversion
+FROM c, LATERAL (VALUES (1::INT, 'view', n0), (2::INT, 'click', n1), (3::INT, 'purchase', n2))
+         AS s(step_idx, step, n_users)
+ORDER BY step_idx
+"""
+
 # --- A1/A9 approx sketch variants (engine-specific values -> rows-only) ---------
 
 def q_approx_stats(spark, sf_dir):
@@ -328,6 +362,7 @@ QUERIES = {
     "recent_events": (q_recent_events, SQL_RECENT_EVENTS),
     "pagination": (q_pagination, SQL_PAGINATION),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "funnel": (q_funnel, SQL_FUNNEL),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "approx_stats": (q_approx_stats, None),

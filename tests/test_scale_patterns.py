@@ -77,3 +77,39 @@ def test_merge_upsert_semantics(spark):
     )
     merged = {r["id"]: (r["tag"], r["v"]) for r in merge_upsert(target, updates, ["id"]).collect()}
     assert merged == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """At cluster scale a selective dim-side filter should inject a runtime
+    bloom filter on the fact side (row-level pruning BEFORE the shuffle).
+    Local testdata sits under the size thresholds and small dims broadcast,
+    so emulate scale: force shuffle join + zero the scan threshold, then pin
+    that Catalyst injects bloom_filter_agg/might_contain — and that results
+    are unchanged by the injection."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").filter(
+            F.col("o_totalprice") > 300000
+        )
+        q = lambda: (  # noqa: E731
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+        baseline = sorted(map(tuple, q().collect()))
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        df = q()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
