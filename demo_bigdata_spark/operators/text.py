@@ -123,3 +123,44 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     key). A rolling/winnowing hash variant lives in operators/dedup.py."""
     normalized = F.array_join(tokens(F.lower(F.col(text_col))), " ")
     return df.withColumn("fp", F.md5(normalized))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] fixed-size overlapping token chunks — the pre-training /
+    RAG-ingest chunker. One row per chunk: (id, chunk_id, n_tokens,
+    chunk_text), stride = chunk_size - overlap.
+
+    Entirely Catalyst built-ins: tokenize once, ``sequence`` over chunk
+    starts, ``explode``, ``slice`` + ``concat_ws`` — no Python in the row
+    path, fully codegen'd, embarrassingly parallel (no shuffle at all).
+    Empty/whitespace docs produce zero chunks.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    stride = chunk_size - overlap
+    base = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        token_count(text_col).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (last chunk may
+    # be short but never empty; a doc shorter than chunk_size yields 1 chunk)
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    chunked = base.select(
+        id_col,
+        "_toks",
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

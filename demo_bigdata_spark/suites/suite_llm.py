@@ -552,6 +552,36 @@ ORDER BY lang, doc_id
 """
 
 
+# --- Token chunking (pre-training / RAG ingest) -----------------------------------
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping token chunks (64 tokens, 16 overlap) — pure
+    Catalyst sequence/posexplode/slice, no UDF, no shuffle."""
+    return X.chunk_documents(_docs(spark, sf_dir), chunk_size=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+SQL_DOC_CHUNKS = rf"""
+WITH base AS (
+  SELECT doc_id,
+         {SQL_TOKS_RAW} AS toks,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS_RAW}) END AS n
+  FROM documents
+)
+, exploded AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n - 1, 48)) AS s
+  FROM base WHERE n > 0
+)
+SELECT doc_id,
+       (s // 48)::BIGINT AS chunk_id,
+       len(list_slice(toks, s + 1, s + 64))::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+FROM exploded
+ORDER BY doc_id, chunk_id
+"""
+
+
 # --- Multimodal metadata -----------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -597,6 +627,7 @@ QUERIES = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),

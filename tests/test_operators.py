@@ -218,3 +218,29 @@ def test_multimodal_real_decoder_is_stubbed(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         decode_image_real(attach_binary(load_table(spark, sf_dir, "documents")))
+
+
+def test_chunk_documents_boundaries(spark):
+    """Overlap semantics: consecutive chunks share exactly `overlap` tokens;
+    short docs yield one chunk; empty/whitespace docs yield none."""
+    from demo_bigdata_spark.operators.text import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a b"), (3, ""), (4, "   ")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc and 4 not in by_doc
+    assert [r["chunk_text"] for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])] == ["a b"]
+    chunks1 = [r["chunk_text"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])]
+    # stride 2 over 10 tokens: starts 0,2,4,6,8 — last two are short tails
+    assert chunks1 == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9", "w8 w9",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=4, overlap=4)
