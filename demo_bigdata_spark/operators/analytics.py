@@ -343,3 +343,62 @@ def funnel_counts(
         .select("s.*")
         .orderBy("step_idx")
     )
+
+
+_NUMERIC_TYPES = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
+    """[EXT] column-level data profile: one output row per column with row /
+    null / distinct counts and min-max (numeric columns as doubles, string
+    columns lexicographically). The pipeline health check you run before
+    pointing a trainer at a new table.
+
+    ONE scan, one aggregate row, exploded into per-column rows (the
+    aggregate executes once — no per-column re-scans). With
+    ``exact_distinct`` the multi-column DISTINCT compiles to an Expand
+    (rows x columns before partial agg); at 100 TB pass
+    ``exact_distinct=False`` for HLL sketches (approx_count_distinct),
+    which keeps the pass fully map-side until the final 1-row reduce.
+    """
+    cols = columns if columns is not None else [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"_nulls_{c}"))
+        aggs.append(
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col)
+            ).alias(f"_nd_{c}")
+        )
+        if types.get(c) in _NUMERIC_TYPES:
+            aggs.append(F.min(col).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        is_num = types.get(c) in _NUMERIC_TYPES
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(types.get(c, "unknown")).alias("dtype"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.round(F.col(f"_nulls_{c}") / F.greatest(F.col("_rows"), F.lit(1)), 4).alias(
+                    "null_rate"
+                ),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.col(f"_min_{c}") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"_max_{c}") if is_num else F.lit(None).cast("double")).alias("max_num"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("column_name")
+    )

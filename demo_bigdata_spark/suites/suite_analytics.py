@@ -340,6 +340,40 @@ FROM c, LATERAL (VALUES (1::INT, 'view', n0), (2::INT, 'click', n1), (3::INT, 'p
 ORDER BY step_idx
 """
 
+# --- [EXT] Column-level profiling --------------------------------------------------
+
+def q_profile(spark, sf_dir):
+    """One-scan data profile of the events fact (null/distinct/min-max per
+    column) — see operators.analytics.profile_table."""
+    return A.profile_table(
+        _events(spark, sf_dir), ["event_id", "user_id", "event_type", "value"]
+    )
+
+
+def _sql_profile_col(c, dtype, numeric):
+    mn = f"min({c})::DOUBLE" if numeric else "NULL::DOUBLE"
+    mx = f"max({c})::DOUBLE" if numeric else "NULL::DOUBLE"
+    return f"""
+  SELECT '{c}' AS column_name, '{dtype}' AS dtype,
+         count(*)::BIGINT AS n_rows,
+         (count(*) - count({c}))::BIGINT AS n_nulls,
+         round((count(*) - count({c})) / greatest(count(*), 1)::DOUBLE, 4) AS null_rate,
+         count(DISTINCT {c})::BIGINT AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num
+  FROM events"""
+
+
+SQL_PROFILE = (
+    _sql_profile_col("event_id", "long", True)
+    + "\nUNION ALL\n"
+    + _sql_profile_col("user_id", "long", True)
+    + "\nUNION ALL\n"
+    + _sql_profile_col("event_type", "string", False)
+    + "\nUNION ALL\n"
+    + _sql_profile_col("value", "double", True)
+    + "\nORDER BY column_name"
+)
+
 # --- A1/A9 approx sketch variants (engine-specific values -> rows-only) ---------
 
 def q_approx_stats(spark, sf_dir):
@@ -363,6 +397,7 @@ QUERIES = {
     "pagination": (q_pagination, SQL_PAGINATION),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "profile": (q_profile, SQL_PROFILE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "approx_stats": (q_approx_stats, None),

@@ -215,3 +215,40 @@ def test_partitioned_stream_sink(spark, stream_src, tmp_path):
     one_day = written.filter(F.col("event_date") == "2024-01-05")
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_date" in plan
+
+
+def test_variant_ingest_runs_on_stream(spark, tmp_path):
+    """The VariantType ingest chain is stateless map/filter, so Structured
+    Streaming runs it unchanged: text-file micro-batches of raw JSON through
+    process_raw_events_variant must equal the batch run on the same lines."""
+    from demo_bigdata_spark.operators.ingest import process_raw_events_variant
+    from demo_bigdata_spark.suites.suite_ingest import raw_github_json
+
+    raw = raw_github_json(spark, "/root/testdata/sf0.001").limit(400)
+    src = str(tmp_path / "raw_text")
+    raw.select(F.col("raw_json").alias("value")).repartition(3).write.mode(
+        "overwrite"
+    ).text(src)
+
+    batch_lines = spark.read.text(src).withColumnRenamed("value", "raw_json")
+    expected = sorted(
+        (r["event_id"], r["event_category"], r["actor_id"])
+        for r in process_raw_events_variant(batch_lines).collect()
+    )
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(src)
+        .withColumnRenamed("value", "raw_json")
+    )
+    out = process_raw_events_variant(stream)
+    q = out.writeStream.outputMode("append").format("memory").queryName("vstream").start()
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["event_id"], r["event_category"], r["actor_id"])
+            for r in spark.sql("SELECT * FROM vstream").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected and len(got) > 0
