@@ -386,3 +386,46 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
         return total
 
     return df.withColumn("simhash", F.aggregate(hashes, init, _merge, _finish))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] train/eval decontamination: flag training documents sharing any
+    n-token shingle with the held-out eval corpus (the standard benchmark-
+    leak check before pre-training).
+
+    Shape: shingle both sides (array ops, no shuffle), explode to
+    (shingle_hash, id), distinct, inner-join on the hash — ONE shuffle keyed
+    by shingle hash, whose cardinality is bounded by the (small) eval side
+    after the join's runtime filtering; the train side's exploded volume
+    partial-aggregates map-side via the distinct. Returns one row per
+    contaminated train doc: matched shingle count + how many eval docs it
+    collides with.
+    """
+    from demo_bigdata_spark.operators.text import shingles
+
+    def sh(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
+            )
+            .select(out_id, F.md5("_s").alias("shingle_hash"))
+            .distinct()
+        )
+
+    t = sh(train, "train_id")
+    e = sh(eval_set, "eval_id")
+    return (
+        t.join(e, "shingle_hash")
+        .groupBy("train_id")
+        .agg(
+            F.count_distinct("shingle_hash").alias("n_shared_shingles"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+    )

@@ -164,3 +164,32 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+# PII patterns deliberately conservative + deterministic; a production
+# pipeline would layer an NER model via pandas_udf on top. Kept as module
+# constants so the DuckDB oracle twins are built from the SAME regexes.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "PHONE": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """[EXT] deterministic PII scrubbing: emails, IPv4s, phone-like digit
+    runs replaced with ``[TYPE]`` tokens, plus per-type hit counts for audit.
+    Pure regexp_replace/regexp_count chain — JVM-side, codegen'd, no
+    shuffle; scales as a straight map over the corpus.
+    """
+    out = out_col or f"{text_col}_redacted"
+    c: Column = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name.lower()}"))
+    red = c
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"[{name}]")
+    return df.select("*", *counts, red.alias(out))

@@ -582,6 +582,110 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# --- PII redaction ------------------------------------------------------------------
+
+def q_pii_redaction(spark, sf_dir):
+    """Deterministic PII scrub (emails/IPv4/phones -> [TYPE] tokens). The
+    synthetic corpus is PII-free, so the query plants PII on a deterministic
+    doc subset first — the oracle then checks both the counts and the
+    redacted text lengths."""
+    from demo_bigdata_spark.operators.text import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob@example.com or 10.0.0.1 call +1 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    red = redact_pii(docs)
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum(F.length("text_redacted")).cast("bigint").alias("redacted_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("original_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Same regexes as operators.text.PII_PATTERNS (module constants keep the
+# twins honest); DuckDB regexp_replace needs the 'g' flag for global.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+SQL_PII_REDACTION = f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact bob@example.com or 10.0.0.1 call +1 555-123-4567'
+              ELSE text END AS text
+  FROM documents
+), red AS (
+  SELECT lang, text,
+         len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_IPV4}', '[IPV4]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g') AS text_redacted
+  FROM planted
+)
+SELECT lang,
+       sum(n_email)::BIGINT AS n_email,
+       sum(n_ipv4)::BIGINT AS n_ipv4,
+       sum(n_phone)::BIGINT AS n_phone,
+       sum(length(text_redacted))::BIGINT AS redacted_chars,
+       sum(length(text))::BIGINT AS original_chars
+FROM red
+GROUP BY lang
+ORDER BY lang
+"""
+
+# --- Train/eval decontamination -----------------------------------------------------
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark-leak check: training docs (source <> src0/src1) sharing any
+    8-token shingle with the eval slice (src0/src1). One shuffle keyed by
+    shingle hash; see operators.dedup.decontaminate."""
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    return D.decontaminate(train, eval_set, n=8).orderBy("train_id")
+
+
+SQL_DECONTAMINATION = rf"""
+WITH raw AS (SELECT doc_id, source, {SQL_TOKS_RAW} AS tkr FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(tkr) >= 8
+              THEN list_distinct(list_transform(range(0, len(tkr) - 7),
+                                                i -> array_to_string(tkr[i+1:i+8], ' ')))
+              ELSE [array_to_string(tkr, ' ')] END) AS s
+  FROM raw
+),
+hashed AS (SELECT DISTINCT doc_id, source, md5(s) AS shingle_hash FROM sh)
+SELECT t.doc_id AS train_id,
+       count(DISTINCT t.shingle_hash)::BIGINT AS n_shared_shingles,
+       count(DISTINCT e.doc_id)::BIGINT AS n_eval_docs
+FROM (SELECT * FROM hashed WHERE source NOT IN ('src0', 'src1')) t
+JOIN (SELECT * FROM hashed WHERE source IN ('src0', 'src1')) e USING (shingle_hash)
+GROUP BY t.doc_id
+ORDER BY train_id
+"""
+
+
 # --- Multimodal metadata -----------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -628,6 +732,8 @@ QUERIES = {
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),

@@ -244,3 +244,45 @@ def test_chunk_documents_boundaries(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_redact_pii_semantics(spark):
+    from demo_bigdata_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@sub.example.org now"),
+            (2, "server 192.168.1.254 and 8.8.8.8 up"),
+            (3, "call +49 171 1234567 or 555-867-5309 today"),
+            (4, "clean text, no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["text_redacted"]
+    assert "alice" not in rows[1]["text_redacted"]
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["text_redacted"].count("[IPV4]") == 2
+    assert rows[3]["n_phone"] == 2 and rows[3]["text_redacted"].count("[PHONE]") == 2
+    assert rows[4]["text_redacted"] == rows[4]["text"]
+    assert (rows[4]["n_email"], rows[4]["n_ipv4"], rows[4]["n_phone"]) == (0, 0, 0)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc embedding an exact 8-token eval span must be flagged;
+    unrelated docs must not."""
+    from demo_bigdata_spark.operators.dedup import decontaminate
+
+    eval_span = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words here {eval_span} suffix words"),
+            (2, "totally unrelated content with its own eight tokens plus"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame(
+        [(100, f"{eval_span} and some continuation of the benchmark prompt")],
+        ["doc_id", "text"],
+    )
+    got = {r["train_id"]: r["n_eval_docs"] for r in decontaminate(train, eval_set).collect()}
+    assert got == {1: 1}
