@@ -35,8 +35,12 @@ HEADLINE = [
     "scalar_functions",
     # ingest pipeline (JSON parse/flatten/quality end-to-end)
     "ingest_category_stats",
+    # analytics [EXT]
+    "funnel",
+    "profile",
     # relational [EXT]
     "tpch_q1",
+    "shipping_priority",
     "revenue_by_nation",
     "top_customers",
     "top_orders_per_customer",
@@ -55,6 +59,9 @@ HEADLINE = [
     "token_counts",
     "cosine_topk",
     "embedding_pairs",
+    "doc_chunks",
+    "hash_sample",
+    "decontamination",
 ]
 
 

@@ -402,3 +402,46 @@ def profile_table(
         .select("s.*")
         .orderBy("column_name")
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    resolutions: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """[EXT] cascaded multi-resolution time-series rollup (hypertable-style
+    continuous aggregate): the finest resolution aggregates the raw events
+    ONCE; every coarser level re-aggregates the previous level's partials
+    (counts sum, sums sum). At scale this is the difference between one raw
+    scan + tiny follow-ups and k full scans — the pre-aggregation cascade
+    behind every OLAP time-series store.
+
+    Requires ``resolutions`` ordered fine -> coarse (each must truncate
+    cleanly into the next). Output: (resolution, bucket, n, sum_value).
+    """
+    levels = []
+    cur = (
+        df.groupBy(F.date_trunc(resolutions[0], F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col)).alias("_sv"),
+        )
+    )
+    levels.append((resolutions[0], cur))
+    for res in resolutions[1:]:
+        cur = (
+            cur.groupBy(F.date_trunc(res, F.col("bucket")).alias("bucket"))
+            .agg(F.sum("n").alias("n"), F.sum("_sv").alias("_sv"))
+        )
+        levels.append((res, cur))
+    out = None
+    for res, lv in levels:
+        piece = lv.select(
+            F.lit(res).alias("resolution"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("n"),
+            F.round(F.col("_sv"), 2).alias("sum_value"),
+        )
+        out = piece if out is None else out.unionAll(piece)
+    return out.orderBy("resolution", "bucket")

@@ -374,6 +374,33 @@ SQL_PROFILE = (
     + "\nORDER BY column_name"
 )
 
+# --- [EXT] Cascaded time rollup ----------------------------------------------------
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour buckets aggregate the
+    minute partials, days aggregate hours — one raw scan, reused via
+    ReuseExchange across the union branches (pinned in test_plans)."""
+    return A.time_rollup(_events(spark, sf_dir))
+
+
+def _sql_rollup_level(res):
+    return f"""
+  SELECT '{res}' AS resolution,
+         strftime(date_trunc('{res}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*)::BIGINT AS n,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 2"""
+
+
+SQL_TIME_ROLLUP = (
+    _sql_rollup_level("minute")
+    + "\nUNION ALL\n"
+    + _sql_rollup_level("hour")
+    + "\nUNION ALL\n"
+    + _sql_rollup_level("day")
+    + "\nORDER BY resolution, bucket"
+)
+
 # --- A1/A9 approx sketch variants (engine-specific values -> rows-only) ---------
 
 def q_approx_stats(spark, sf_dir):
@@ -398,6 +425,7 @@ QUERIES = {
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "funnel": (q_funnel, SQL_FUNNEL),
     "profile": (q_profile, SQL_PROFILE),
+    "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "approx_stats": (q_approx_stats, None),

@@ -65,3 +65,17 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     df = load_table(spark, sf_dir, "events").groupBy("event_type").count()
     plan = executed_plan(df)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_time_rollup_reuses_finest_exchange(spark, sf_dir):
+    """The cascaded rollup's union branches must share the minute-level
+    shuffle at runtime (AQE ReuseExchange) — one raw scan + one partial
+    aggregate feed all resolutions, which is the whole point of the
+    cascade at scale."""
+    from demo_bigdata_spark.suites.suite_analytics import q_time_rollup
+
+    df = q_time_rollup(spark, sf_dir)
+    df.collect()  # reuse is established in the final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan
