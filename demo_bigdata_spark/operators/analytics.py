@@ -445,3 +445,29 @@ def time_rollup(
         )
         out = piece if out is None else out.unionAll(piece)
     return out.orderBy("resolution", "bucket")
+
+
+def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """[EXT] shuffle-skew diagnostic: per-key row counts for the heaviest
+    keys with their share of the table and skew ratio vs the mean key. The
+    "should I salt this join/agg?" report (operators.relational.salted_*).
+
+    One shuffle on the key (partial-agg first); the global totals are a
+    1-row aggregate over the per-key counts (AQE reuses the counts
+    exchange), broadcast back. Top-k via TakeOrderedAndProject.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            "n",
+            F.round(F.col("n") / F.col("_total"), 4).alias("share"),
+            F.round(F.col("n") * F.col("_nkeys") / F.col("_total"), 2).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(top)
+    )

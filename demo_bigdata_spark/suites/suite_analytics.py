@@ -401,6 +401,30 @@ SQL_TIME_ROLLUP = (
     + "\nORDER BY resolution, bucket"
 )
 
+# --- [EXT] Shuffle-skew diagnostic --------------------------------------------------
+
+def q_key_skew(spark, sf_dir):
+    """Heaviest join/agg keys on the lineitem fact (orderkey) with share and
+    skew ratio — the pre-flight check for salting decisions."""
+    from demo_bigdata_spark.sources.catalog import load_table as _lt
+
+    return A.key_skew_report(_lt(spark, sf_dir, "lineitem"), "l_orderkey", top=10)
+
+
+SQL_KEY_SKEW = """
+WITH counts AS (
+  SELECT l_orderkey AS key, count(*)::BIGINT AS n FROM lineitem GROUP BY 1
+), totals AS (
+  SELECT sum(n) AS total, count(*) AS nkeys FROM counts
+)
+SELECT key::VARCHAR AS key, n,
+       round(n / total::DOUBLE, 4) AS share,
+       round(n * nkeys / total::DOUBLE, 2) AS skew_ratio
+FROM counts, totals
+ORDER BY n DESC, key
+LIMIT 10
+"""
+
 # --- A1/A9 approx sketch variants (engine-specific values -> rows-only) ---------
 
 def q_approx_stats(spark, sf_dir):
@@ -426,6 +450,7 @@ QUERIES = {
     "funnel": (q_funnel, SQL_FUNNEL),
     "profile": (q_profile, SQL_PROFILE),
     "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
+    "key_skew": (q_key_skew, SQL_KEY_SKEW),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "approx_stats": (q_approx_stats, None),

@@ -686,6 +686,25 @@ ORDER BY train_id
 """
 
 
+# --- Sentence-boundary segmentation (Python UDTF — rows-only) -----------------------
+
+def q_sentence_segments(spark, sf_dir):
+    """Greedy sentence packing into <=64-token segments via the SentencePack
+    UDTF (functions/udtfs.py) — reset-on-overflow accumulation has no
+    declarative SQL form, so this is a rows-only query by design."""
+    from demo_bigdata_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("_seg_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.seg_id, s.n_sentences, s.n_tokens
+        FROM _seg_docs, LATERAL sentence_pack(text, 64) AS s
+        ORDER BY doc_id, s.seg_id
+        """
+    )
+
+
 # --- Multimodal metadata -----------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -734,6 +753,7 @@ QUERIES = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
+    "sentence_segments": (q_sentence_segments, None),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),

@@ -286,3 +286,32 @@ def test_decontaminate_flags_planted_overlap(spark):
     )
     got = {r["train_id"]: r["n_eval_docs"] for r in decontaminate(train, eval_set).collect()}
     assert got == {1: 1}
+
+
+def test_sentence_pack_udtf(spark):
+    """Greedy packing: segments respect max_tokens unless a single sentence
+    exceeds it; concatenation round-trips the original sentences in order."""
+    from demo_bigdata_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    text = "One two three. Four five. Six seven eight nine ten eleven. Twelve."
+    rows = spark.sql(
+        "SELECT * FROM sentence_pack('" + text + "', 6) ORDER BY seg_id"
+    ).collect()
+    segs = [r["segment"] for r in rows]
+    # 3+2 fits in 6; the 6-token sentence overflows into its own segment
+    assert segs == [
+        "One two three. Four five.",
+        "Six seven eight nine ten eleven.",
+        "Twelve.",
+    ]
+    assert [r["n_tokens"] for r in rows] == [5, 6, 1]
+    assert " ".join(segs) == text
+    # lateral use over a table
+    df = spark.createDataFrame([(1, "A b. C d e f g h i. J k.")], ["doc_id", "text"])
+    df.createOrReplaceTempView("seg_docs")
+    out = spark.sql(
+        "SELECT doc_id, s.seg_id, s.n_tokens FROM seg_docs, "
+        "LATERAL sentence_pack(text, 4) AS s ORDER BY s.seg_id"
+    ).collect()
+    assert [(r["doc_id"], r["seg_id"]) for r in out] == [(1, 0), (1, 1), (1, 2)]
