@@ -100,3 +100,39 @@ def describe_table(spark: SparkSession, table: str) -> DataFrame:
 
 def table_count(spark: SparkSession, table: str) -> int:
     return spark.sql(f"SELECT count(*) AS n FROM {table}").head()["n"]
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> dict:
+    """[EXT] small-file compaction: rewrite a parquet dataset into
+    ``ceil(rows / target_rows_per_file)`` files. Streaming append sinks
+    (micro-batch x partitions) and over-parallel writes accumulate small
+    files that poison scan planning at scale (one task per tiny file,
+    metadata-bound listing); periodic compaction is the operational fix —
+    table formats automate this (Iceberg rewrite_data_files), raw parquet
+    needs it done explicitly.
+
+    Uses ``localCheckpoint`` to cut lineage before overwriting the path
+    being read. Returns {files_before, files_after, rows}.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+
+    def _count_files() -> int:
+        return len(
+            [
+                f
+                for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+                if _os.path.basename(f).startswith("part-")
+            ]
+        )
+
+    before = _count_files()
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    compacted = df.repartition(n_files).localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").parquet(path)
+    return {"files_before": before, "files_after": _count_files(), "rows": rows}

@@ -259,6 +259,49 @@ def write_partitioned_stream(
     )
 
 
+def write_upsert_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] streaming upsert sink: each micro-batch MERGEs into the keyed
+    target via foreachBatch (last-write-wins within the batch by arrival),
+    so replayed/updated keys overwrite instead of append — the CDC
+    materialization the plain append sink can't give.
+
+    Parquet has no row-level MERGE, so the emulation rewrites the target
+    (read -> anti-join -> union -> overwrite) per batch; on Delta/Iceberg
+    the identical foreachBatch body becomes a metadata-level MERGE INTO and
+    the rewrite disappears. foreachBatch is at-least-once: replaying a batch
+    re-MERGEs the same keys, so the sink stays idempotent — the
+    exactly-once-per-key contract lives in the data, not the delivery.
+    """
+    from demo_bigdata_spark.operators.relational import merge_upsert
+
+    spark = df.sparkSession
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        deduped = batch_df.dropDuplicates(key_cols)
+        try:
+            target = spark.read.parquet(path)
+            merged = merge_upsert(target, deduped, key_cols)
+        except Exception:  # first batch: no target yet
+            merged = deduped
+        # materialize before overwrite (the source of the write is the path
+        # being overwritten); localCheckpoint cuts the lineage safely
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
     """Synchronous test harness: memory sink + processAllAvailable()."""
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()

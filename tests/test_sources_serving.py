@@ -107,3 +107,18 @@ def test_stream_progress_and_lifecycle(spark, sf_dir, tmp_path):
     stopped = stop_all_streams(spark)
     assert "prog" in stopped
     assert not spark.streams.active
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    """64 tiny files -> 1 compacted file, content-identical."""
+    from demo_bigdata_spark.sources.formats import compact_parquet
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").drop("_ts_ns")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    report = compact_parquet(spark, path, target_rows_per_file=10_000_000)
+    assert report["files_before"] >= 64
+    assert report["files_after"] == 1
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before

@@ -252,3 +252,32 @@ def test_variant_ingest_runs_on_stream(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected and len(got) > 0
+
+
+def test_upsert_stream_last_write_wins(spark, tmp_path):
+    """Streaming MERGE sink: replayed keys overwrite; final table has one
+    row per key with the latest value per event-time."""
+    from demo_bigdata_spark.streaming.pipeline import write_upsert_stream
+
+    src = str(tmp_path / "usrc")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], ["id", "tag", "v"]
+    )
+    v1.repartition(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(v1.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out, ckpt = str(tmp_path / "uout"), str(tmp_path / "uckpt")
+    q = write_upsert_stream(stream, out, ckpt, ["id"], trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+        first = {r["id"]: (r["tag"], r["v"]) for r in spark.read.parquet(out).collect()}
+        assert first == {1: ("a", 1.0), 2: ("b", 2.0), 3: ("c", 3.0)}
+        # second wave: update key 2, add key 4
+        spark.createDataFrame([(2, "b2", 9.0), (4, "d", 4.0)], ["id", "tag", "v"]).repartition(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        final = {r["id"]: (r["tag"], r["v"]) for r in spark.read.parquet(out).collect()}
+    finally:
+        q.stop()
+    assert final == {1: ("a", 1.0), 2: ("b2", 9.0), 3: ("c", 3.0), 4: ("d", 4.0)}
