@@ -302,6 +302,72 @@ def write_upsert_stream(
     )
 
 
+def combine_hourly_partial(
+    spark, path: str, batch_df: DataFrame, epoch_id: int, ts_col: str = "ts"
+) -> None:
+    """Merge one micro-batch's hourly partial aggregate into the materialized
+    state at ``path`` exactly once per epoch.
+
+    Partial-aggregate combination (counts sum, sums sum) is NOT idempotent
+    under foreachBatch's at-least-once replay, so applied epoch ids are
+    recorded beside the state and replayed epochs are skipped — that
+    epoch ledger is what upgrades the sink to exactly-once.
+    """
+    from pyspark.sql import functions as F
+
+    epochs_path = path + "_epochs"
+    try:
+        applied = {r["epoch_id"] for r in spark.read.parquet(epochs_path).collect()}
+    except Exception:
+        applied = set()
+    if epoch_id in applied:
+        return
+    part = batch_df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    try:
+        state = spark.read.parquet(path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+        )
+    except Exception:  # first epoch: no state yet
+        merged = part
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode("append").parquet(
+        epochs_path
+    )
+
+
+def incremental_hourly_stats(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] incremental materialized aggregate: each micro-batch folds its
+    hourly partials into the stats table instead of recomputing the window
+    from raw history — the fix for the reference dashboard's
+    full-recompute-per-second design (BASELINE.md: '6 Spark jobs per
+    refresh ... no incrementalization'; data_service.py:116-150). Readers
+    get the current table with a plain scan; cost per refresh is
+    O(micro-batch + touched buckets), independent of history length.
+    """
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        combine_hourly_partial(spark, path, batch_df, epoch_id)
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
     """Synchronous test harness: memory sink + processAllAvailable()."""
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()

@@ -281,3 +281,43 @@ def test_upsert_stream_last_write_wins(spark, tmp_path):
     finally:
         q.stop()
     assert final == {1: ("a", 1.0), 2: ("b2", 9.0), 3: ("c", 3.0), 4: ("d", 4.0)}
+
+
+def test_incremental_hourly_stats_matches_batch(spark, sf_dir, stream_src, tmp_path):
+    """The incrementally-maintained hourly table must equal the batch
+    recompute after the stream drains, and replaying an epoch must be a
+    no-op (exactly-once via the epoch ledger)."""
+    from demo_bigdata_spark.streaming.pipeline import (
+        combine_hourly_partial,
+        incremental_hourly_stats,
+    )
+
+    out, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, stream_src, max_files_per_trigger=1)
+    q = incremental_hourly_stats(stream, out, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r["bucket"]), r["n"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (str(r["bucket"]), r["n"], round(r["sum_value"], 2))
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == expected
+
+    # replay an already-applied epoch: table must not change
+    before = sorted(got)
+    combine_hourly_partial(spark, out, ev.limit(50), epoch_id=0)
+    after = sorted(
+        (str(r["bucket"]), r["n"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
