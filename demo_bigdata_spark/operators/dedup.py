@@ -429,3 +429,79 @@ def decontaminate(
             F.count_distinct("eval_id").alias("n_eval_docs"),
         )
     )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+) -> None:
+    """[EXT] persist the corpus dedup index for incremental checking:
+    LSH band buckets (parquet partitioned by band_idx — probe joins prune
+    to one band family per partition) plus hashed distinct-token sets for
+    Jaccard verification. Build once over the corpus; new batches then
+    probe it (``incremental_near_duplicates``) without re-hashing history —
+    the only sane dedup flow once the corpus is 100 TB.
+    """
+    sigs = minhash_signature(df, text_col)
+    lsh_bands(sigs, id_col, bands, rows).write.mode("overwrite").partitionBy(
+        "band_idx"
+    ).parquet(path + "/bands")
+    df.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(distinct_tokens(text_col), token_hash)).alias("toks"),
+    ).write.mode("overwrite").parquet(path + "/toks")
+
+
+def incremental_near_duplicates(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """[EXT] match a NEW batch against the persisted index: hash only the
+    batch, equi-join its band buckets against the indexed buckets (the small
+    batch side broadcasts; band_idx partition pruning scopes the index
+    scan), then Jaccard-verify candidates on hashed token sets — batch side
+    computed fresh, corpus side read from the index. Returns
+    (new_id, corpus_id, jaccard) pairs at or above ``threshold``.
+    """
+    new_sigs = minhash_signature(new_docs, text_col)
+    nb = lsh_bands(new_sigs, id_col, bands, rows).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_sig"
+    )
+    ib = spark.read.parquet(index_path + "/bands").select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_sig"
+    )
+    cands = (
+        ib.join(F.broadcast(nb), ["band_idx", "band_sig"])
+        .filter(F.col("corpus_id") != F.col("new_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    new_toks = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(F.transform(distinct_tokens(text_col), token_hash)).alias("toks_n"),
+    )
+    idx_toks = spark.read.parquet(index_path + "/toks").select(
+        F.col(id_col).alias("corpus_id"), F.col("toks").alias("toks_c")
+    )
+    inter = F.size(F.array_intersect("toks_n", "toks_c"))
+    union = F.size("toks_n") + F.size("toks_c") - inter
+    return (
+        cands.join(F.broadcast(new_toks), "new_id")
+        .join(idx_toks, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(inter / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -315,3 +315,49 @@ def test_sentence_pack_udtf(spark):
         "LATERAL sentence_pack(text, 4) AS s ORDER BY s.seg_id"
     ).collect()
     assert [(r["doc_id"], r["seg_id"]) for r in out] == [(1, 0), (1, 1), (1, 2)]
+
+
+def test_incremental_dedup_index(spark, sf_dir, tmp_path):
+    """Probing a new batch against the persisted index: no false positives
+    vs brute-force cross Jaccard, recall adequate for near-dup mining, and
+    exact duplicates always caught."""
+    from demo_bigdata_spark.operators.dedup import (
+        build_dedup_index,
+        distinct_tokens,
+        incremental_near_duplicates,
+        token_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    new = docs.filter(F.col("source") == "src0")
+    idx = str(tmp_path / "dedup_idx")
+    build_dedup_index(corpus, idx)
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_near_duplicates(spark, new, idx, threshold=0.8).collect()
+    }
+
+    # brute-force oracle: all cross pairs scored exactly
+    def toksed(df, out):
+        return df.select(
+            F.col("doc_id").alias(out),
+            F.array_distinct(F.transform(distinct_tokens("text"), token_hash)).alias(f"t_{out}"),
+        )
+
+    cross = toksed(new, "new_id").crossJoin(toksed(corpus, "corpus_id"))
+    inter = F.size(F.array_intersect("t_new_id", "t_corpus_id"))
+    union = F.size("t_new_id") + F.size("t_corpus_id") - inter
+    exact = {
+        (r["new_id"], r["corpus_id"]): r["j"]
+        for r in cross.select(
+            "new_id", "corpus_id", F.round(inter / union.cast("double"), 4).alias("j")
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert set(got) <= set(exact)  # verification is exact -> no false positives
+    identical = {k for k, v in exact.items() if v == 1.0}
+    assert identical <= set(got)  # exact dups can't escape minhash banding
+    if exact:
+        assert len(got) / len(exact) >= 0.6, f"recall {len(got)}/{len(exact)}"
