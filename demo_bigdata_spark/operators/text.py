@@ -193,3 +193,37 @@ def redact_pii(
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"[{name}]")
     return df.select("*", *counts, red.alias(out))
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[EXT] corpus-LM quality signal: per-document mean unigram
+    -log2 p(token), with p estimated from the corpus itself (add-one
+    smoothing over the vocabulary). The cheap stand-in for a KenLM-style
+    perplexity filter — documents of improbable tokens score high.
+
+    Shape: one explode+agg for the frequency table (shuffle on token), one
+    explode+join of docs against it (shuffle on token; the frequency table
+    usually broadcasts — Zipf keeps vocabularies small relative to corpora),
+    one agg back per doc. All exact integer/log arithmetic — engine-portable.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    totals = freqs.agg(
+        F.sum("tf").alias("_n"), F.count("*").alias("_v")
+    )
+    scored = (
+        toks.join(freqs, "tok")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "_nll",
+            -F.log2((F.col("tf") + 1) / (F.col("_n") + F.col("_v")).cast("double")),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("_nll"), 4).alias("mean_nll"),
+        F.count("*").alias("n_tokens"),
+    )

@@ -686,6 +686,32 @@ ORDER BY train_id
 """
 
 
+# --- Corpus-LM quality signal -------------------------------------------------------
+
+def q_logprob_scores(spark, sf_dir):
+    """Mean unigram -log2 p(token) per doc, p from the corpus itself with
+    add-one smoothing — the perplexity-proxy quality filter."""
+    return X.unigram_logprob_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_LOGPROB_SCORES = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS_RAW}) AS tok FROM documents
+), toks_ne AS (
+  SELECT * FROM toks WHERE tok <> ''
+), freqs AS (
+  SELECT tok, count(*)::BIGINT AS tf FROM toks_ne GROUP BY tok
+), totals AS (
+  SELECT sum(tf) AS n, count(*) AS v FROM freqs
+)
+SELECT t.doc_id,
+       round(avg(-log2((f.tf + 1) / (tt.n + tt.v)::DOUBLE)), 4) AS mean_nll,
+       count(*)::BIGINT AS n_tokens
+FROM toks_ne t JOIN freqs f USING (tok) CROSS JOIN totals tt
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
 # --- Sentence-boundary segmentation (Python UDTF — rows-only) -----------------------
 
 def q_sentence_segments(spark, sf_dir):
@@ -754,6 +780,7 @@ QUERIES = {
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "sentence_segments": (q_sentence_segments, None),
+    "logprob_scores": (q_logprob_scores, SQL_LOGPROB_SCORES),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),

@@ -124,3 +124,34 @@ def test_per_group_quota_caps_and_keeps_small_groups(spark):
     # deterministic: same result twice
     again = per_group_quota(df.repartition(5), ["g"], 10, "k")
     assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+# --- Chunker round-trip -------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=50),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(token_lists=docs_strategy)
+def test_chunker_roundtrip(spark, token_lists):
+    """Dropping each chunk's overlap prefix (after the first) and
+    concatenating must reconstruct the original token stream exactly."""
+    from demo_bigdata_spark.operators.text import chunk_documents
+
+    size, overlap = 8, 3
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=size, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, toks in enumerate(token_lists):
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = chunks[0].split() if chunks else []
+        for c in chunks[1:]:
+            rebuilt.extend(c.split()[overlap:])
+        assert rebuilt == [f"t{t}" for t in toks], (i, chunks)
