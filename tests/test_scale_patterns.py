@@ -113,3 +113,48 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """At cluster scale a hot join key straggles one shuffle partition; AQE
+    skew-join splits it into subpartitions at runtime (skew=true on the
+    join node). Emulated locally by shrinking the skew thresholds; results
+    must be identical with the optimization active."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 199_000, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        expected_n = len(left.join(right, "k").collect())
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+        j = left.join(right, "k")
+        n = len(j.collect())  # collect executes THIS plan (count() plans its own)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert n == expected_n
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            saved["spark.sql.autoBroadcastJoinThreshold"],
+        )
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ):
+            spark.conf.unset(k)
