@@ -471,3 +471,45 @@ def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
         .orderBy(F.desc("n"), "key")
         .limit(top)
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """[EXT] weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort_week, weeks_since) the count of cohort
+    members active that week and their share of the cohort.
+
+    Shape: one shuffle on the user key for first-seen (partial min
+    map-side), one distinct on (user, week) riding the same key, a join
+    back (cohort table is |users| rows — AQE broadcasts while it fits,
+    shuffles beyond), and a final small agg. No window over raw events.
+    """
+    firsts = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = df.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("week")
+    ).distinct()
+    joined = active.join(firsts, user_col)
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        joined.withColumn(
+            "weeks_since",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct(user_col).alias("active_users"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+            "active_users",
+            F.round(F.col("active_users") / F.col("cohort_size"), 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -401,6 +401,36 @@ SQL_TIME_ROLLUP = (
     + "\nORDER BY resolution, bucket"
 )
 
+# --- [EXT] Weekly cohort retention --------------------------------------------------
+
+def q_cohort_retention(spark, sf_dir):
+    """Users cohorted by first-event week; per (cohort, weeks_since) active
+    counts and retention share — see operators.analytics.cohort_retention."""
+    return A.cohort_retention(_events(spark, sf_dir))
+
+
+SQL_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohort_sizes AS (
+  SELECT cohort_week, count(*)::BIGINT AS cohort_size FROM firsts GROUP BY 1
+), counts AS (
+  SELECT f.cohort_week,
+         (date_diff('day', f.cohort_week, a.week) // 7)::INT AS weeks_since,
+         count(DISTINCT a.user_id)::BIGINT AS active_users
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.weeks_since, c.active_users,
+       round(c.active_users / s.cohort_size::DOUBLE, 4) AS retention
+FROM counts c JOIN cohort_sizes s USING (cohort_week)
+ORDER BY cohort_week, weeks_since
+"""
+
 # --- [EXT] Shuffle-skew diagnostic --------------------------------------------------
 
 def q_key_skew(spark, sf_dir):
@@ -451,6 +481,7 @@ QUERIES = {
     "profile": (q_profile, SQL_PROFILE),
     "time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "key_skew": (q_key_skew, SQL_KEY_SKEW),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "approx_stats": (q_approx_stats, None),

@@ -881,8 +881,45 @@ WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETW
 """
 
 
+# --- TPC-H Q14-style: conditional-share aggregation over a join --------------
+
+def q_promo_share(spark, sf_dir):
+    """TPC-H Q14: share of revenue from PROMO parts in one quarter — the
+    conditional-numerator / unconditional-denominator single-pass shape
+    (no second scan, no self-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_PROMO_SHARE = """
+SELECT round(100 * sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
