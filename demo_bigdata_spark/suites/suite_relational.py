@@ -917,8 +917,373 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-
 """
 
 
+# --- TPC-H Q5-style: local supplier volume (join cycle with nation equality) --
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: revenue per nation where the customer and the supplier share
+    the nation, ASIA region, one order-year. The c_nationkey = s_nationkey
+    cycle is expressed as a post-join filter on the already-joined facts (no
+    extra join); nation/region are bounded dims -> broadcast, so the only
+    shuffles are the fact-fact key joins (lineitem-orders, orders-customer,
+    lineitem-supplier), each on its own key."""
+    li, orders, cust = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation, region = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    facts = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    enriched = facts.join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    ).join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == region.r_regionkey,
+    )
+    return (
+        enriched.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+# --- TPC-H Q7-style: volume shipping between a nation pair, by ship year -----
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume between two nations per ship-year.
+    The disjunctive nation-pair predicate is applied on the raw int keys
+    before the dim joins, so the fact side is pruned early (predicate
+    pushdown on s_nationkey/c_nationkey); the two nation-name lookups are
+    broadcast joins against the 25-row dim aliased twice."""
+    li, orders, cust = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ((F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2)) | (
+        (F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1)
+    )
+    facts = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(pair)
+    )
+    return (
+        facts.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_nationkey = 1 AND n2.n_nationkey = 2) OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# --- TPC-H Q8-style: national market share within a region/type segment ------
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_3 suppliers' share of ECONOMY-part revenue sold to
+    region-1 customers, per order year. Single pass: conditional numerator /
+    unconditional denominator inside one aggregate (same shape as promo_share,
+    but over a 5-way join with the share keyed by the supplier's nation)."""
+    li, orders, cust = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    facts = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == 1)),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+    )
+    return (
+        facts.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nationkey") == 3, vol).otherwise(0.0)) / F.sum(vol), 4
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN s_nationkey = 3 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY' AND n_regionkey = 1
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# --- TPC-H Q10-style: returned-item losses, top customers --------------------
+
+def q_returned_item_losses(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by revenue on returned (flag 'R') items in
+    one quarter. Filters reach both scans before the joins; the final top-k
+    is TakeOrderedAndProject over the aggregate, not a global sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEM_LOSSES = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# --- TPC-H Q11-style: important parts vs a global-share threshold ------------
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11: per-part value from a 3-nation supplier group, keeping
+    parts above 0.1% of the group's total. The grouped 'view' is computed
+    once; the global total is a 1-row aggregate of it broadcast back for the
+    HAVING comparison (no second scan of lineitem, no single-partition
+    window). Prices/discounts carry exactly 2 decimal places, so the value
+    is computed in integer 1/10000ths (bigint sums are order-independent —
+    a double sum is not, and its last-ULP noise flips round()'s .xx5
+    boundary between engines); the 0.1% HAVING is likewise compared in
+    integer space."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(1, 2, 3))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    pv = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("v10k"))
+    )
+    total = pv.agg(F.sum("v10k").alias("total10k"))
+    return (
+        pv.join(F.broadcast(total), pv.v10k * 1000 > F.col("total10k"))
+        .select("l_partkey", F.round(F.col("v10k") / 10000.0, 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH pv AS (
+  SELECT l_partkey,
+         sum(round(l_extendedprice * 100)::BIGINT * round((1 - l_discount) * 100)::BIGINT) AS v10k
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN (1, 2, 3)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(v10k / 10000.0, 2) AS value
+FROM pv
+WHERE v10k * 1000 > (SELECT sum(v10k) FROM pv)
+ORDER BY value DESC, l_partkey
+"""
+
+# --- TPC-H Q17-style: small-quantity orders vs per-part average --------------
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from Brand#5 line items whose quantity is below
+    half the part's average quantity. The correlated per-part AVG subquery
+    is a window average over l_partkey — one shuffle, no self-join (the
+    textbook plan joins lineitem to a per-part aggregate of itself). The
+    brand filter shrinks the window input first via a broadcast-able part
+    dim join."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    branded = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    small = branded.withColumn("avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+# --- TPC-H Q18-style: large-volume orders --------------------------------------
+
+def q_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18: orders whose total quantity exceeds 150, with their
+    customer. lineitem is pre-aggregated to one row per order BEFORE the
+    joins (the HAVING prunes ~95% of orders), so the join input is the small
+    filtered aggregate, not the raw fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+# --- TPC-H Q22-style: wealthy lapsed customers (anti-join + scalar avg) ------
+
+def q_lapsed_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers whose balance exceeds the average positive
+    balance and who placed no order since 1999, grouped by nation. The
+    scalar average is a 1-row aggregate broadcast into the filter; the
+    NOT EXISTS is a left_anti join against the date-filtered orders (filter
+    pushed below the anti-join build side)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal), cust.c_acctbal > F.col("avg_bal")).drop("avg_bal")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01")).select("o_custkey")
+    lapsed = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return (
+        lapsed.groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_LAPSED_CUSTOMERS = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
+    "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
+    "market_share": (q_market_share, SQL_MARKET_SHARE),
+    "returned_item_losses": (q_returned_item_losses, SQL_RETURNED_ITEM_LOSSES),
+    "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
+    "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+    "large_volume_orders": (q_large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
+    "lapsed_customers": (q_lapsed_customers, SQL_LAPSED_CUSTOMERS),
     "promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
