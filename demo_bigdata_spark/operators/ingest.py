@@ -35,6 +35,31 @@ PAYLOAD_SCALAR_FIELDS = (
 )
 
 
+def _pin(expr: Column) -> Column:
+    """Wrap an expensive expression so filters cannot be pushed below the
+    projection that computes it.
+
+    PushDownPredicates moves filters through a Project by substituting each
+    referenced column with its defining expression — for the quality filter
+    over the parse projection that re-inlines the whole JSON parse into every
+    conjunct, and FilterExec does no subexpression elimination (short-circuit
+    semantics), so each row was parsed ~4x in the filter plus once in the
+    projection (measured ~2x wall-time on the ingest queries). The rule only
+    fires when ALL project fields are deterministic (SPARK-13473) — wrapping
+    the parse in an always-true nondeterministic branch pins every downstream
+    filter above it, at the cost of one PRNG draw per row. CollapseProject
+    likewise refuses to inline nondeterministic fields, so the parse also
+    cannot be duplicated into sibling extraction expressions.
+
+    The guard must not be provably-true: Spark 4 range-folds rand()-based
+    comparisons (rand ∈ [0,1)), erasing the barrier. randn() is unbounded, so
+    randn() > -1e9 survives folding (always true in practice: 1e9 sigma);
+    unlike monotonically_increasing_id it is also allowed in streaming
+    queries, where this chain runs unchanged. Cost: one gaussian draw per
+    row (pinned by test_ingest_parse_not_reinlined_into_filter)."""
+    return F.when(F.randn() > -1e9, expr)
+
+
 def project_kafka_envelope(df: DataFrame) -> DataFrame:
     """P1: cast binary key/value -> string, keep Kafka metadata
     (reference: event_processor.py:24-30)."""
@@ -51,7 +76,7 @@ def parse_events(df: DataFrame, raw_col: str = "raw_json") -> DataFrame:
     """P2+P3: parse JSON against the explicit schema; drop malformed rows
     (reference: event_processor.py:33-36). ``from_json`` yields NULL for
     unparsable input — the filter drops those."""
-    parsed = df.withColumn("event", F.from_json(F.col(raw_col), GITHUB_EVENT_SCHEMA))
+    parsed = df.withColumn("event", _pin(F.from_json(F.col(raw_col), GITHUB_EVENT_SCHEMA)))
     return parsed.filter(F.col("event").isNotNull())
 
 
@@ -149,7 +174,7 @@ def flatten_events_variant(
     the P9 required-field filter — same end-to-end drop set as the legacy
     chain.
     """
-    parsed = df.withColumn("_v", F.try_parse_json(F.col(raw_col))).filter(
+    parsed = df.withColumn("_v", _pin(F.try_parse_json(F.col(raw_col)))).filter(
         F.col("_v").isNotNull()
     )
     created_at = F.to_timestamp(F.variant_get(F.col("_v"), "$.created_at", "string"))

@@ -79,3 +79,31 @@ def test_time_rollup_reuses_finest_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_ingest_parse_not_reinlined_into_filter(spark, sf_dir):
+    """The malformed-row / quality filters must stay ABOVE the projection
+    that computes the JSON parse. PushDownPredicates would otherwise
+    substitute the parse expression into every filter conjunct, and
+    FilterExec does no subexpression elimination — measured ~4 parses per
+    row (2x wall time) on the ingest queries. Guarded by the
+    nondeterministic pin in ingest._pin; this pins both the legacy
+    from_json chain and the Spark-4 variant chain to exactly one parse
+    per branch of the plan."""
+    from demo_bigdata_spark.operators.ingest import (
+        process_raw_events,
+        process_raw_events_variant,
+    )
+    from demo_bigdata_spark.suites.suite_ingest import raw_github_json
+
+    def filter_nodes(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [ln for ln in plan.splitlines() if "Filter" in ln]
+
+    raw = raw_github_json(spark, sf_dir)
+    legacy = process_raw_events(raw).groupBy("event_category").count()
+    for node in filter_nodes(legacy):
+        assert "from_json" not in node, node
+    variant = process_raw_events_variant(raw).groupBy("event_category").count()
+    for node in filter_nodes(variant):
+        assert "parseJson" not in node, node
