@@ -351,3 +351,68 @@ def lsh_pairs_above(
         "id_b",
         F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale = max|x| / 127,
+    q[i] = round(x[i] / scale).
+
+    The 100 TB story: float32 embeddings dominate corpus storage and scan
+    bytes; int8 cuts both 4x with ~<1% cosine error at typical embedding
+    dims, so candidate generation reads a quarter of the bytes and the
+    float-precision rerank touches only the shortlist. All arithmetic is
+    built-in array expressions (transform/aggregate) — no UDF, deterministic.
+
+    Output: (id, qvec array<tinyint>, scale float). Zero vectors get
+    scale=0 and all-zero qvec (dequantizes to the zero vector)."""
+    base = df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    scale = F.aggregate(
+        F.transform(F.col("_v"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    ) / F.lit(127.0)
+    with_scale = base.withColumn("scale", scale.cast("float"))
+    qvec = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x / F.col("scale").cast("double")).cast("tinyint"),
+        )
+    )
+    return with_scale.select(id_col, qvec.alias("qvec"), "scale")
+
+
+def quantized_topk(
+    qdf: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors (see
+    quantize_embeddings). The query stays float; each row's dot product is
+    scale * sum(q[i] * query[i]) and norms follow the same dequantization,
+    so the score equals exact cosine up to quantization error. Same plan
+    shape as brute_force_topk: one scan, codegen arithmetic,
+    TakeOrderedAndProject."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qlit = F.lit(q.tolist()).cast("array<double>")
+    qnorm = float(np.sqrt((q * q).sum()))
+    deq = F.transform(
+        F.col("qvec"), lambda x: x.cast("double") * F.col("scale").cast("double")
+    )
+    dot_qd = F.aggregate(
+        F.zip_with(deq, qlit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dnorm = F.sqrt(
+        F.aggregate(F.transform(deq, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = F.when(dnorm == 0.0, F.lit(0.0)).otherwise(dot_qd / (dnorm * F.lit(qnorm)))
+    return (
+        qdf.select(id_col, F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

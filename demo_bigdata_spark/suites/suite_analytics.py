@@ -461,6 +461,31 @@ def q_approx_stats(spark, sf_dir):
     return A.global_stats_approx(_events(spark, sf_dir))
 
 
+def q_sketched_uniques(spark, sf_dir):
+    """Mergeable-HLL daily uniques + a reaggregated total from the SAME
+    per-day sketches (hll_union_agg) — the persist-sketches/merge-on-read
+    layout that replaces exact countDistinct rescans at 100 TB. Exact
+    per-day counts ride along; test_hll_sketch_accuracy pins the relative
+    error. Rows-only for the driver: DuckDB's HLL implementation differs, so
+    estimates cannot hash-match."""
+    from demo_bigdata_spark.operators import sketches as K
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = K.distinct_sketches(ev, "user_id", ["day"]).join(
+        ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_uniques")),
+        "day",
+    )
+    per_day = K.estimate_distinct(daily).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "est_uniques", "exact_uniques"
+    )
+    total = K.estimate_distinct(K.merge_sketches(daily)).select(
+        F.lit("ALL").alias("day"),
+        "est_uniques",
+        F.lit(None).cast("bigint").alias("exact_uniques"),
+    )
+    return per_day.unionByName(total).orderBy("day")
+
+
 def q_approx_quantiles(spark, sf_dir):
     return A.numeric_profile_approx(_events(spark, sf_dir))
 
@@ -486,4 +511,5 @@ QUERIES = {
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "approx_stats": (q_approx_stats, None),
     "approx_quantiles": (q_approx_quantiles, None),
+    "sketched_uniques": (q_sketched_uniques, None),
 }

@@ -759,6 +759,66 @@ def q_frame_samples(spark, sf_dir):
     return M.frame_sample_fake(media).orderBy("doc_id", "frame_idx")
 
 
+# --- Count-min sketch token frequencies (rows-only: sketch estimate >= exact) --
+
+CMS_PROBE_TOKENS = ["the", "and", "of", "to", "a", "data", "model", "xyzzy_absent"]
+
+
+def q_cms_token_counts(spark, sf_dir):
+    """Count-min estimates for a fixed probe list over the exploded token
+    stream — one mergeable distributed aggregate (KB-size sketch), probes
+    answered from the sketch without a groupBy shuffle of all tokens. Fixed
+    seed => deterministic, but DuckDB has no CMS, so the driver check is
+    rows-only; test_cms_bounds pins est >= exact and est <= exact + eps*N."""
+    from demo_bigdata_spark.operators import sketches as K
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return K.count_min_table(toks, "tok", CMS_PROBE_TOKENS).orderBy("probe")
+
+
+# --- int8-quantized embedding top-k --------------------------------------------
+
+def q_quantized_topk(spark, sf_dir):
+    """Cosine top-k over int8-quantized embeddings (4x smaller scans at
+    100 TB; float rerank only on the shortlist). The oracle replays the
+    identical quantize->dequantize->cosine arithmetic in DuckDB list
+    functions, so this is value-checked end-to-end, not rows-only."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.quantized_topk(S.quantize_embeddings(emb), qvec, k=10)
+
+
+SQL_QUANTIZED_TOPK = """
+WITH qv AS (
+  SELECT embedding::DOUBLE[] AS q,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qnorm
+  FROM embeddings WHERE vec_id = 0
+),
+quant AS (
+  SELECT vec_id,
+         ((list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0)::FLOAT)::DOUBLE AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+              ELSE list_transform(v, x -> round(x / scale) * scale) END AS dq
+  FROM quant
+)
+SELECT vec_id,
+       round(CASE WHEN sqrt(list_inner_product(dq, dq)) = 0 THEN 0.0
+                  ELSE list_inner_product(dq, (SELECT q FROM qv))
+                       / (sqrt(list_inner_product(dq, dq)) * (SELECT qnorm FROM qv)) END,
+             4) AS cosine
+FROM deq
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
@@ -789,4 +849,6 @@ QUERIES = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_features": (q_image_features, None),
     "frame_samples": (q_frame_samples, None),
+    "cms_token_counts": (q_cms_token_counts, None),
+    "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
 }

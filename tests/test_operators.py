@@ -361,3 +361,102 @@ def test_incremental_dedup_index(spark, sf_dir, tmp_path):
     assert identical <= set(got)  # exact dups can't escape minhash banding
     if exact:
         assert len(got) / len(exact) >= 0.6, f"recall {len(got)}/{len(exact)}"
+
+
+# --- Sketch tier: HLL distinct, count-min bounds, int8 quantization -----------
+
+
+def test_hll_sketch_accuracy(spark, sf_dir):
+    """Per-day HLL estimates within 5% of exact; merged total within 5% of
+    the exact global; merge is order-independent (same estimate from
+    re-partitioned partials)."""
+    from demo_bigdata_spark.operators import sketches as K
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = K.distinct_sketches(ev, "user_id", ["day"])
+    est = {
+        r["day"]: r["est_uniques"]
+        for r in K.estimate_distinct(daily).collect()
+    }
+    exact = {
+        r["day"]: r["x"]
+        for r in ev.groupBy("day").agg(F.countDistinct("user_id").alias("x")).collect()
+    }
+    assert est.keys() == exact.keys()
+    for day, e in exact.items():
+        assert abs(est[day] - e) <= max(2, 0.05 * e), (day, est[day], e)
+
+    total_exact = ev.agg(F.countDistinct("user_id")).head()[0]
+    merged = K.estimate_distinct(K.merge_sketches(daily)).head()["est_uniques"]
+    assert abs(merged - total_exact) <= max(2, 0.05 * total_exact)
+    merged2 = K.estimate_distinct(K.merge_sketches(daily.repartition(7))).head()[
+        "est_uniques"
+    ]
+    assert merged == merged2  # register-max merge is order/partition independent
+
+
+def test_cms_bounds(spark, sf_dir):
+    """Count-min guarantees: est >= exact always; est <= exact + eps*N for
+    the probed tokens; absent token estimates stay within eps*N."""
+    from demo_bigdata_spark.operators import sketches as K
+    from demo_bigdata_spark.suites.suite_llm import CMS_PROBE_TOKENS
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    n_total = toks.count()
+    eps = 0.001
+    est = {
+        r["probe"]: r["est_count"]
+        for r in K.count_min_table(toks, "tok", CMS_PROBE_TOKENS, eps=eps).collect()
+    }
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.filter(F.col("tok").isin(CMS_PROBE_TOKENS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for probe in CMS_PROBE_TOKENS:
+        true_n = exact.get(probe, 0)
+        assert est[probe] >= true_n, (probe, est[probe], true_n)
+        assert est[probe] <= true_n + eps * n_total, (probe, est[probe], true_n)
+
+
+def test_quantization_roundtrip_and_recall(spark, sf_dir):
+    """int8 quantization: per-element reconstruction error <= scale/2;
+    quantized top-10 recall >= 0.8 vs exact brute force."""
+    from demo_bigdata_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = (
+        emb.join(q, "vec_id")
+        .select(
+            F.max(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        F.transform(
+                            "qvec", lambda x: x.cast("double") * F.col("scale").cast("double")
+                        ),
+                        lambda a, b: F.abs(a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                )
+            ).alias("max_err"),
+            F.max(F.col("scale")).alias("max_scale"),
+        )
+        .head()
+    )
+    assert joined["max_err"] <= joined["max_scale"] / 2 + 1e-9
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact_ids = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
+    approx_ids = {r["vec_id"] for r in quantized_topk(q, qvec, k=10).collect()}
+    assert len(exact_ids & approx_ids) >= 8, (exact_ids, approx_ids)
