@@ -38,6 +38,10 @@ HEADLINE = [
     # analytics [EXT]
     "funnel",
     "profile",
+    # analytics [EXT] - gap-fill / histogram / sketches
+    "resampled_hourly",
+    "value_histogram",
+    "sketched_uniques",
     # relational [EXT]
     "tpch_q1",
     "shipping_priority",
@@ -46,6 +50,10 @@ HEADLINE = [
     "top_orders_per_customer",
     "rollup_flags",
     "asof_purchase_click",
+    "events_in_windows",
+    "local_supplier_volume",
+    "returned_item_losses",
+    "large_volume_orders",
     # streaming twins
     "tumbling_window",
     "session_windows",
@@ -58,6 +66,7 @@ HEADLINE = [
     "text_quality",
     "token_counts",
     "cosine_topk",
+    "quantized_topk",
     "embedding_pairs",
     "doc_chunks",
     "hash_sample",

@@ -513,3 +513,95 @@ def cohort_retention(
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+def resample_time_series(
+    df: DataFrame,
+    ts_col: str = "ts",
+    step: str = "1 hour",
+    group_col: str | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled time-series resampling: aggregate per bucket, then emit a
+    row for EVERY bucket in each series' observed span, zero-filling gaps.
+
+    Spark has no native gap-fill (the reference's hourly series simply skips
+    empty hours — services/api-service/data_service.py:336-356). The dense
+    time axis is built with sequence() + explode from each group's min/max —
+    one row per (group, bucket) — then left-joined onto the sparse aggregate.
+    The axis side is tiny (buckets-per-span rows, not event rows), so AQE
+    broadcasts it when small; at 100 TB the join stays a bucket-key shuffle
+    of the already-aggregated (not raw) data.
+
+    Output: (group?, bucket, n, sum_value) with n=0, sum_value=0.0 on gaps.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.window(
+        F.col(ts_col), step
+    )["start"]
+    keys = [group_col] if group_col else []
+    sparse = (
+        df.withColumn("bucket", bucket)
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum(value_col), 2).alias("sum_value"))
+    )
+    spans = sparse.groupBy(*keys).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    axis = spans.select(
+        *keys,
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket"),
+    )
+    return (
+        axis.join(sparse, [*keys, "bucket"], "left")
+        .select(
+            *keys,
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column, empty bins included.
+
+    Single-pass shape: one scan computes bin assignments (width_bucket), one
+    hash aggregate counts them; the dense bin axis (n_bins rows) is generated
+    on the driver side of the plan with sequence+explode and left-joined so
+    empty bins appear with n=0. Bounds may be given (scale path: no extra
+    pass) or computed with a first min/max pass (convenience path).
+    Out-of-range values clamp into the edge bins, matching width_bucket's
+    under/overflow buckets folded inward."""
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).head()
+        lo = float(bounds["lo"]) if lo is None else lo
+        hi = float(bounds["hi"]) if hi is None else hi
+    b = F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins))
+    clamped = F.least(F.greatest(b, F.lit(1)), F.lit(n_bins))
+    counts = (
+        df.select(clamped.cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    axis = df.sparkSession.range(1, n_bins + 1).select(F.col("id").alias("bin"))
+    w = (hi - lo) / n_bins
+    return (
+        axis.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + (F.col("bin") - 1) * F.lit(w), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("bin")
+    )

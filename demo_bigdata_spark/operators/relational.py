@@ -211,3 +211,45 @@ def pivot_table(
     """Pivot with EXPLICIT pivot values — never let Spark collect distinct
     values first (that's an extra job, and unbounded output width at scale)."""
     return df.groupBy(group_col).pivot(pivot_col, pivot_values).agg(agg)
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    lo_col: str,
+    hi_col: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join (left.ts BETWEEN right.lo AND right.hi,
+    plus optional equi keys) as an equi-join on coarse time buckets.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin — O(n*m)
+    and driver-memory-bound; with equi keys it still filters post-shuffle
+    per key group. Here each interval is exploded onto the buckets it
+    covers (sequence over floor(lo)..floor(hi)) and each point carries its
+    single bucket, so the join is a plain hash equi-join on
+    (keys..., bucket) followed by the exact containment filter. A point's
+    bucket is unique, so a (point, interval) pair meets in at most one
+    bucket — no post-join dedup. Explode factor is span/bucket_seconds + 1:
+    pick bucket_seconds near the typical interval length (replication
+    stays O(1)) — both sides then scale linearly and shuffle on keys that
+    AQE can rebalance."""
+    keys = keys or []
+    bs = F.lit(bucket_seconds).cast("long")
+    lpoint = F.floor(F.unix_timestamp(F.col(left_ts)) / bs).alias("_bucket")
+    l2 = left.withColumn("_bucket", lpoint)
+    r2 = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo_col)) / bs),
+                F.floor(F.unix_timestamp(F.col(hi_col)) / bs),
+            )
+        ),
+    )
+    joined = l2.join(r2, [*keys, "_bucket"]).filter(
+        (F.col(left_ts) >= F.col(lo_col)) & (F.col(left_ts) <= F.col(hi_col))
+    )
+    return joined.drop("_bucket")

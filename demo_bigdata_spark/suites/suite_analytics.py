@@ -490,8 +490,73 @@ def q_approx_quantiles(spark, sf_dir):
     return A.numeric_profile_approx(_events(spark, sf_dir))
 
 
+def q_resampled_hourly(spark, sf_dir):
+    """Gap-filled hourly resample of a sparse event subset (value >= 99):
+    dense time axis via sequence/explode per series, zero-filled left join
+    (operator: analytics.resample_time_series). The reference's hourly
+    series silently skips empty hours; this emits them with n=0."""
+    ev = _events(spark, sf_dir).filter(F.col("value") >= 99.0)
+    out = A.resample_time_series(ev, "ts", "1 hour", group_col="event_type")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        "sum_value",
+    ).orderBy("event_type", "bucket")
+
+
+SQL_RESAMPLED_HOURLY = """
+WITH sparse AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events WHERE value >= 99.0
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM sparse GROUP BY 1
+),
+axis AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT a.event_type,
+       strftime(a.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       coalesce(s.n, 0) AS n,
+       coalesce(s.sum_value, 0.0) AS sum_value
+FROM axis a LEFT JOIN sparse s ON a.event_type = s.event_type AND a.bucket = s.bucket
+ORDER BY a.event_type, bucket
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width 20-bin histogram over [0, 500) with empty bins emitted
+    (operator: analytics.value_histogram; bounds passed as literals — the
+    scale path needs no min/max pre-pass). The oracle replays Spark's
+    width_bucket arithmetic (floor((v-lo)/(hi-lo)*n)+1, clamped) so bin-edge
+    float behavior is identical on both sides."""
+    return A.value_histogram(_events(spark, sf_dir), "value", n_bins=20, lo=0.0, hi=500.0)
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH counts AS (
+  SELECT least(greatest(floor((value - 0.0) / (500.0 - 0.0) * 20)::BIGINT + 1, 1), 20) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT a.bin,
+       round(0.0 + (a.bin - 1) * 25.0, 6) AS bin_lo,
+       round(0.0 + a.bin * 25.0, 6) AS bin_hi,
+       coalesce(c.n, 0) AS n
+FROM (SELECT unnest(generate_series(1, 20)) AS bin) a
+LEFT JOIN counts c ON a.bin = c.bin
+ORDER BY a.bin
+"""
+
+
 QUERIES = {
     "global_stats": (q_global_stats, SQL_GLOBAL_STATS),
+    "resampled_hourly": (q_resampled_hourly, SQL_RESAMPLED_HOURLY),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "type_distribution": (q_type_distribution, SQL_TYPE_DISTRIBUTION),
     "category_distribution": (q_category_distribution, SQL_CATEGORY_DISTRIBUTION),
     "hourly_series": (q_hourly_series, SQL_HOURLY_SERIES),

@@ -689,6 +689,42 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click'
 """
 
 
+# --- Bucketed range join: clicks inside per-user incident windows -------------
+
+def q_events_in_windows(spark, sf_dir):
+    """Point-in-interval range join via coarse-bucket equi-join (operator:
+    relational.bucketed_range_join): each 'error' event opens a 30-minute
+    per-user window; count the user's clicks inside it. A bare inequality
+    join would be a per-key nested loop; bucketing makes it a hash join on
+    (user_id, bucket) + exact refine — linear in both inputs."""
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = R.bucketed_range_join(
+        clicks, windows, "ts", "lo", "hi", keys=["user_id"], bucket_seconds=1800
+    )
+    return (
+        j.groupBy("win_id")
+        .agg(F.count("*").alias("n_clicks"), F.round(F.sum("value"), 2).alias("click_value"))
+        .orderBy("win_id")
+    )
+
+
+SQL_EVENTS_IN_WINDOWS = """
+SELECT w.win_id, count(*) AS n_clicks, round(sum(p.value), 2) AS click_value
+FROM (SELECT event_id AS win_id, user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi
+      FROM events WHERE event_type = 'error') w
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') p
+  ON p.user_id = w.user_id AND p.ts >= w.lo AND p.ts <= w.hi
+GROUP BY w.win_id
+ORDER BY w.win_id
+"""
+
 # --- TPC-H Q2-style: correlated min-per-group subquery, keeping ties ---------
 
 def q_min_price_supplier(spark, sf_dir):
@@ -1314,6 +1350,7 @@ QUERIES = {
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "pivot_linestatus": (q_pivot_linestatus, SQL_PIVOT_LINESTATUS),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
+    "events_in_windows": (q_events_in_windows, SQL_EVENTS_IN_WINDOWS),
     "min_price_supplier": (q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
 }

@@ -107,3 +107,14 @@ def test_ingest_parse_not_reinlined_into_filter(spark, sf_dir):
     variant = process_raw_events_variant(raw).groupBy("event_category").count()
     for node in filter_nodes(variant):
         assert "parseJson" not in node, node
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """bucketed_range_join must plan as an equi hash/sort-merge join on
+    (keys, bucket) — never BroadcastNestedLoopJoin/CartesianProduct, which
+    is what Spark plans for a bare inequality join."""
+    from demo_bigdata_spark.suites.suite_relational import q_events_in_windows
+
+    plan = executed_plan(q_events_in_windows(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
