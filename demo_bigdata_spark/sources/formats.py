@@ -136,3 +136,24 @@ def compact_parquet(
     compacted = df.repartition(n_files).localCheckpoint(eager=True)
     compacted.write.mode("overwrite").parquet(path)
     return {"files_before": before, "files_after": _count_files(), "rows": rows}
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion via Spark's binaryFile source: one row per file
+    with (path, modificationTime, length, content binary) — the real input
+    path for the multimodal tier (operators/multimodal.py expects exactly
+    this shape plus an id).
+
+    Scale notes: binaryFile caps per-file size at
+    spark.sql.sources.binaryFile.maxLength (2 GB default); splitting does
+    not apply (one task reads one file end-to-end), so at 100 TB the
+    parallelism unit is the file — shard media into ~100 MB objects and the
+    source scales linearly. pathGlobFilter prunes by extension BEFORE read;
+    partition-dir layouts (.../date=2024-01-01/...) project partition
+    columns as usual."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

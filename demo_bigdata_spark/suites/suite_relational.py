@@ -1274,6 +1274,120 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
 
+# --- TPC-H Q9-style: product-line profit by nation and year ------------------
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9: per-nation, per-year profit on 'widget' parts. Profit uses
+    p_retailprice*l_quantity*0.6 as the cost stand-in (no partsupp table in
+    the corpus). Part filter prunes the build side before the join; nation
+    is broadcast; orders joins only to supply the year."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity), 2)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+# --- TPC-H Q16-style: supplier diversity per part attribute ------------------
+
+def q_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16: distinct suppliers per (brand, size) over the lineitem
+    association (partsupp stand-in), excluding one brand, PROMO types, and
+    negative-balance suppliers. The NOT IN over a never-null key is a
+    left_anti join (broadcast: the exclusion list is tiny); countDistinct
+    shuffles on the already-filtered pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+SQL_PARTS_SUPPLIER_COUNTS = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+# --- TPC-H Q20-style: semi-join over an aggregate-with-having ----------------
+
+def q_heavy_widget_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved > 100 units of some single
+    widget part — a HAVING aggregate feeding a semi-join. The aggregate runs
+    on the pruned (supp, part) pairs first, so the semi-join probe side is
+    tiny; supplier/nation enrichment happens after the semi-join, not
+    before."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_HEAVY_WIDGET_SUPPLIERS = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%widget%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 100
+)
+ORDER BY s_suppkey
+"""
+
 # --- TPC-H Q22-style: wealthy lapsed customers (anti-join + scalar avg) ------
 
 def q_lapsed_customers(spark, sf_dir):
@@ -1320,6 +1434,9 @@ QUERIES = {
     "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
     "large_volume_orders": (q_large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
     "lapsed_customers": (q_lapsed_customers, SQL_LAPSED_CUSTOMERS),
+    "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
+    "parts_supplier_counts": (q_parts_supplier_counts, SQL_PARTS_SUPPLIER_COUNTS),
+    "heavy_widget_suppliers": (q_heavy_widget_suppliers, SQL_HEAVY_WIDGET_SUPPLIERS),
     "promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),

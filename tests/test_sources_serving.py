@@ -122,3 +122,31 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert report["files_after"] == 1
     after = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile source reads raw media files byte-exact with metadata, and
+    the result feeds the multimodal decode chain unchanged."""
+    from demo_bigdata_spark.operators.multimodal import decode_image_fake
+    from demo_bigdata_spark.sources.formats import read_binary_files
+
+    payloads = {f"img_{i}.png": bytes([i]) * (10 + i) for i in range(5)}
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == payloads
+
+    media = df.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("sha"),
+    )
+    decoded = decode_image_fake(media)
+    assert decoded.count() == 5
+    widths = {r["width"] for r in decoded.collect()}
+    assert widths == {11, 12, 13, 14, 15}  # n_bytes % 640 + 1, n_bytes = 10+i
