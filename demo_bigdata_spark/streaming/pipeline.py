@@ -397,3 +397,83 @@ def stop_all_streams(spark) -> list[str]:
         stopped.append(q.name or str(q.id))
         q.stop()
     return stopped
+
+
+def combine_sketch_partial(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lgk: int = 12,
+) -> None:
+    """Merge one micro-batch's per-day HLL partials into the sketch table at
+    ``path`` exactly once per epoch (ledger beside the state, as in
+    combine_hourly_partial).
+
+    Streaming countDistinct normally means keeping every key in state; here
+    state per day is one ~4 KB sketch regardless of cardinality, and the
+    merge (hll_union_agg) is commutative/associative/idempotent-per-key-set,
+    so the table answers "uniques per day / any range" at any moment with a
+    plain scan + optional further merge. Batch and stream produce the SAME
+    registers for the same input set."""
+    from pyspark.sql import functions as F
+
+    epochs_path = path + "_epochs"
+    try:
+        applied = {r["epoch_id"] for r in spark.read.parquet(epochs_path).collect()}
+    except Exception:
+        applied = set()
+    if epoch_id in applied:
+        return
+    part = batch_df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch")
+    )
+    try:
+        state = spark.read.parquet(path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("day")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+    except Exception:  # first epoch: no state yet
+        merged = part
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode("append").parquet(
+        epochs_path
+    )
+
+
+def incremental_distinct_sketches(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] incremental distinct-count maintenance: per-day HLL sketches
+    folded per micro-batch (see combine_sketch_partial). Read back with
+    read_distinct_estimates."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        combine_sketch_partial(spark, path, batch_df, epoch_id, key_col, ts_col)
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def read_distinct_estimates(spark, path: str) -> DataFrame:
+    """Current per-day unique estimates from the maintained sketch table."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).select(
+        "day", F.hll_sketch_estimate("sketch").alias("est_uniques")
+    )

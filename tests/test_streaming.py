@@ -321,3 +321,43 @@ def test_incremental_hourly_stats_matches_batch(spark, sf_dir, stream_src, tmp_p
         for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_incremental_sketches_match_batch(spark, sf_dir, stream_src, tmp_path):
+    """Streamed per-day HLL sketches must give the SAME estimates as a batch
+    sketch over the full table (register merge is input-set determined, not
+    order determined), and epoch replay must be a no-op."""
+    from demo_bigdata_spark.streaming.pipeline import (
+        combine_sketch_partial,
+        incremental_distinct_sketches,
+        read_distinct_estimates,
+    )
+
+    out, ckpt = str(tmp_path / "sk"), str(tmp_path / "sk_ckpt")
+    stream = read_events_stream(spark, stream_src, max_files_per_trigger=1)
+    q = incremental_distinct_sketches(stream, out, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r["day"]), r["est_uniques"])
+        for r in read_distinct_estimates(spark, out).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (str(r["day"]), r["est"])
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    assert got == expected
+
+    before = sorted(got)
+    combine_sketch_partial(spark, out, ev.limit(50), epoch_id=0)
+    after = sorted(
+        (str(r["day"]), r["est_uniques"])
+        for r in read_distinct_estimates(spark, out).collect()
+    )
+    assert after == before
