@@ -553,10 +553,96 @@ ORDER BY a.bin
 """
 
 
+def q_array_functions(spark, sf_dir):
+    """Array/map higher-order-function surface over per-user value arrays:
+    collect_list -> sort_array (deterministic), size/array_max/array_min,
+    aggregate-fold sum, filter-count, element_at, slice, plus a
+    map_from_arrays round-trip (element_at on the map, sorted map_keys
+    joined to a string). Both engines fold the SAME sorted array left to
+    right, so float sums agree."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.round("value", 2))).alias("vals")
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("n"), F.lit("n_big")),
+        F.array(F.size("vals"), F.size(F.filter("vals", lambda x: x > 100.0))),
+    )
+    return (
+        per_user.withColumn("m", m)
+        .select(
+            "user_id",
+            F.size("vals").cast("bigint").alias("n"),
+            F.round(F.element_at("vals", 1), 2).alias("smallest"),
+            F.round(F.array_max("vals"), 2).alias("largest"),
+            F.round(
+                F.aggregate("vals", F.lit(0.0), lambda acc, x: acc + x), 2
+            ).alias("total"),
+            F.size(F.filter("vals", lambda x: x > 100.0)).cast("bigint").alias("n_big"),
+            F.round(
+                F.aggregate(F.slice("vals", 1, 3), F.lit(0.0), lambda acc, x: acc + x), 2
+            ).alias("bottom3_sum"),
+            F.element_at("m", "n").cast("bigint").alias("map_n"),
+            F.array_join(F.sort_array(F.map_keys("m")), ",").alias("map_keys"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_ARRAY_FUNCTIONS = """
+WITH per_user AS (
+  SELECT user_id, list_sort(list(round(value, 2))) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(vals) AS n,
+       round(vals[1], 2) AS smallest,
+       round(list_max(vals), 2) AS largest,
+       round(list_sum(vals), 2) AS total,
+       len(list_filter(vals, x -> x > 100.0)) AS n_big,
+       round(list_sum(vals[1:3]), 2) AS bottom3_sum,
+       len(vals) AS map_n,
+       'n,n_big' AS map_keys
+FROM per_user
+ORDER BY user_id
+"""
+
+
+def q_geometric_mean(spark, sf_dir):
+    """Vectorized pandas GROUPED_AGG UDAF (functions/udafs.py) next to its
+    built-in rewrite — the oracle checks the UDF against DuckDB's
+    exp(avg(ln)) and the query itself emits both forms, pinning them equal
+    in-engine too."""
+    from demo_bigdata_spark.functions.udafs import geometric_mean
+
+    ev = _events(spark, sf_dir)
+    # GROUPED_AGG pandas UDFs cannot share an agg() with non-pandas
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggregates, one join
+    udaf = ev.groupBy("event_type").agg(
+        F.round(geometric_mean("value"), 4).alias("gmean_udaf")
+    )
+    builtin = ev.groupBy("event_type").agg(
+        F.round(F.exp(F.avg(F.log("value"))), 4).alias("gmean_builtin")
+    )
+    return udaf.join(builtin, "event_type").orderBy("event_type")
+
+
+SQL_GEOMETRIC_MEAN = """
+SELECT event_type,
+       round(exp(avg(ln(value))), 4) AS gmean_udaf,
+       round(exp(avg(ln(value))), 4) AS gmean_builtin
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "global_stats": (q_global_stats, SQL_GLOBAL_STATS),
     "resampled_hourly": (q_resampled_hourly, SQL_RESAMPLED_HOURLY),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
+    "geometric_mean": (q_geometric_mean, SQL_GEOMETRIC_MEAN),
     "type_distribution": (q_type_distribution, SQL_TYPE_DISTRIBUTION),
     "category_distribution": (q_category_distribution, SQL_CATEGORY_DISTRIBUTION),
     "hourly_series": (q_hourly_series, SQL_HOURLY_SERIES),

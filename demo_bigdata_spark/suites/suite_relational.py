@@ -689,6 +689,44 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click'
 """
 
 
+# --- Unpivot / melt: wide metric columns -> long (metric, value) rows ---------
+
+def q_unpivot_metrics(spark, sf_dir):
+    """df.unpivot (SQL UNPIVOT / melt): lineitem's four measure columns to
+    long form, then one aggregate per metric. Unpivot is a zero-shuffle
+    projection (each input row emits 4 rows in place); the only shuffle is
+    the 4-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.max("val"), 2).alias("max_val"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+WITH long AS (
+  SELECT l_returnflag, metric, val
+  FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+  UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT l_returnflag, metric, count(*) AS n,
+       round(avg(val), 4) AS avg_val, round(max(val), 2) AS max_val
+FROM long
+GROUP BY l_returnflag, metric
+ORDER BY l_returnflag, metric
+"""
+
 # --- Bucketed range join: clicks inside per-user incident windows -------------
 
 def q_events_in_windows(spark, sf_dir):
@@ -1468,6 +1506,7 @@ QUERIES = {
     "pivot_linestatus": (q_pivot_linestatus, SQL_PIVOT_LINESTATUS),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "events_in_windows": (q_events_in_windows, SQL_EVENTS_IN_WINDOWS),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
     "min_price_supplier": (q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
 }
