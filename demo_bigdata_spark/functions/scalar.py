@@ -70,3 +70,20 @@ def pct_of_total(count_col: Column | str, decimals: int = 2) -> Column:
     col = F.col(count_col) if isinstance(count_col, str) else count_col
     total = F.sum(col).over(Window.partitionBy())
     return F.round(col * 100.0 / total, decimals)
+
+
+def pin(expr: Column) -> Column:
+    """Wrap an expensive expression so Catalyst cannot re-inline it into
+    downstream filters (PushDownPredicates substitutes projected columns
+    into every filter conjunct, and FilterExec does no subexpression
+    elimination) or duplicate it across sibling expressions
+    (CollapseProject refuses to inline nondeterministic fields).
+
+    The always-true guard must not be provably-true: Spark 4 range-folds
+    rand() comparisons (rand ∈ [0,1)), erasing the barrier; randn() is
+    unbounded so randn() > -1e9 survives, and unlike
+    monotonically_increasing_id it is allowed in streaming plans. Cost: one
+    gaussian draw per row. Use on parse/hash/array-heavy columns whose
+    downstream filters would otherwise re-evaluate them (measured 2x on
+    ingest, 6x on n-gram jaccard)."""
+    return F.when(F.randn() > -1e9, expr)

@@ -505,3 +505,80 @@ def incremental_near_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    size_prune_threshold: float | None = None,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over candidate pairs — the n-gram
+    variant of jaccard_pairs (token sets there, char shingles here; char
+    n-grams are robust to tokenization and catch edits inside words).
+
+    With ``size_prune_threshold`` t: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    pairs whose gram-set size ratio is below t cannot reach t — they are
+    dropped BEFORE the array intersect/union (the expensive part), on two
+    precomputed ints.
+
+    The n-gram set is built with sequence+transform+substr (UDF-free) over a
+    PRE-MATERIALIZED normalized column: the lambda must reference an
+    attribute, not the lower(trim(...)) expression, or Catalyst inlines and
+    re-evaluates the normalization per array element (ROUND_NOTES: no CSE
+    across sibling lambda elements). Candidates come from any bounded
+    generator (LSH bands here), so the quadratic verify never runs on the
+    full corpus; the join shuffles gram sets only for candidate ids.
+    """
+    norm = df.select(
+        F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_norm")
+    )
+    grams = norm.select(
+        "_id",
+        F.when(
+            F.length("_norm") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_norm") - (n - 1)),
+                    lambda i: F.col("_norm").substr(i, F.lit(n)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    grams = grams.withColumn("_n", F.size("grams"))
+    ga = grams.select(
+        F.col("_id").alias("id_a"), F.col("grams").alias("ga"), F.col("_n").alias("na")
+    )
+    gb = grams.select(
+        F.col("_id").alias("id_b"), F.col("grams").alias("gb"), F.col("_n").alias("nb")
+    )
+    joined = cands.join(ga, "id_a").join(gb, "id_b")
+    if size_prune_threshold is not None:
+        joined = joined.filter(
+            F.least("na", "nb") >= F.lit(size_prune_threshold) * F.greatest("na", "nb")
+        )
+    # ONE array_intersect per pair, pinned so downstream threshold filters
+    # can't re-inline it (was: intersect + union, each re-evaluated in the
+    # pushed filter -> 6 array ops per pair; |A∪B| = |A|+|B|-|A∩B| is int
+    # arithmetic on the precomputed sizes)
+    from demo_bigdata_spark.functions.scalar import pin
+
+    step = joined.select(
+        "id_a",
+        "id_b",
+        "na",
+        "nb",
+        pin(F.size(F.array_intersect("ga", "gb"))).alias("inter"),
+    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return step.select(
+        "id_a",
+        "id_b",
+        F.when(union == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("inter").cast("double") / union, 4))
+        .alias("ngram_jaccard"),
+    )

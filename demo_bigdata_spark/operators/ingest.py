@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from demo_bigdata_spark.functions.scalar import categorize
+from demo_bigdata_spark.functions.scalar import categorize, pin
 from demo_bigdata_spark.schemas import FLATTENED_EVENT_COLUMNS, GITHUB_EVENT_SCHEMA
 
 PAYLOAD_SCALAR_FIELDS = (
@@ -35,29 +35,7 @@ PAYLOAD_SCALAR_FIELDS = (
 )
 
 
-def _pin(expr: Column) -> Column:
-    """Wrap an expensive expression so filters cannot be pushed below the
-    projection that computes it.
-
-    PushDownPredicates moves filters through a Project by substituting each
-    referenced column with its defining expression — for the quality filter
-    over the parse projection that re-inlines the whole JSON parse into every
-    conjunct, and FilterExec does no subexpression elimination (short-circuit
-    semantics), so each row was parsed ~4x in the filter plus once in the
-    projection (measured ~2x wall-time on the ingest queries). The rule only
-    fires when ALL project fields are deterministic (SPARK-13473) — wrapping
-    the parse in an always-true nondeterministic branch pins every downstream
-    filter above it, at the cost of one PRNG draw per row. CollapseProject
-    likewise refuses to inline nondeterministic fields, so the parse also
-    cannot be duplicated into sibling extraction expressions.
-
-    The guard must not be provably-true: Spark 4 range-folds rand()-based
-    comparisons (rand ∈ [0,1)), erasing the barrier. randn() is unbounded, so
-    randn() > -1e9 survives folding (always true in practice: 1e9 sigma);
-    unlike monotonically_increasing_id it is also allowed in streaming
-    queries, where this chain runs unchanged. Cost: one gaussian draw per
-    row (pinned by test_ingest_parse_not_reinlined_into_filter)."""
-    return F.when(F.randn() > -1e9, expr)
+_pin = pin  # shared barrier (functions/scalar.py::pin); see its docstring
 
 
 def project_kafka_envelope(df: DataFrame) -> DataFrame:

@@ -759,6 +759,51 @@ def q_frame_samples(spark, sf_dir):
     return M.frame_sample_fake(media).orderBy("doc_id", "frame_idx")
 
 
+# --- Char n-gram Jaccard near-dup (LSH candidates -> exact trigram overlap) ----
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Character-trigram Jaccard >= 0.5 over the capped LSH candidate pairs
+    (operator: dedup.char_ngram_jaccard_pairs) — the n-gram dedup method
+    beside token-Jaccard (near_duplicates), MinHash, SimHash, and embedding
+    cosine. The oracle rebuilds the identical trigram sets with DuckDB list
+    comprehensions over the same normalized text."""
+    docs = _docs(spark, sf_dir)
+    cands = D.minhash_candidates(docs, max_bucket=MAX_BUCKET)
+    return (
+        D.char_ngram_jaccard_pairs(docs, cands, size_prune_threshold=0.5)
+        .filter(F.col("ngram_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SIGS_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+norm AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(s) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(s) - 2),
+                                                i -> substr(s, i, 3)))
+              ELSE [] END AS g
+  FROM norm
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g))), 4) AS ngram_jaccard
+FROM pairs p JOIN grams a ON p.id_a = a.doc_id JOIN grams b ON p.id_b = b.doc_id
+WHERE least(len(a.g), len(b.g)) >= 0.5 * greatest(len(a.g), len(b.g))
+  AND len(list_distinct(list_concat(a.g, b.g))) > 0
+  AND round(len(list_intersect(a.g, b.g))::DOUBLE
+            / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 # --- Count-min sketch token frequencies (rows-only: sketch estimate >= exact) --
 
 CMS_PROBE_TOKENS = ["the", "and", "of", "to", "a", "data", "model", "xyzzy_absent"]
@@ -850,5 +895,6 @@ QUERIES = {
     "image_features": (q_image_features, None),
     "frame_samples": (q_frame_samples, None),
     "cms_token_counts": (q_cms_token_counts, None),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
 }
