@@ -213,18 +213,32 @@ def jaccard_pairs(
         )
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
-    # |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair, no array_union
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    return (
+    from demo_bigdata_spark.functions.scalar import pin
+
+    # |A∪B| = |A|+|B|-|A∩B|: ONE array_intersect per pair (no array_union),
+    # pinned so neither the numerator/denominator pair nor a pushed-down
+    # threshold filter re-evaluates it (unpinned: 4 intersects per pair)
+    step = (
         pruned.select("id_a", "id_b", "na", "nb")
         .join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(inter / (F.col("na") + F.col("nb") - inter).cast("double"), 4).alias(
-                "jaccard"
-            ),
+            "na",
+            "nb",
+            pin(F.size(F.array_intersect("toks_a", "toks_b"))).alias("inter"),
+        )
+    )
+    return (
+        step.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
         )
     )
 

