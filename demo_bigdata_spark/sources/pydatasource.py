@@ -1,0 +1,117 @@
+"""Custom Python Data Source (Spark 4 API): GitHub-event NDJSON replay.
+
+The reference feeds the engine with an out-of-process poller (GitHub REST ->
+Kafka producer, services/producer-service/github/client.py:33-88 +
+kafka_io/producer.py:18-90). Its engine-visible contract is just "a stream
+of raw JSON event lines in arrival order" — this module re-expresses that
+contract as a first-class Spark source via the Python Data Source API, so
+`spark.read.format("github_replay")` / `readStream.format("github_replay")`
+replay captured NDJSON deterministically with no Kafka dependency.
+
+- Batch: one InputPartition per file — executors open their own file, the
+  driver ships only paths. Parallelism unit = file, same posture as
+  binaryFile (shard captures into many files).
+- Streaming: SimpleDataSourceStreamReader paces ``batch_size`` lines per
+  micro-batch from a single capture file (the reference's
+  MAX_EVENTS_PER_FETCH truncation, client.py:69-74); offsets are plain line
+  positions, so readBetweenOffsets replays any window exactly (the
+  at-least-once recovery contract foreachBatch sinks expect).
+
+Rows are (replay_seq bigint, raw_json string) — raw lines feed
+operators/ingest.py unchanged, exactly like the Kafka value column (P1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+REPLAY_SCHEMA = "replay_seq bigint, raw_json string"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, seq_base: int):
+        self.path = path
+        self.seq_base = seq_base
+
+
+class _ReplayBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def _files(self):
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith((".ndjson", ".jsonl", ".json"))
+            )
+        return [self.path]
+
+    def partitions(self):
+        parts, base = [], 0
+        for f in self._files():
+            parts.append(_FilePartition(f, base))
+            # seq ranges per file don't overlap: pre-count lines driver-side
+            with open(f, "rb") as fh:
+                base += sum(1 for _ in fh)
+        return parts
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                line = line.rstrip("\n")
+                if line:
+                    yield (partition.seq_base + i, line)
+
+
+class _ReplayStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.batch_size = int(options.get("batch_size", "100"))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _lines(self):
+        with open(self.path, encoding="utf-8") as fh:
+            return [ln.rstrip("\n") for ln in fh if ln.strip()]
+
+    def read(self, start: dict):
+        lines = self._lines()
+        pos = start["pos"]
+        nxt = min(pos + self.batch_size, len(lines))
+        rows = [(i, lines[i]) for i in range(pos, nxt)]
+        return iter(rows), {"pos": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lines = self._lines()
+        return iter((i, lines[i]) for i in range(start["pos"], end["pos"]))
+
+
+class GithubReplayDataSource(DataSource):
+    """``spark.read.format("github_replay").option("path", ...)``."""
+
+    @classmethod
+    def name(cls):
+        return "github_replay"
+
+    def schema(self):
+        return REPLAY_SCHEMA
+
+    def reader(self, schema):
+        return _ReplayBatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _ReplayStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(GithubReplayDataSource)

@@ -150,3 +150,58 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
     assert decoded.count() == 5
     widths = {r["width"] for r in decoded.collect()}
     assert widths == {11, 12, 13, 14, 15}  # n_bytes % 640 + 1, n_bytes = 10+i
+
+
+def _gh_line(i: int) -> str:
+    return (
+        f'{{"id":"{i}","type":"PushEvent","actor":{{"id":{i % 7},"login":"u{i % 7}"}},'
+        f'"repo":{{"id":{i % 3},"name":"org/r{i % 3}"}},"public":true,'
+        f'"created_at":"2024-01-0{i % 9 + 1}T10:00:00Z","payload":{{"action":"push"}}}}'
+    )
+
+
+def test_python_datasource_batch_replay(spark, tmp_path):
+    """Custom Python Data Source (batch): one partition per NDJSON file,
+    non-overlapping replay_seq, lines feed the ingest chain unchanged."""
+    from demo_bigdata_spark.operators.ingest import process_raw_events
+    from demo_bigdata_spark.sources.pydatasource import register
+
+    for f, lo in [("a.ndjson", 0), ("b.ndjson", 40)]:
+        (tmp_path / f).write_text("".join(_gh_line(i) + "\n" for i in range(lo, lo + 40)))
+    register(spark)
+    df = spark.read.format("github_replay").option("path", str(tmp_path)).load()
+    assert df.count() == 80
+    seqs = [r["replay_seq"] for r in df.collect()]
+    assert sorted(seqs) == list(range(80))  # per-file bases don't overlap
+    flat = process_raw_events(df)
+    assert flat.count() == 80
+    assert flat.select("event_type").distinct().collect()[0][0] == "PushEvent"
+
+
+def test_python_datasource_stream_replay(spark, tmp_path):
+    """Custom Python Data Source (streaming): batch_size lines per
+    micro-batch, offsets are line positions, full drain equals batch read."""
+    from demo_bigdata_spark.sources.pydatasource import register
+
+    capture = tmp_path / "cap.ndjson"
+    capture.write_text("".join(_gh_line(i) + "\n" for i in range(55)))
+    register(spark)
+    stream = (
+        spark.readStream.format("github_replay")
+        .option("path", str(capture))
+        .option("batch_size", "20")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("replay_sink")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT replay_seq FROM replay_sink").collect()
+    assert sorted(r["replay_seq"] for r in rows) == list(range(55))
