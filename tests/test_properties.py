@@ -155,3 +155,81 @@ def test_chunker_roundtrip(spark, token_lists):
         for c in chunks[1:]:
             rebuilt.extend(c.split()[overlap:])
         assert rebuilt == [f"t{t}" for t in toks], (i, chunks)
+
+
+# --- bucketed_range_join ≡ naive inequality join ------------------------------
+
+range_join_strategy = st.tuples(
+    st.lists(  # points: (user, seconds)
+        st.tuples(st.integers(1, 3), st.integers(0, 7200)),
+        min_size=1, max_size=25, unique=True,
+    ),
+    st.lists(  # intervals: (user, start_s, duration_s)
+        st.tuples(st.integers(1, 3), st.integers(0, 7200), st.integers(0, 3600)),
+        min_size=1, max_size=10, unique=True,
+    ),
+    st.sampled_from([60, 300, 1800, 3600]),  # bucket width, varied vs spans
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=range_join_strategy)
+def test_bucketed_range_join_equals_naive(spark, data):
+    from demo_bigdata_spark.operators.relational import bucketed_range_join
+
+    points, intervals, bucket_s = data
+    pts = spark.createDataFrame(
+        [(i, u, EPOCH + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(points)],
+        ["pt_id", "user_id", "ts"],
+    )
+    win = spark.createDataFrame(
+        [
+            (i, u, EPOCH + dt.timedelta(seconds=s), EPOCH + dt.timedelta(seconds=s + d))
+            for i, (u, s, d) in enumerate(intervals)
+        ],
+        ["win_id", "user_id", "lo", "hi"],
+    )
+    got = {
+        (r["pt_id"], r["win_id"])
+        for r in bucketed_range_join(
+            pts, win, "ts", "lo", "hi", keys=["user_id"], bucket_seconds=bucket_s
+        ).collect()
+    }
+    expected = {
+        (pi, wi)
+        for pi, (pu, ps) in enumerate(points)
+        for wi, (wu, ws, wd) in enumerate(intervals)
+        if pu == wu and ws <= ps <= ws + wd
+    }
+    assert got == expected
+
+
+# --- resample_time_series: dense axis, totals preserved -----------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=events_strategy)
+def test_resample_fills_every_bucket_and_preserves_totals(spark, rows):
+    from demo_bigdata_spark.operators.analytics import resample_time_series
+
+    df = _make_df(spark, rows).withColumn("value", F.lit(1.0))
+    out = resample_time_series(df, "ts", "1 hour", group_col="user_id").collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    raw: dict = {}
+    for u, s in rows:
+        raw.setdefault(u, []).append(s // 3600)
+    assert set(by_user) == set(raw)
+    for u, rs in by_user.items():
+        hours = sorted(r["bucket"] for r in rs)
+        # dense axis: every hour between min and max appears exactly once
+        assert len(hours) == len(set(hours))
+        span = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
+        assert len(hours) == span
+        # totals preserved: sum of n equals raw event count; gaps are 0
+        assert sum(r["n"] for r in rs) == len(raw[u])
+        observed = {h for h in raw[u]}
+        for r in rs:
+            h = int((r["bucket"] - EPOCH).total_seconds() // 3600)
+            assert (r["n"] > 0) == (h in observed)
