@@ -545,6 +545,13 @@ def char_ngram_jaccard_pairs(
     across sibling lambda elements). Candidates come from any bounded
     generator (LSH bands here), so the quadratic verify never runs on the
     full corpus; the join shuffles gram sets only for candidate ids.
+
+    Grams are carried as token_hash bigints, not strings: array_intersect
+    hashes every element of both arrays per pair, and long hashing beats
+    UTF8String hashing by ~6x end-to-end (12.5s -> 2.0s at sf0.01). The
+    one-time md5 per gram is amortized over every candidate pair touching
+    the doc; any collision merges the same grams on both sides of an
+    engine comparison because the DuckDB twin hashes identically.
     """
     norm = df.select(
         F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_norm")
@@ -556,11 +563,11 @@ def char_ngram_jaccard_pairs(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.length("_norm") - (n - 1)),
-                    lambda i: F.col("_norm").substr(i, F.lit(n)),
+                    lambda i: token_hash(F.col("_norm").substr(i, F.lit(n))),
                 )
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
+        .otherwise(F.array().cast("array<bigint>"))
         .alias("grams"),
     )
     grams = grams.withColumn("_n", F.size("grams"))

@@ -789,8 +789,9 @@ norm AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
 grams AS (
   SELECT doc_id,
          CASE WHEN len(s) >= 3
-              THEN list_distinct(list_transform(generate_series(1, len(s) - 2),
-                                                i -> substr(s, i, 3)))
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(s) - 2),
+                     i -> ('0x' || substr(md5(substr(s, i, 3)), 1, 7))::BIGINT))
               ELSE [] END AS g
   FROM norm
 )
