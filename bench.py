@@ -62,6 +62,7 @@ HEADLINE = [
     "minhash_signature",
     "minhash_shingles",
     "near_duplicates",
+    "ngram_jaccard",
     "simhash",
     "text_quality",
     "token_counts",

@@ -205,7 +205,7 @@ FROM hashes
 # --- SimHash Hamming-ball pair search (exact via segment pigeonhole) ---------------
 
 def q_simhash_pairs(spark, sf_dir):
-    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=2).orderBy("id_a", "id_b")
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=2)  # unordered: see q_near_duplicates
 
 
 _SIMHASH_SEGMENTS_SQL = " UNION ALL ".join(
