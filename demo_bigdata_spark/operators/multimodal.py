@@ -118,3 +118,46 @@ def frame_sample_fake(media: DataFrame, every_n_bytes: int = 64, max_frames: int
             yield pd.DataFrame({"doc_id": out_ids, "frame_idx": out_idx, "frame_sha": out_sha})
 
     return media.mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized_sha", T.StringType()),
+    ]
+)
+
+
+def resize_image_fake(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Deterministic fake resize exercising the real plumbing (the decode
+    tier's sibling: PIL's Image.resize would slot into the same loop).
+    'Resizing' = aspect-preserving dimension math from the fake-decoded
+    (width, height) plus a byte-stride downsample of the payload standing in
+    for pixel resampling — output is a stable function of the input bytes."""
+    import hashlib
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].str.len().astype("int64")
+            w = (n % 640 + 1).astype("int64")  # matches decode_image_fake
+            h = (n % 480 + 1).astype("int64")
+            scale = (w.combine(h, max) / max_side).clip(lower=1.0)
+            out_w = (w / scale).astype("int32").clip(lower=1)
+            out_h = (h / scale).astype("int32").clip(lower=1)
+            stride = scale.astype("int64").clip(lower=1)
+            sha = [
+                hashlib.sha256(bytes(p[::s])).hexdigest()[:16]
+                for p, s in zip(pdf["payload"], stride)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized_sha": sha,
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)

@@ -761,6 +761,46 @@ def q_frame_samples(spark, sf_dir):
     return M.frame_sample_fake(media).orderBy("doc_id", "frame_idx")
 
 
+def q_image_resize(spark, sf_dir):
+    media = M.attach_binary(_docs(spark, sf_dir))
+    return M.resize_image_fake(media).orderBy("doc_id")
+
+
+# --- Native approx_top_k heavy hitters ----------------------------------------
+
+def q_approx_top_tokens(spark, sf_dir):
+    """Spark 4.1 native approx_top_k (DataSketches frequent-items) over the
+    token stream — the built-in sibling of cms_token_counts. With
+    maxItemsTracked above the distinct-token count the sketch degrades to
+    EXACT counts, which is what makes this oracle-matchable here (k=5 picked
+    below any count tie in this corpus); at real scale it is approximate,
+    mergeable, and bounded-memory like the other sketches."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return (
+        toks.agg(F.expr("approx_top_k(tok, 5, 1000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
+        .orderBy(F.desc("n"), "token")
+    )
+
+
+SQL_APPROX_TOP_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents
+)
+SELECT tok AS token, count(*)::BIGINT AS n
+FROM toks
+GROUP BY tok
+ORDER BY n DESC, token
+LIMIT 5
+"""
+
+
 # --- Char n-gram Jaccard near-dup (LSH candidates -> exact trigram overlap) ----
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -897,7 +937,9 @@ QUERIES = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_features": (q_image_features, None),
     "frame_samples": (q_frame_samples, None),
+    "image_resize": (q_image_resize, None),
     "cms_token_counts": (q_cms_token_counts, None),
+    "approx_top_tokens": (q_approx_top_tokens, SQL_APPROX_TOP_TOKENS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
 }
