@@ -73,6 +73,12 @@ def all_pairs_above(
     method="expr": pure-Catalyst nested-loop join with per-pair dot products.
     Keep for reference/debug; higher-order-function aggregates are interpreted
     (not codegen'd), so this path is slow at scale.
+
+    method="arrow": the blocked strategy on ``mapInArrow`` — vectors are
+    reshaped straight from the Arrow list buffers into the GEMM operand
+    (zero pandas object conversion of the nested structs). Same results,
+    same plan shape; preferable when block rows are large enough that the
+    pandas materialization of list<struct<long,list<double>>> shows up.
     """
     if method == "expr":
         a = df.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
@@ -142,6 +148,57 @@ def all_pairs_above(
                 {"id_a": [], "id_b": [], "cosine": []}
             )
 
+    def _score_pair(ia, ib, A, B, same_block):
+        """Shared GEMM + masking for both UDF transports."""
+        S = A @ B.T
+        cos = S / np.outer(np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1))
+        cos = np.round(cos, 4)
+        mask = (cos >= threshold) & (ia[:, None] < ib[None, :])
+        xi, yi = np.nonzero(mask)
+        parts = [(ia[xi], ib[yi], cos[xi, yi])] if len(xi) else []
+        if not same_block:
+            mask2 = (cos >= threshold) & (ia[:, None] > ib[None, :])
+            xi2, yi2 = np.nonzero(mask2)
+            if len(xi2):
+                parts.append((ib[yi2], ia[xi2], cos[xi2, yi2]))
+        return parts
+
+    def _score_arrow(batches):
+        import pyarrow as pa
+
+        def _unpack(list_scalar):
+            items = list_scalar.values  # StructArray slice
+            ids = items.field("vid").to_numpy(zero_copy_only=False)
+            vecs = items.field("v")
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            return ids, flat.reshape(len(ids), -1).astype(np.float64, copy=False)
+
+        for batch in batches:
+            blk_a = batch.column("blk_a")
+            blk_b = batch.column("blk_b")
+            items_a = batch.column("items_a")
+            items_b = batch.column("items_b")
+            outs_a, outs_b, outs_c = [], [], []
+            for i in range(batch.num_rows):
+                ia, A = _unpack(items_a[i])
+                ib, B = _unpack(items_b[i])
+                same = blk_a[i].as_py() == blk_b[i].as_py()
+                for pa_ids, pb_ids, cs in _score_pair(ia, ib, A, B, same):
+                    outs_a.append(pa_ids)
+                    outs_b.append(pb_ids)
+                    outs_c.append(cs)
+            if outs_a:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(outs_a), pa.int64()),
+                        pa.array(np.concatenate(outs_b), pa.int64()),
+                        pa.array(np.concatenate(outs_c), pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "cosine"],
+                )
+
+    if method == "arrow":
+        return block_pairs.mapInArrow(_score_arrow, out_schema)
     return block_pairs.mapInPandas(_score, out_schema)
 
 

@@ -364,7 +364,8 @@ PAIR_THRESHOLD = 0.35
 
 
 def q_embedding_pairs(spark, sf_dir):
-    return S.all_pairs_above(_emb(spark, sf_dir), PAIR_THRESHOLD)  # unordered: see q_near_duplicates
+    # arrow transport: GEMM operands reshaped straight from Arrow buffers
+    return S.all_pairs_above(_emb(spark, sf_dir), PAIR_THRESHOLD, method="arrow")
 
 
 SQL_EMBEDDING_PAIRS = f"""

@@ -460,3 +460,18 @@ def test_quantization_roundtrip_and_recall(spark, sf_dir):
     exact_ids = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
     approx_ids = {r["vec_id"] for r in quantized_topk(q, qvec, k=10).collect()}
     assert len(exact_ids & approx_ids) >= 8, (exact_ids, approx_ids)
+
+
+def test_all_pairs_arrow_matches_pandas_transport(spark, sf_dir):
+    """mapInArrow and mapInPandas block scorers are transports around the
+    same GEMM — results must be identical pair-for-pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in all_pairs_above(emb, 0.35, method="blocked").collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in all_pairs_above(emb, 0.35, method="arrow").collect()
+    }
+    assert blocked == arrow and len(blocked) > 0
