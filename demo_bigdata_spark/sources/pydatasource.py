@@ -23,13 +23,17 @@ operators/ingest.py unchanged, exactly like the Kafka value column (P1).
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 REPLAY_SCHEMA = "replay_seq bigint, raw_json string"
@@ -95,6 +99,51 @@ class _ReplayStreamReader(SimpleDataSourceStreamReader):
         return iter((i, lines[i]) for i in range(start["pos"], end["pos"]))
 
 
+class _NdjsonCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class _ReplayWriter(DataSourceWriter):
+    """NDJSON sink — the engine-side analog of the reference's Kafka
+    producer (S9: per-event send with acks=all + flush,
+    kafka_io/producer.py:18-90). Each task writes a temp file; commit()
+    renames all temp files into place atomically-enough for a local FS and
+    drops a _SUCCESS marker, so a failed/speculated task (abort()) leaves
+    nothing visible — the same task-commit contract the Kafka sink gets
+    from acks+idempotence."""
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.field_names = schema.fieldNames()
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.ndjson")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                if "raw_json" in self.field_names:
+                    fh.write(row["raw_json"] + "\n")
+                else:
+                    fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _NdjsonCommit(tmp, n)
+
+    def commit(self, messages):
+        for m in messages:
+            if m is not None:
+                os.rename(m.tmp_path, m.tmp_path.replace("_tmp_", "part_"))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(sum(m.rows for m in messages if m is not None)))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class GithubReplayDataSource(DataSource):
     """``spark.read.format("github_replay").option("path", ...)``."""
 
@@ -110,6 +159,9 @@ class GithubReplayDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _ReplayStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return _ReplayWriter(self.options, schema)
 
 
 def register(spark) -> None:

@@ -205,3 +205,26 @@ def test_python_datasource_stream_replay(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT replay_seq FROM replay_sink").collect()
     assert sorted(r["replay_seq"] for r in rows) == list(range(55))
+
+
+def test_python_datasource_write_roundtrip(spark, tmp_path):
+    """Custom Python Data Source (writer): NDJSON sink with temp-file +
+    rename commit; read-back equals what was written, no temp residue."""
+    import os
+
+    from demo_bigdata_spark.sources.pydatasource import register
+
+    src_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    src_dir.mkdir()
+    (src_dir / "a.ndjson").write_text("".join(_gh_line(i) + "\n" for i in range(30)))
+    register(spark)
+    df = spark.read.format("github_replay").option("path", str(src_dir)).load()
+    df.write.format("github_replay").option("path", str(out_dir)).mode("append").save()
+
+    files = os.listdir(out_dir)
+    assert "_SUCCESS" in files
+    assert not [f for f in files if f.startswith("_tmp_")]
+    back = spark.read.format("github_replay").option("path", str(out_dir)).load()
+    assert sorted(r["raw_json"] for r in back.collect()) == sorted(
+        r["raw_json"] for r in df.collect()
+    )
