@@ -88,3 +88,45 @@ def per_group_quota(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """[EXT] deterministic corpus mixing: downsample each source so the
+    output approximates ``target_rows`` distributed by ``weights`` (the
+    pre-training data-mixture step — e.g. web 0.6 / code 0.25 / papers
+    0.15).
+
+    Per-group keep-rate = min(1, weight*target/|group|), applied as a
+    content-addressed hash-bucket cutoff (same md5 bucketing as
+    hash_sample): which documents survive is a pure function of their key,
+    so re-runs, engines, and partitionings agree row-for-row, and rates
+    only ever drop a deterministic SUFFIX of buckets when targets shrink.
+    Group sizes come from one count aggregate broadcast back onto the scan
+    (groups = sources, a tiny dim); undersized groups keep everything
+    (rate clamps at 1 — mixture weights are targets, not guarantees)."""
+    sizes = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    wmap = F.create_map(
+        *[x for k, w in sorted(weights.items()) for x in (F.lit(k), F.lit(float(w)))]
+    )
+    with_rate = df.join(F.broadcast(sizes), group_col).withColumn(
+        "_cut",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(wmap[F.col(group_col)], F.lit(0.0))
+                * target_rows
+                / F.col("_gn"),
+            )
+            * n_buckets
+        ).cast("bigint"),
+    )
+    return with_rate.filter(hash_bucket(key_col, n_buckets) < F.col("_cut")).drop(
+        "_gn", "_cut"
+    )

@@ -802,6 +802,54 @@ LIMIT 5
 """
 
 
+# --- Corpus mixture sampling (pre-training data mixing) -----------------------
+
+MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIXTURE_TARGET = 60
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Deterministic data mixing (operator: sampling.mixture_sample):
+    downsample each source toward weight*target rows via content-addressed
+    hash cutoffs — src0's rate clamps at 1 (undersized), zero-weight
+    sources drop entirely. The oracle replays the identical md5-bucket
+    predicate, so the exact surviving doc set is value-checked."""
+    from demo_bigdata_spark.operators.sampling import mixture_sample
+
+    mixed = mixture_sample(
+        _docs(spark, sf_dir), "source", "doc_id", MIXTURE_WEIGHTS, MIXTURE_TARGET
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_doc"))
+        .orderBy("source")
+    )
+
+
+_MIX_WMAP_SQL = "MAP " + str(
+    {k: float(v) for k, v in sorted(MIXTURE_WEIGHTS.items())}
+)
+SQL_CORPUS_MIXTURE = f"""
+WITH sizes AS (SELECT source, count(*) AS gn FROM documents GROUP BY source),
+cuts AS (
+  SELECT source, gn,
+         round(least(1.0, coalesce(
+             element_at({_MIX_WMAP_SQL}, source)[1], 0.0)
+             * {MIXTURE_TARGET} / gn) * 10000)::BIGINT AS cut
+  FROM sizes
+),
+kept AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN cuts c ON d.source = c.source
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT % 10000 < c.cut
+)
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- Char n-gram Jaccard near-dup (LSH candidates -> exact trigram overlap) ----
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -942,5 +990,6 @@ QUERIES = {
     "cms_token_counts": (q_cms_token_counts, None),
     "approx_top_tokens": (q_approx_top_tokens, SQL_APPROX_TOP_TOKENS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
 }

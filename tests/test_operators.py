@@ -475,3 +475,29 @@ def test_all_pairs_arrow_matches_pandas_transport(spark, sf_dir):
         for r in all_pairs_above(emb, 0.35, method="arrow").collect()
     }
     assert blocked == arrow and len(blocked) > 0
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    """Kept counts approximate weight*target per source (exact given bucket
+    resolution), zero-weight sources vanish, clamped sources keep all, and
+    repartitioning does not change the surviving set."""
+    from demo_bigdata_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    mixed = mixture_sample(docs, "source", "doc_id", weights, target_rows=60)
+    got = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(weights)
+    assert got["src0"] == sizes["src0"]  # rate clamped at 1
+    for s in ("src1", "src2"):
+        expect = weights[s] * 60
+        assert abs(got[s] - expect) <= max(3, 0.25 * expect), (s, got[s], expect)
+    again = {
+        tuple(r)
+        for r in mixture_sample(
+            docs.repartition(13), "source", "doc_id", weights, target_rows=60
+        ).select("doc_id").collect()
+    }
+    first = {tuple(r) for r in mixed.select("doc_id").collect()}
+    assert first == again
