@@ -77,3 +77,38 @@ def test_merge_upsert_empty_updates(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").limit(20)
     merged = merge_upsert(ev, ev.limit(0), ["event_id"])
     assert merged.count() == 20
+
+
+def test_value_histogram_clamps_out_of_range(spark):
+    """Values outside [lo, hi) fold into the edge bins; empty bins emitted."""
+    from demo_bigdata_spark.operators.analytics import value_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (25.0,), (999.0,)], ["value"]
+    )
+    rows = {r["bin"]: r["n"] for r in value_histogram(df, "value", n_bins=10, lo=0.0, hi=100.0).collect()}
+    assert len(rows) == 10
+    assert rows[1] == 3  # -5 clamps in, 0.0 and 9.99 belong
+    assert rows[3] == 1  # 25.0
+    assert rows[10] == 1  # 999 clamps into the top bin
+    assert rows[2] == 1  # 10.0 exactly on edge -> second bin
+    assert sum(rows.values()) == 6
+
+
+def test_quantize_zero_vector(spark):
+    """A zero vector quantizes to scale=0 / all-zero qvec and scores
+    cosine 0 against any query instead of dividing by zero."""
+    from demo_bigdata_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 2.0])],
+        ["vec_id", "embedding"],
+    )
+    q = quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["scale"] == 0.0 and set(rows[1]["qvec"]) == {0}
+    top = {r["vec_id"]: r["cosine"] for r in quantized_topk(q, [1.0, 2.0, 2.0], k=2).collect()}
+    assert top[1] == 0.0 and abs(top[2] - 1.0) < 1e-3
