@@ -77,3 +77,26 @@ def health_check(spark, events: DataFrame) -> dict:
         return {"status": "healthy", "spark_active": True, "row_count": n}
     except Exception as e:  # pragma: no cover - defensive
         return {"status": "unhealthy", "spark_active": False, "error": str(e)[:200]}
+
+
+def stats_stream(compute, poll_seconds: float = 0.5, max_polls: int | None = None):
+    """S11 SSE push loop with change detection: call ``compute()`` every
+    ``poll_seconds`` and yield its JSON only when it differs from the last
+    push (reference: services/api-service/app.py:190-218 — 0.5 s poll,
+    push-on-change). ``compute`` returns any JSON-serializable snapshot
+    (e.g. collected dashboard_stats); ``max_polls`` bounds the loop for
+    tests. The generator shape plugs straight into an SSE framework
+    (``yield f"data: {payload}\\n\\n"`` at the HTTP edge)."""
+    import json as _json
+    import time as _time
+
+    last = None
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        snapshot = _json.dumps(compute(), sort_keys=True, default=str)
+        if snapshot != last:
+            yield snapshot
+            last = snapshot
+        polls += 1
+        if max_polls is None or polls < max_polls:
+            _time.sleep(poll_seconds)

@@ -228,3 +228,13 @@ def test_python_datasource_write_roundtrip(spark, tmp_path):
     assert sorted(r["raw_json"] for r in back.collect()) == sorted(
         r["raw_json"] for r in df.collect()
     )
+
+
+def test_stats_stream_pushes_only_on_change(spark):
+    """SSE loop semantics: first snapshot always pushes, repeats are
+    suppressed, changes push again (reference app.py:190-218)."""
+    snapshots = iter([{"n": 1}, {"n": 1}, {"n": 2}, {"n": 2}, {"n": 3}])
+    got = list(
+        serving.stats_stream(lambda: next(snapshots), poll_seconds=0.0, max_polls=5)
+    )
+    assert got == ['{"n": 1}', '{"n": 2}', '{"n": 3}']
