@@ -428,6 +428,69 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """
 
+# --- RANGE frame: rolling 7-day revenue per customer -------------------------
+
+def q_rolling_weekly_revenue(spark, sf_dir):
+    """RANGE-framed window (vs running_revenue's ROWS frame): per customer,
+    the sum of order totals in the 7 days up to and including each order's
+    date. RANGE frames include all peers of the boundary values, so the
+    result is deterministic even when a customer places several orders the
+    same day — no tiebreak column needed in the frame ordering."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-7, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("weekly_revenue"),
+    )
+
+
+SQL_ROLLING_WEEKLY_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS weekly_revenue
+FROM orders
+"""
+
+# --- first_value / last_value / nth_value ------------------------------------
+
+def q_order_value_extremes(spark, sf_dir):
+    """first_value/last_value/nth_value over the full per-customer frame
+    (last_value needs the explicit unbounded-following frame or it sees
+    only the running frame — a classic window gotcha, made explicit here)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
+            F.round(F.last_value("o_totalprice").over(w), 2).alias("last_price"),
+            F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+        )
+    )
+
+
+SQL_ORDER_VALUE_EXTREMES = """
+SELECT o_custkey, o_orderkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice) OVER w, 2) AS last_price,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
 # --- Argmin per group (TPC-H Q2 flavor: cheapest supplier per part) -------------------
 
 def q_cheapest_supplier_per_part(spark, sf_dir):
@@ -1499,6 +1562,8 @@ QUERIES = {
     "cheapest_supplier_per_part": (q_cheapest_supplier_per_part, SQL_CHEAPEST_SUPPLIER_PER_PART),
     "correlations": (q_correlations, SQL_CORRELATIONS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
+    "rolling_weekly_revenue": (q_rolling_weekly_revenue, SQL_ROLLING_WEEKLY_REVENUE),
+    "order_value_extremes": (q_order_value_extremes, SQL_ORDER_VALUE_EXTREMES),
     "order_gaps": (q_order_gaps, SQL_ORDER_GAPS),
     "rollup_flags": (q_rollup_flags, SQL_ROLLUP_FLAGS),
     "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
