@@ -157,3 +157,16 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "event", mode: str = "overwrite") -> None:
+    """Spark 4 native XML sink (no external package)."""
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema, row_tag: str = "event") -> DataFrame:
+    """Spark 4 native XML source with an explicit schema (schema-on-write
+    philosophy as everywhere else; rowTag picks the record element)."""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag).schema(schema).load(path)
+    )

@@ -158,8 +158,42 @@ ORDER BY processing_date, processing_hour
 """
 
 
+def q_xml_roundtrip(spark, sf_dir):
+    """Spark 4 native XML surface: events serialized to XML rows (to_xml)
+    and parsed back with from_xml against an explicit schema, then
+    aggregated. The oracle computes the same aggregate straight from the
+    parquet rows — it matches only if the XML encode/decode is lossless
+    (Double.toString round-trips exactly)."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = ev.select(
+        F.to_xml(F.struct("event_id", "event_type", "value")).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "event_id bigint, event_type string, value double").alias("p")
+    ).select("p.*")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_XML_ROUNDTRIP = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ingest_category_stats": (q_ingest_category_stats, SQL_INGEST_CATEGORY_STATS),
+    "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
     "ingest_payload_extract": (q_ingest_payload_extract, SQL_INGEST_PAYLOAD_EXTRACT),
     "ingest_partitions": (q_ingest_partitions, SQL_INGEST_PARTITIONS),
 }

@@ -238,3 +238,14 @@ def test_stats_stream_pushes_only_on_change(spark):
         serving.stats_stream(lambda: next(snapshots), poll_seconds=0.0, max_polls=5)
     )
     assert got == ['{"n": 1}', '{"n": 2}', '{"n": 3}']
+
+
+def test_xml_source_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4 native XML file source/sink round-trips the region dim."""
+    from demo_bigdata_spark.sources.formats import read_xml, write_xml
+
+    df = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_xml")
+    write_xml(df, out)
+    back = read_xml(spark, out, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
