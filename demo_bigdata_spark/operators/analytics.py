@@ -249,11 +249,16 @@ def sessionize(
 
     w = Window.partitionBy(key_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
+
+    # Spark 4 forbids TIMESTAMP_NTZ -> DOUBLE directly; bridge through LTZ
+    # (identity under the UTC session TZ, no-op when the input is already LTZ)
+    def _secs(c):
+        return c.cast("timestamp_ltz").cast("double")
+
     marked = df.withColumn(
         "new_session",
         F.when(
-            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
-            > gap_s,
+            _secs(F.col(ts_col)) - _secs(F.lag(F.col(ts_col)).over(w)) > gap_s,
             1,
         )
         .when(F.lag(F.col(ts_col)).over(w).isNull(), 1)
@@ -269,7 +274,7 @@ def sessionize(
             F.count("*").alias("n_events"),
             F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.round(
-                F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")), 2
+                F.max(_secs(F.col(ts_col))) - F.min(_secs(F.col(ts_col))), 2
             ).alias("duration_s"),
         )
     )
@@ -284,6 +289,34 @@ def paginate(
     native ``offset``: the plan is GlobalLimit/Offset over a bounded sort,
     still driver-safe. Order must be total (include a unique key)."""
     return df.orderBy(*order_by).offset(page * page_size).limit(page_size)
+
+
+def paginate_keyset(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    last_ts: str | None,
+    last_id: int | None,
+    page_size: int,
+) -> DataFrame:
+    """[EXT] keyset (seek-method) pagination over the (ts DESC, id ASC) total
+    order — the scale path beside :func:`paginate`. OFFSET pagination must
+    sort-and-skip ``page*size`` rows on every page, which degrades linearly
+    with page depth at 100 TB; keyset pushes ``ts < last_ts OR (ts = last_ts
+    AND id > last_id)`` into the scan (parquet min/max row-group pruning on
+    ``ts``), so every page costs the same: one pruned scan + top-k
+    (TakeOrderedAndProject), no global shuffle, no skip.
+
+    ``last_ts``/``last_id`` are the sort key of the previous page's final row;
+    pass ``None`` for the first page.
+    """
+    if last_ts is not None:
+        after = (F.col(ts_col) < F.lit(last_ts).cast("timestamp")) | (
+            (F.col(ts_col) == F.lit(last_ts).cast("timestamp"))
+            & (F.col(id_col) > F.lit(last_id))
+        )
+        df = df.filter(after)
+    return df.orderBy(F.desc(ts_col), F.col(id_col)).limit(page_size)
 
 
 def funnel_counts(

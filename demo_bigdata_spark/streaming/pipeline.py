@@ -302,6 +302,39 @@ def write_upsert_stream(
     )
 
 
+def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+    """Read ``path``, or return None iff the path does not exist yet.
+
+    The distinction is load-bearing for the exactly-once folds below: a bare
+    ``except Exception`` would treat ANY read failure (transient FS error,
+    corrupt footer mid-write, permissions) as "first epoch" and then
+    overwrite the state table with only the current micro-batch — silently
+    discarding all accumulated state. Only the documented missing-path error
+    condition maps to None; everything else propagates so foreachBatch fails
+    the micro-batch and Structured Streaming retries it.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(e, probe, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond == "PATH_NOT_FOUND" or (
+            cond is None and "PATH_NOT_FOUND" in str(e)
+        ):
+            return None
+        raise
+
+
 def combine_hourly_partial(
     spark, path: str, batch_df: DataFrame, epoch_id: int, ts_col: str = "ts"
 ) -> None:
@@ -316,23 +349,23 @@ def combine_hourly_partial(
     from pyspark.sql import functions as F
 
     epochs_path = path + "_epochs"
-    try:
-        applied = {r["epoch_id"] for r in spark.read.parquet(epochs_path).collect()}
-    except Exception:
-        applied = set()
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    applied = (
+        {r["epoch_id"] for r in ledger.collect()} if ledger is not None else set()
+    )
     if epoch_id in applied:
         return
     part = batch_df.groupBy(
         F.date_trunc("hour", F.col(ts_col)).alias("bucket")
     ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
-    try:
-        state = spark.read.parquet(path)
+    state = _read_parquet_if_exists(spark, path)
+    if state is not None:
         merged = (
             state.unionByName(part)
             .groupBy("bucket")
             .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
         )
-    except Exception:  # first epoch: no state yet
+    else:  # first epoch: no state yet
         merged = part
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
     spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode("append").parquet(
@@ -421,23 +454,23 @@ def combine_sketch_partial(
     from pyspark.sql import functions as F
 
     epochs_path = path + "_epochs"
-    try:
-        applied = {r["epoch_id"] for r in spark.read.parquet(epochs_path).collect()}
-    except Exception:
-        applied = set()
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    applied = (
+        {r["epoch_id"] for r in ledger.collect()} if ledger is not None else set()
+    )
     if epoch_id in applied:
         return
     part = batch_df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
         F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch")
     )
-    try:
-        state = spark.read.parquet(path)
+    state = _read_parquet_if_exists(spark, path)
+    if state is not None:
         merged = (
             state.unionByName(part)
             .groupBy("day")
             .agg(F.hll_union_agg("sketch").alias("sketch"))
         )
-    except Exception:  # first epoch: no state yet
+    else:  # first epoch: no state yet
         merged = part
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
     spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode("append").parquet(

@@ -192,6 +192,37 @@ ORDER BY ts DESC, event_id
 LIMIT 50 OFFSET 100
 """
 
+# --- O3b keyset pagination (seek method — the deep-page scale path) -----------
+
+_KEYSET_TS = "2024-01-25 00:00:00"
+_KEYSET_ID = 0
+
+
+def q_keyset_pagination(spark, sf_dir):
+    df = A.paginate_keyset(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        id_col="event_id",
+        last_ts=_KEYSET_TS,
+        last_id=_KEYSET_ID,
+        page_size=50,
+    )
+    return df.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+    )
+
+
+SQL_KEYSET_PAGINATION = f"""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+FROM events
+WHERE ts < TIMESTAMP '{_KEYSET_TS}'
+   OR (ts = TIMESTAMP '{_KEYSET_TS}' AND event_id > {_KEYSET_ID})
+ORDER BY ts DESC, event_id
+LIMIT 50
+"""
+
 # --- P6 JSON scalar extraction (get_json_object on props) ----------------------
 
 def q_json_extract(spark, sf_dir):
@@ -652,6 +683,7 @@ QUERIES = {
     "distinct_types": (q_distinct_types, SQL_DISTINCT_TYPES),
     "recent_events": (q_recent_events, SQL_RECENT_EVENTS),
     "pagination": (q_pagination, SQL_PAGINATION),
+    "keyset_pagination": (q_keyset_pagination, SQL_KEYSET_PAGINATION),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "funnel": (q_funnel, SQL_FUNNEL),
     "profile": (q_profile, SQL_PROFILE),

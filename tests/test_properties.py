@@ -10,7 +10,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from demo_bigdata_spark.operators.analytics import paginate, sessionize
+from demo_bigdata_spark.operators.analytics import (
+    paginate,
+    paginate_keyset,
+    sessionize,
+)
 
 EPOCH = dt.datetime(2024, 1, 1)
 
@@ -68,6 +72,31 @@ def test_pagination_partitions_the_order(spark, rows, page_size):
         chunk = paginate(df, [F.desc("ts"), F.col("event_id")], page, page_size).collect()
         seen.extend((r["ts"], r["event_id"]) for r in chunk)
     # pages concatenate to exactly the full ordering: no dupes, no gaps
+    assert len(seen) == n
+    assert seen == sorted(seen, key=lambda t: (-(t[0].timestamp()), t[1]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy, page_size=st.integers(min_value=1, max_value=7))
+def test_keyset_pagination_chains_the_order(spark, rows, page_size):
+    """Following the keyset chain (last row's (ts, id) feeds the next page)
+    walks the full (ts DESC, id ASC) order exactly once — no dupes, no gaps —
+    including ties on ts (the id tiebreak)."""
+    df = _make_df(spark, rows)
+    n = len(rows)
+    seen: list = []
+    last_ts = last_id = None
+    while True:
+        chunk = paginate_keyset(
+            df, "ts", "event_id", last_ts, last_id, page_size
+        ).collect()
+        if not chunk:
+            break
+        seen.extend((r["ts"], r["event_id"]) for r in chunk)
+        last_ts = chunk[-1]["ts"].strftime("%Y-%m-%d %H:%M:%S.%f")
+        last_id = chunk[-1]["event_id"]
+        if len(chunk) < page_size:
+            break
     assert len(seen) == n
     assert seen == sorted(seen, key=lambda t: (-(t[0].timestamp()), t[1]))
 
