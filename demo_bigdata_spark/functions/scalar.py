@@ -56,20 +56,25 @@ def categorize_sql_case(
     return f"CASE {col_name} {whens} ELSE '{default}' END"
 
 
-def pct_of_total(count_col: Column | str, decimals: int = 2) -> Column:
-    """Percentage-of-total as a window aggregate over the whole frame.
+def pct_of_total(
+    df, count_col: str, out_col: str = "percentage", decimals: int = 2
+):
+    """Attach an in-engine percentage-of-total column.
 
     Replaces the reference's driver-side Python ``round(count/total*100, 2)``
-    against a separately collected total (reference: data_service.py:289-303)
-    with a single in-engine pass. The empty ``partitionBy()`` window computes
-    the global sum without a second job; at scale this is one extra shuffle
-    stage over the (tiny) aggregated distribution, not over raw data.
-    """
-    from pyspark.sql import Window
-
-    col = F.col(count_col) if isinstance(count_col, str) else count_col
-    total = F.sum(col).over(Window.partitionBy())
-    return F.round(col * 100.0 / total, decimals)
+    against a separately collected total (reference: data_service.py:289-303).
+    The total is a one-row aggregate broadcast back onto the frame — a
+    map-side join, no shuffle, no single-partition global window (the earlier
+    ``Window.partitionBy()`` formulation funneled the frame through one
+    WindowExec partition and spammed "No Partition Defined" warnings; safe on
+    an aggregated distribution, a scale bug if ever applied to raw rows —
+    this shape is safe on BOTH)."""
+    total = df.agg(F.sum(F.col(count_col)).alias("_total"))
+    return (
+        df.join(F.broadcast(total))
+        .withColumn(out_col, F.round(F.col(count_col) * 100.0 / F.col("_total"), decimals))
+        .drop("_total")
+    )
 
 
 def pin(expr: Column) -> Column:

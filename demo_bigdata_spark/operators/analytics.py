@@ -120,14 +120,14 @@ def global_stats_approx(
 def type_distribution(df: DataFrame, group_col: str = "event_type") -> DataFrame:
     """Group-by count + in-engine percentage-of-total (reference A2+A3:
     services/api-service/data_service.py:289-303; percentage moved in-engine,
-    see functions.scalar.pct_of_total). The global-total window runs over the
-    tiny aggregated distribution, not raw rows."""
+    see functions.scalar.pct_of_total: broadcast scalar total, no global
+    window)."""
     counts = df.groupBy(group_col).agg(F.count("*").alias("event_count"))
-    return counts.select(
-        group_col,
-        "event_count",
-        pct_of_total("event_count").alias("percentage"),
-    ).orderBy(F.desc("event_count"), group_col)
+    return (
+        pct_of_total(counts, "event_count", "percentage")
+        .select(group_col, "event_count", "percentage")
+        .orderBy(F.desc("event_count"), group_col)
+    )
 
 
 def category_distribution(df: DataFrame, type_col: str = "event_type") -> DataFrame:
@@ -250,10 +250,8 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
 
-    # Spark 4 forbids TIMESTAMP_NTZ -> DOUBLE directly; bridge through LTZ
-    # (identity under the UTC session TZ, no-op when the input is already LTZ)
     def _secs(c):
-        return c.cast("timestamp_ltz").cast("double")
+        return c.cast("double")
 
     marked = df.withColumn(
         "new_session",
@@ -308,12 +306,23 @@ def paginate_keyset(
     (TakeOrderedAndProject), no global shuffle, no skip.
 
     ``last_ts``/``last_id`` are the sort key of the previous page's final row;
-    pass ``None`` for the first page.
+    pass ``None`` for the first page (both must be None or both set — a lone
+    ``last_ts`` would make the tie branch a NULL predicate and silently drop
+    rows sharing the boundary timestamp).
     """
+    if (last_ts is None) != (last_id is None):
+        raise ValueError(
+            "paginate_keyset: last_ts and last_id must both be None (first "
+            f"page) or both set; got last_ts={last_ts!r}, last_id={last_id!r}"
+        )
     if last_ts is not None:
-        after = (F.col(ts_col) < F.lit(last_ts).cast("timestamp")) | (
-            (F.col(ts_col) == F.lit(last_ts).cast("timestamp"))
-            & (F.col(id_col) > F.lit(last_id))
+        # cast the literal to the column's OWN type: comparing an LTZ literal
+        # against an NTZ column (or vice versa) relies on implicit coercion in
+        # the session TZ, shifting the page boundary on non-UTC sessions
+        ts_type = df.schema[ts_col].dataType
+        last = F.lit(last_ts).cast(ts_type)
+        after = (F.col(ts_col) < last) | (
+            (F.col(ts_col) == last) & (F.col(id_col) > F.lit(last_id))
         )
         df = df.filter(after)
     return df.orderBy(F.desc(ts_col), F.col(id_col)).limit(page_size)
@@ -612,13 +621,26 @@ def value_histogram(
     empty bins appear with n=0. Bounds may be given (scale path: no extra
     pass) or computed with a first min/max pass (convenience path).
     Out-of-range values clamp into the edge bins, matching width_bucket's
-    under/overflow buckets folded inward."""
+    under/overflow buckets folded inward.
+
+    Degenerate inputs: empty/all-NULL input raises ValueError (there is no
+    meaningful axis to build); a constant column (lo == hi) widens the range
+    to [lo, lo+1) so every row lands in bin 1 instead of width_bucket
+    receiving an invalid zero-width range."""
     if lo is None or hi is None:
         bounds = df.agg(
             F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
         ).head()
+        if bounds["lo"] is None or bounds["hi"] is None:
+            raise ValueError(
+                f"value_histogram: column {value_col!r} has no non-null values"
+            )
         lo = float(bounds["lo"]) if lo is None else lo
         hi = float(bounds["hi"]) if hi is None else hi
+    if hi <= lo:
+        if hi < lo:
+            raise ValueError(f"value_histogram: hi ({hi}) < lo ({lo})")
+        hi = lo + 1.0  # constant column: one occupied bin, well-formed axis
     b = F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins))
     clamped = F.least(F.greatest(b, F.lit(1)), F.lit(n_bins))
     counts = (

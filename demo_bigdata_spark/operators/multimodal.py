@@ -4,10 +4,11 @@ Arrow-batched Pandas-UDF plumbing for decode/feature-extract/frame-sample.
 Design (north star): image/audio/video live as ``binary`` columns next to a
 metadata struct (mime, n_bytes, sha256). Decoders are Pandas UDFs over
 ``mapInPandas`` — Arrow batches in/out, one Python invocation per batch, not
-per row. The actual media libs (PIL/ffmpeg) are NOT in this container, so the
-decode step is STUBBED: ``decode_image_real`` raises NotImplementedError, and
-``decode_image_fake`` produces deterministic pseudo-features from the bytes so
-the Spark-side plumbing (schema, batching, partition flow) is real and tested.
+per row. PIL/ffmpeg are NOT in this container, but PNG needs only stdlib
+zlib: ``decode_image_real`` decodes real PNG pixels via functions/png.py
+(audio/video formats would need their libs and keep fake twins);
+``decode_image_fake`` produces deterministic pseudo-features from raw bytes
+for payloads that aren't images at all.
 
 At 100 TB: binary payloads dominate I/O — store them in their own parquet
 column (never inline in JSON), filter on metadata FIRST so pushdown prunes
@@ -68,12 +69,53 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
-    """Real image decode — requires PIL/libvips, absent in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/libvips (not installed); "
-        "use decode_image_fake for the plumbing path"
-    )
+    """REAL image decode over Arrow batches — pure-stdlib PNG codec
+    (functions/png.py: zlib inflate + scanline unfilter), no PIL/libvips
+    needed. Same mapInPandas shape as the fake twin; a payload that is not a
+    decodable PNG yields NULL features plus a per-row ``decode_error``
+    instead of failing the batch (at 100 TB a corrupt blob must never kill
+    the job — quarantine rows by filtering ``decode_error IS NOT NULL``)."""
+    from demo_bigdata_spark.functions.png import decode_png
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, lumas, errs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                try:
+                    w, h, luma = decode_png(bytes(payload))
+                    ws.append(w)
+                    hs.append(h)
+                    lumas.append(round(luma, 4))
+                    errs.append(None)
+                except Exception as e:  # corrupt/unsupported payload
+                    ws.append(None)
+                    hs.append(None)
+                    lumas.append(None)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mean_luma": pd.array(lumas, dtype="Float64"),
+                    "decode_error": errs,
+                }
+            )
+
+    return media.mapInPandas(_decode, IMAGE_DECODE_SCHEMA)
 
 
 def decode_image_fake(media: DataFrame) -> DataFrame:

@@ -52,6 +52,102 @@ def estimate_distinct(df: DataFrame, out_col: str = "est_uniques") -> DataFrame:
     return df.withColumn(out_col, F.hll_sketch_estimate("sketch"))
 
 
+_INT_MASK = 0xFFFFFFFF
+
+
+def _i32(x: int) -> int:
+    """Wrap to Java 32-bit signed int semantics."""
+    x &= _INT_MASK
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def _rotl32(x: int, r: int) -> int:
+    x &= _INT_MASK
+    return ((x << r) | (x >> (32 - r))) & _INT_MASK
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _INT_MASK
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & _INT_MASK
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 = (h1 ^ k1) & _INT_MASK
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _INT_MASK
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 = (h1 ^ length) & _INT_MASK
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _INT_MASK
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _INT_MASK
+    h1 ^= h1 >> 16
+    return _i32(h1)
+
+
+def _murmur3_32(data: bytes, seed: int) -> int:
+    """Spark's Murmur3_x86_32.hashUnsafeBytes: 4-byte little-endian words,
+    then each TRAILING byte (sign-extended) run through a full mix round —
+    deliberately different from reference murmur3's tail handling."""
+    h1 = seed & _INT_MASK
+    n_aligned = len(data) - len(data) % 4
+    for i in range(0, n_aligned, 4):
+        word = int.from_bytes(data[i : i + 4], "little")
+        h1 = _mix_h1(h1, _mix_k1(word))
+    for i in range(n_aligned, len(data)):
+        b = data[i]
+        half_word = b - 256 if b >= 128 else b  # Java byte is signed
+        h1 = _mix_h1(h1, _mix_k1(half_word & _INT_MASK))
+    return _fmix(h1, len(data))
+
+
+class CountMinReader:
+    """Pure-Python reader for Spark's serialized CountMinSketch (V1 format,
+    big-endian: int version, long totalCount, int depth, int width, depth
+    longs of hashA (the long-item hash multipliers), then depth*width table
+    longs — org.apache.spark.util.sketch.CountMinSketchImpl.writeTo).
+
+    Exists so probe lookups never reach into ``spark._jvm`` (unavailable
+    under Spark Connect); equivalence with the JVM reader is pinned by
+    tests/test_edge_cases.py."""
+
+    def __init__(self, blob: bytes):
+        import struct
+
+        (version,) = struct.unpack_from(">i", blob, 0)
+        if version != 1:
+            raise ValueError(f"unsupported CountMinSketch version {version}")
+        (self.total_count,) = struct.unpack_from(">q", blob, 4)
+        self.depth, self.width = struct.unpack_from(">ii", blob, 12)
+        self.hash_a = struct.unpack_from(f">{self.depth}q", blob, 20)
+        n = self.depth * self.width
+        flat = struct.unpack_from(f">{n}q", blob, 20 + self.depth * 8)
+        self.table = [
+            flat[r * self.width : (r + 1) * self.width] for r in range(self.depth)
+        ]
+
+    def _buckets(self, item: bytes) -> list[int]:
+        # double hashing, as CountMinSketchImpl.getHashBuckets: Math.abs of
+        # Java-int (hash1 + i*hash2) % width
+        h1 = _murmur3_32(item, 0)
+        h2 = _murmur3_32(item, h1 & _INT_MASK)
+        out = []
+        for i in range(self.depth):
+            v = _i32(h1 + i * h2)
+            rem = abs(v) % self.width if v >= 0 else -((-v) % self.width)
+            out.append(abs(rem))
+        return out
+
+    def estimate_count(self, item: str) -> int:
+        data = item.encode("utf-8")
+        return min(
+            self.table[i][b] for i, b in enumerate(self._buckets(data))
+        )
+
+
 def count_min_table(
     df: DataFrame,
     value_col: str,
@@ -66,7 +162,9 @@ def count_min_table(
     The sketch is ONE distributed aggregate over the column (mergeable
     binary, width ceil(e/eps) x depth ceil(ln(1/confidence)) counters); the
     probe lookup is driver-side against the ~KB sketch — bounded work, like
-    collecting a top-k. Guarantees: est >= true count, and
+    collecting a top-k. The lookup decodes the serialized sketch in pure
+    Python (CountMinReader) so it works under Spark Connect, where
+    ``spark._jvm`` does not exist. Guarantees: est >= true count, and
     est <= true + eps * N with the given confidence. Fixed seed => fully
     deterministic output."""
     blob = df.agg(
@@ -74,10 +172,6 @@ def count_min_table(
             F.col(value_col), F.lit(eps), F.lit(confidence), F.lit(seed)
         ).alias("sk")
     ).head()["sk"]
-    spark = df.sparkSession
-    jvm = spark._jvm
-    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(blob))
-    )
-    rows = [(p, sketch.estimateCount(p)) for p in probes]
-    return spark.createDataFrame(rows, "probe string, est_count long")
+    sketch = CountMinReader(bytes(blob))
+    rows = [(p, sketch.estimate_count(p)) for p in probes]
+    return df.sparkSession.createDataFrame(rows, "probe string, est_count long")

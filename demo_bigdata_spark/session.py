@@ -24,11 +24,18 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # SQL confs every query depends on, all runtime-settable — applied
 # defensively by sources.catalog.load_table so the engine works on a
 # SparkSession it didn't build (e.g. the verification driver's):
-# - nanosAsLong: the testdata's events.ts is parquet TIMESTAMP(NANOS), which
-#   Spark otherwise refuses to read at all
+# - nanosAsLong: a legacy testdata generation wrote events.ts as parquet
+#   TIMESTAMP(NANOS), which Spark otherwise refuses to read at all
+# - inferTimestampNTZ off: parquet timestamp[us] columns with
+#   isAdjustedToUTC=false would otherwise load as TIMESTAMP_NTZ, which Spark
+#   rejects for event-time watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+#   and forbids casting to DOUBLE; reading them as TIMESTAMP_LTZ at the SCAN
+#   keeps predicate pushdown alive (no cast wrapping the column) and is
+#   value-identical under the UTC session TZ
 # - UTC session TZ: timestamp formatting must match the TZ-naive DuckDB oracle
 RUNTIME_SQL_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -72,10 +79,12 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-        # testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default; read as long and convert in sources.catalog (same µs
-        # truncation DuckDB applies when reading nanos).
+        # legacy testdata wrote TIMESTAMP(NANOS) parquet, which Spark rejects
+        # by default; read as long and convert in sources.catalog (same µs
+        # truncation DuckDB applies when reading nanos). Current testdata is
+        # timestamp[us]: read as LTZ at the scan (see RUNTIME_SQL_CONFS).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),

@@ -46,8 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # timestamp_micros yields TIMESTAMP_NTZ in this Spark build; cast
+            # to TIMESTAMP (LTZ) — identity under the UTC session TZ — because
+            # event-time watermarks require LTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+            # otherwise) and every downstream op then sees one timestamp type.
             df = df.withColumn(f"_{c}_ns", F.col(c)).withColumn(
-                c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+                c, F.timestamp_micros(F.expr(f"{c} div 1000")).cast("timestamp")
             )
     return df
 

@@ -62,17 +62,22 @@ class _ReplayBatchReader(DataSourceReader):
         parts, base = [], 0
         for f in self._files():
             parts.append(_FilePartition(f, base))
-            # seq ranges per file don't overlap: pre-count lines driver-side
+            # seq ranges per file don't overlap: pre-count lines driver-side.
+            # Count NON-BLANK lines only — the one convention shared with the
+            # stream reader (_lines), so the same physical line always gets
+            # the same replay_seq in batch and streaming replays.
             with open(f, "rb") as fh:
-                base += sum(1 for _ in fh)
+                base += sum(1 for ln in fh if ln.strip())
         return parts
 
     def read(self, partition: _FilePartition):
+        seq = partition.seq_base
         with open(partition.path, encoding="utf-8") as fh:
-            for i, line in enumerate(fh):
+            for line in fh:
                 line = line.rstrip("\n")
-                if line:
-                    yield (partition.seq_base + i, line)
+                if line.strip():
+                    yield (seq, line)
+                    seq += 1
 
 
 class _ReplayStreamReader(SimpleDataSourceStreamReader):
@@ -134,7 +139,10 @@ class _ReplayWriter(DataSourceWriter):
     def commit(self, messages):
         for m in messages:
             if m is not None:
-                os.rename(m.tmp_path, m.tmp_path.replace("_tmp_", "part_"))
+                # rename the BASENAME only — a substring replace on the full
+                # path would also rewrite any "_tmp_" in a directory component
+                d, b = os.path.split(m.tmp_path)
+                os.rename(m.tmp_path, os.path.join(d, b.replace("_tmp_", "part_", 1)))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(str(sum(m.rows for m in messages if m is not None)))
 

@@ -309,12 +309,17 @@ def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
     ``except Exception`` would treat ANY read failure (transient FS error,
     corrupt footer mid-write, permissions) as "first epoch" and then
     overwrite the state table with only the current micro-batch — silently
-    discarding all accumulated state. Only the documented missing-path error
-    condition maps to None; everything else propagates so foreachBatch fails
-    the micro-batch and Structured Streaming retries it.
+    discarding all accumulated state. Only the documented no-state error
+    conditions map to None: PATH_NOT_FOUND (nothing written yet) and
+    UNABLE_TO_INFER_SCHEMA (the directory exists but holds no parquet
+    footers — e.g. created empty by a crashed first write; mapping it to
+    "failed" would permanently fail every micro-batch retry). Everything
+    else propagates so foreachBatch fails the micro-batch and Structured
+    Streaming retries it.
     """
     from pyspark.errors import AnalysisException
 
+    _NO_STATE = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
@@ -328,8 +333,8 @@ def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
                     cond = None
                 if cond:
                     break
-        if cond == "PATH_NOT_FOUND" or (
-            cond is None and "PATH_NOT_FOUND" in str(e)
+        if cond in _NO_STATE or (
+            cond is None and any(c in str(e) for c in _NO_STATE)
         ):
             return None
         raise
@@ -345,6 +350,12 @@ def combine_hourly_partial(
     under foreachBatch's at-least-once replay, so applied epoch ids are
     recorded beside the state and replayed epochs are skipped — that
     epoch ledger is what upgrades the sink to exactly-once.
+
+    Caveat: the state overwrite and the ledger append are two writes, not
+    one atomic commit. A crash BETWEEN them leaves the batch applied but
+    unrecorded, so the retry applies it twice — a narrow at-least-once
+    window. Closing it needs a transactional table format (Delta/Iceberg:
+    state+ledger in one commit); plain parquet cannot express it.
     """
     from pyspark.sql import functions as F
 
@@ -450,7 +461,9 @@ def combine_sketch_partial(
     merge (hll_union_agg) is commutative/associative/idempotent-per-key-set,
     so the table answers "uniques per day / any range" at any moment with a
     plain scan + optional further merge. Batch and stream produce the SAME
-    registers for the same input set."""
+    registers for the same input set. (HLL register-max merge is idempotent
+    per key-set, so even the non-atomic state/ledger write pair — see
+    combine_hourly_partial's caveat — cannot inflate estimates on replay.)"""
     from pyspark.sql import functions as F
 
     epochs_path = path + "_epochs"

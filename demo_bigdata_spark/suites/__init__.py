@@ -27,88 +27,18 @@ _ALL_SUITES = (
 )
 
 
-# The driver's CORRECTNESS check walks ``all_queries()`` in dict order and
-# (empirically, round 1) verifies the first 50 entries. This list pins the
-# checked window to a curated set covering EVERY operator family from
-# SURVEY.md §2 plus the LLM-pipeline tiers — one representative per family,
-# unchecked-in-round-1 families first-class. Queries not listed here follow in
-# suite order and remain pytest-oracle-covered (tests/test_oracle_suites.py
-# runs the identical differential over ALL queries).
-CHECK_PRIORITY = (
-    # §2.1-2.2 sources + ingest projections
-    "ingest_category_stats",
-    "xml_roundtrip",
-    "ingest_payload_extract",
-    "ingest_partitions",
-    # §2.3-2.4 + [EXT] analytics
-    "global_stats",
-    "category_distribution",
-    "hourly_series",
-    "top_users",
-    "numeric_profile",
-    "filtered_count",
-    "distinct_types",
-    "recent_events",
-    "keyset_pagination",
-    "funnel",
-    "time_rollup",
-    "cohort_retention",
-    "sessionize",
-    "scalar_functions",
-    "geometric_mean",
-    # §2.5 relational [EXT] families
-    "tpch_q1",
-    "revenue_by_nation",
-    "customers_without_orders",
-    "segments_with_big_orders",
-    "left_join_order_counts",
-    "set_union",
-    "set_except_all",
-    "window_analytics",
-    "running_revenue",
-    "grouping_sets",
-    "pivot_linestatus",
-    "unpivot_metrics",
-    "asof_purchase_click",
-    "events_in_windows",
-    "merge_upsert",
-    "salted_aggregate",
-    # LLM-pipeline tiers (dedup / similarity / text / sampling / sketch /
-    # multimodal)
-    "dedup_exact",
-    "near_duplicates",
-    "ngram_jaccard",
-    "simhash_pairs",
-    "decontamination",
-    "embedding_dedup",
-    "cosine_topk",
-    "quantized_topk",
-    "text_quality",
-    "corpus_mixture",
-    "approx_top_tokens",
-    "multimodal_meta",
-    # §2.6 streaming semantics (batch-twin queries)
-    "tumbling_window",
-    "stream_dedup",
-    "interval_join",
-)
-
-
 def _ordered_items():
-    """(name, (fn, sql)) pairs: CHECK_PRIORITY first, then suite order."""
+    """(name, (fn, sql)) pairs in natural suite order (analytics, ingest,
+    relational, llm, streaming — the order of ``_ALL_SUITES``). No
+    driver-aware reordering: external verification samples whatever window it
+    samples, and the local twin (tests/test_oracle_suites.py) runs the
+    identical differential over ALL queries regardless."""
     flat = {}
     for mod in _ALL_SUITES:
         for name, pair in mod.QUERIES.items():
             assert name not in flat, f"duplicate query name {name}"
             flat[name] = pair
-    missing = [n for n in CHECK_PRIORITY if n not in flat]
-    assert not missing, f"CHECK_PRIORITY names not found: {missing}"
-    assert len(set(CHECK_PRIORITY)) == len(CHECK_PRIORITY), "dupes in CHECK_PRIORITY"
-    for name in CHECK_PRIORITY:
-        yield name, flat[name]
-    for name, pair in flat.items():
-        if name not in set(CHECK_PRIORITY):
-            yield name, pair
+    yield from flat.items()
 
 
 def all_queries():

@@ -112,3 +112,134 @@ def test_quantize_zero_vector(spark):
     assert rows[1]["scale"] == 0.0 and set(rows[1]["qvec"]) == {0}
     top = {r["vec_id"]: r["cosine"] for r in quantized_topk(q, [1.0, 2.0, 2.0], k=2).collect()}
     assert top[1] == 0.0 and abs(top[2] - 1.0) < 1e-3
+
+
+def test_value_histogram_degenerate_inputs(spark):
+    """Empty/all-NULL input raises a clear ValueError; a constant column
+    produces a well-formed single-occupied-bin histogram (ADVICE r2)."""
+    import pytest
+
+    from demo_bigdata_spark.operators.analytics import value_histogram
+
+    empty = spark.createDataFrame([], "value double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        value_histogram(empty, "value", n_bins=5)
+    nulls = spark.createDataFrame([(None,), (None,)], "value double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        value_histogram(nulls, "value", n_bins=5)
+
+    const = spark.createDataFrame([(7.0,), (7.0,), (7.0,)], ["value"])
+    rows = {r["bin"]: r for r in value_histogram(const, "value", n_bins=4).collect()}
+    assert len(rows) == 4
+    assert rows[1]["n"] == 3 and sum(r["n"] for r in rows.values()) == 3
+    assert rows[1]["bin_lo"] == 7.0
+
+    with pytest.raises(ValueError, match="hi .* < lo"):
+        value_histogram(const, "value", n_bins=4, lo=10.0, hi=5.0)
+
+
+def test_paginate_keyset_rejects_half_cursor(spark, sf_dir):
+    """last_ts without last_id (or vice versa) must fail fast instead of
+    silently dropping boundary-timestamp rows via a NULL predicate."""
+    import pytest
+
+    from demo_bigdata_spark.operators.analytics import paginate_keyset
+
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="both"):
+        paginate_keyset(ev, "ts", "event_id", "2024-01-05 00:00:00", None, 10)
+    with pytest.raises(ValueError, match="both"):
+        paginate_keyset(ev, "ts", "event_id", None, 42, 10)
+
+
+def test_count_min_reader_matches_jvm(spark, sf_dir):
+    """The pure-Python CountMinSketch decoder (Connect-safe path) must agree
+    with the JVM reader on every probe, including absent keys."""
+    from pyspark.sql import functions as F
+
+    from demo_bigdata_spark.operators.sketches import CountMinReader
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    blob = bytes(
+        ev.agg(
+            F.count_min_sketch(F.col("event_type"), F.lit(0.001), F.lit(0.99), F.lit(42)).alias("sk")
+        ).head()["sk"]
+    )
+    py = CountMinReader(blob)
+    jvm = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        spark._jvm.java.io.ByteArrayInputStream(blob)
+    )
+    probes = ["click", "view", "purchase", "signup", "error", "absent-key", "", "ünïcode-🎈"]
+    for p in probes:
+        assert py.estimate_count(p) == jvm.estimateCount(p), p
+    assert py.total_count == jvm.totalCount()
+
+
+def test_replay_source_blank_line_convention(spark, tmp_path):
+    """Batch and streaming replay readers assign the SAME replay_seq to the
+    same physical line when blank lines are present (ADVICE r2), and the
+    writer renames only the basename even under a '_tmp_' directory."""
+    import json
+    import os
+
+    from demo_bigdata_spark.sources.pydatasource import register
+
+    register(spark)
+    # a directory whose path contains _tmp_ must survive the commit rename
+    base = tmp_path / "cap_tmp_dir"
+    base.mkdir()
+    cap = base / "events.ndjson"
+    lines = [json.dumps({"id": str(i), "type": "PushEvent"}) for i in range(5)]
+    cap.write_text(lines[0] + "\n\n" + lines[1] + "\n   \n" + "\n".join(lines[2:]) + "\n")
+
+    batch = (
+        spark.read.format("github_replay").option("path", str(cap)).load().collect()
+    )
+    got_batch = sorted((r["replay_seq"], r["raw_json"]) for r in batch)
+    assert [s for s, _ in got_batch] == [0, 1, 2, 3, 4]  # dense despite blanks
+
+    out = (
+        spark.readStream.format("github_replay")
+        .option("path", str(cap))
+        .option("batch_size", "2")
+        .load()
+    )
+    q = out.writeStream.format("memory").queryName("replay_blank").start()
+    try:
+        q.processAllAvailable()
+        got_stream = sorted(
+            (r["replay_seq"], r["raw_json"])
+            for r in spark.sql("SELECT * FROM replay_blank").collect()
+        )
+    finally:
+        q.stop()
+    assert got_stream == got_batch
+
+    # writer: rename must not rewrite the directory component
+    sink = base / "sink_tmp_out"
+    spark.createDataFrame([(r["replay_seq"], r["raw_json"]) for r in batch],
+                          "replay_seq long, raw_json string").write.format(
+        "github_replay"
+    ).mode("append").option("path", str(sink)).save()
+    assert os.path.isdir(str(sink))
+    names = os.listdir(str(sink))
+    assert any(n.startswith("part_") for n in names)
+    assert not any(n.startswith("_tmp_") for n in names)
+
+
+def test_read_parquet_if_exists_empty_dir(spark, tmp_path):
+    """An existing-but-empty state directory means 'no state yet' (first
+    epoch), not a permanent micro-batch failure (ADVICE r2)."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    missing = str(tmp_path / "never_written")
+    assert _read_parquet_if_exists(spark, missing) is None
+
+    empty = tmp_path / "state"
+    empty.mkdir()
+    assert _read_parquet_if_exists(spark, str(empty)) is None
+
+    # real state still reads back
+    p = str(tmp_path / "real")
+    spark.range(3).write.parquet(p)
+    assert _read_parquet_if_exists(spark, p).count() == 3

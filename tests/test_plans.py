@@ -27,9 +27,11 @@ def test_filters_push_down_to_scan(spark, sf_dir):
     df = A.apply_filters(df, event_type="purchase")
     out = df.select("event_id")
     assert has_pushed_filters(out, "event_type"), executed_plan(out)
-    # the RANGE predicate must reach the scan via the raw nanos attribute
-    # (pushed under the original parquet column name `ts`, as a long) —
-    # a filter on the derived timestamp expression would not push at all
+    # the RANGE predicate must reach the scan under the parquet column name
+    # `ts` — as a timestamp literal with current testdata (timestamp[us]
+    # read as LTZ at the scan), or as a raw-ns long via the _ts_ns fallback
+    # for legacy nanos-encoded files; a filter on a DERIVED timestamp
+    # expression would not push at all
     assert has_pushed_filters(out, "GreaterThanOrEqual(ts,"), executed_plan(out)
 
 
