@@ -65,6 +65,7 @@ HEADLINE = [
     "ngram_jaccard",
     "simhash",
     "text_quality",
+    "gopher_quality_gate",
     "token_counts",
     "cosine_topk",
     "quantized_topk",

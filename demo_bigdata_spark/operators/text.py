@@ -227,3 +227,188 @@ def unigram_logprob_score(
         F.round(F.avg("_nll"), 4).alias("mean_nll"),
         F.count("*").alias("n_tokens"),
     )
+
+
+# Gopher-rule constants (Rae et al. 2021, "Scaling Language Models" §A1.1 —
+# public filtering heuristics). Shared with the DuckDB oracle twins so the
+# differential checks the full rule set, not just row counts.
+REQUIRED_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+BULLET_PREFIXES: tuple[str, ...] = ("-", "*", "•")
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[EXT] Gopher-style repetition signals per document:
+
+    - ``dup_line_frac``: fraction of non-blank lines that are duplicates of
+      an earlier line (1 - distinct/total) — boilerplate/navigation detector
+    - ``top_bigram_frac``: fraction of tokens covered by the single most
+      frequent token-bigram (2*max_count/n_tokens) — template/spam detector
+
+    Line stats are pure array expressions (no shuffle). The bigram mode
+    needs a per-(doc, bigram) count: explode -> two-level hash aggregate —
+    partial map-side combine keeps the shuffle proportional to DISTINCT
+    bigrams per doc, and the key space is (doc_id, bigram), so skew is
+    bounded by single-document size, not corpus size. A per-doc
+    higher-order-function O(k^2) rewrite avoids the shuffle but interprets
+    per element (ROUND_NOTES fact 3) — measured slower at any real doc
+    length.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    line_stats = df.select(
+        F.col(id_col),
+        tokens(c).alias("_toks"),
+        token_count(c).alias("_n_toks"),
+        F.when(
+            n_lines > 0,
+            F.round(
+                1 - F.size(F.array_distinct(lines)) / n_lines.cast("double"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+    bigrams = line_stats.select(
+        id_col,
+        "_n_toks",
+        F.explode(
+            F.when(
+                F.col("_n_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n_toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.get("_toks", i), F.get("_toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("_bg"),
+    )
+    top_bigram = (
+        bigrams.groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_c"), F.first("_n_toks").alias("_n_toks"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                2 * F.max("_c") / F.first("_n_toks").cast("double"), 4
+            ).alias("top_bigram_frac")
+        )
+    )
+    return (
+        line_stats.drop("_toks", "_n_toks")
+        .join(top_bigram, id_col, "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+    )
+
+
+def gopher_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[EXT] the Gopher quality-rule feature vector (public heuristics):
+    word count, mean word length, symbol-to-word ratio (# and ellipsis),
+    bullet-line / ellipsis-line fractions, alphabetic-word fraction, and
+    required-stopword hits. One projection — no shuffle; every expression is
+    a Catalyst built-in shared verbatim with the DuckDB oracle."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = token_count(c)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    # Determinism across engines (ROUND_NOTES fact 5): every ratio is ONE
+    # division of two integers — IEEE division of identical ints is
+    # bit-identical everywhere, where round(x, k) on a .xx5 boundary is not.
+    # The ellipsis char-count is 3 per '...' occurrence, so the symbol
+    # numerator is scaled x3 to stay integer.
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell3 = F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    n_uni = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    sym_num3 = 3 * n_hash + n_ell3 + 3 * n_uni
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.array_contains(
+                F.array(*[F.lit(p) for p in BULLET_PREFIXES]), F.substring(ln, 1, 1)
+            ),
+        )
+    )
+    ellipsis_end = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.endswith("...") | ln.endswith("…"),
+        )
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    lower_set = F.array_distinct(F.transform(toks, lambda t: F.lower(t)))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in REQUIRED_STOPWORDS]),
+            lambda s: F.array_contains(lower_set, s),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        (F.length(F.regexp_replace(c, r"\s", "")) / nd).alias("mean_word_len"),
+        (sym_num3 / (3 * nd)).alias("symbol_word_ratio"),
+        (bullet / n_lines).alias("bullet_line_frac"),
+        (ellipsis_end / n_lines).alias("ellipsis_line_frac"),
+        (alpha_words / nd).alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """[EXT] the combined Gopher keep/drop gate: every rule a named boolean
+    column plus the conjunction ``keep`` — decomposed flags make the drop
+    reasons auditable (the production pattern: persist flags, tune
+    thresholds offline, re-filter without re-scanning text). Thresholds
+    default to the published Gopher values where the synthetic corpus makes
+    them meaningful (word bounds scaled down from 50/100k)."""
+    feats = gopher_features(df, text_col, id_col).join(
+        repetition_features(df, text_col, id_col), id_col
+    )
+    flags = {
+        "ok_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbols": F.col("symbol_word_ratio") <= max_symbol_ratio,
+        "ok_bullets": F.col("bullet_line_frac") <= max_bullet_frac,
+        "ok_ellipsis": F.col("ellipsis_line_frac") <= max_ellipsis_frac,
+        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_frac,
+        "ok_stopwords": F.col("stop_hits") >= min_stop_hits,
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "ok_bigram_rep": F.col("top_bigram_frac") <= max_top_bigram_frac,
+    }
+    out = feats
+    keep = F.lit(True)
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)

@@ -268,6 +268,115 @@ FROM base
 ORDER BY doc_id
 """
 
+# --- Gopher repetition / quality rules --------------------------------------------------------
+
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition signals (operator: text.repetition_features):
+    duplicate-line fraction + top-bigram token coverage per document."""
+    return X.repetition_features(_docs(spark, sf_dir))
+
+
+# shared DuckDB fragments for the Gopher tier (same tokenization as Spark:
+# trim + whitespace split, '' -> no tokens; lines trimmed, blanks dropped)
+_SQL_GOPHER_BASE = rf"""
+toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE {SQL_TOKS_RAW} END AS tk
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+                                       i -> tk[i + 1] || ' ' || tk[i + 2])) AS bg
+  FROM toks WHERE len(tk) >= 2
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+topb AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY 1)
+"""
+
+SQL_REPETITION_QUALITY = f"""
+WITH {_SQL_GOPHER_BASE}
+SELECT t.doc_id,
+       CASE WHEN len(l.ls) > 0
+            THEN round(1 - len(list_distinct(l.ls)) / len(l.ls)::DOUBLE, 4)
+            ELSE 0.0 END AS dup_line_frac,
+       coalesce(round(2 * p.mc / len(t.tk)::DOUBLE, 4), 0.0) AS top_bigram_frac
+FROM toks t
+JOIN lns l USING (doc_id)
+LEFT JOIN topb p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_gopher_quality_gate(spark, sf_dir):
+    """The full Gopher rule gate (operator: text.gopher_filter): every rule a
+    named boolean flag plus the conjunction — the oracle recomputes the
+    entire feature vector AND the thresholds in SQL."""
+    return X.gopher_filter(_docs(spark, sf_dir))
+
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in X.REQUIRED_STOPWORDS)
+SQL_GOPHER_GATE = f"""
+WITH {_SQL_GOPHER_BASE},
+feat AS (
+  -- every ratio is ONE integer/integer division (bit-identical to Spark's;
+  -- ROUND_NOTES fact 5 — no round() on potentially-.xx5 doubles). The
+  -- symbol numerator is x3-scaled so the '...'/3 term stays integer.
+  SELECT t.doc_id,
+         len(t.tk)::BIGINT AS n_words,
+         length(regexp_replace(t.text, '\\s', '', 'g'))
+               / greatest(len(t.tk), 1)::DOUBLE AS mean_word_len,
+         (
+             3 * (length(t.text) - length(replace(t.text, '#', '')))
+           + (length(t.text) - length(replace(t.text, '...', '')))
+           + 3 * (length(t.text) - length(replace(t.text, '…', '')))
+         ) / (3 * greatest(len(t.tk), 1))::DOUBLE AS symbol_word_ratio,
+         len(list_filter(l.ls, x -> list_contains(['-', '*', '•'], x[1:1])))
+               / greatest(len(l.ls), 1)::DOUBLE AS bullet_line_frac,
+         len(list_filter(l.ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+               / greatest(len(l.ls), 1)::DOUBLE AS ellipsis_line_frac,
+         len(list_filter(t.tk, x -> regexp_matches(x, '[A-Za-z]')))
+               / greatest(len(t.tk), 1)::DOUBLE AS alpha_word_frac,
+         len(list_filter([{_STOPS_SQL}],
+             s -> list_contains(list_distinct(list_transform(t.tk, w -> lower(w))), s)
+         ))::BIGINT AS stop_hits,
+         CASE WHEN len(l.ls) > 0
+              THEN round(1 - len(list_distinct(l.ls)) / len(l.ls)::DOUBLE, 4)
+              ELSE 0.0 END AS dup_line_frac,
+         coalesce(round(2 * p.mc / len(t.tk)::DOUBLE, 4), 0.0) AS top_bigram_frac
+  FROM toks t
+  JOIN lns l USING (doc_id)
+  LEFT JOIN topb p USING (doc_id)
+)
+SELECT *,
+       (n_words BETWEEN 10 AND 100000) AS ok_words,
+       (mean_word_len BETWEEN 2.0 AND 12.0) AS ok_word_len,
+       (symbol_word_ratio <= 0.1) AS ok_symbols,
+       (bullet_line_frac <= 0.9) AS ok_bullets,
+       (ellipsis_line_frac <= 0.3) AS ok_ellipsis,
+       (alpha_word_frac >= 0.8) AS ok_alpha,
+       (stop_hits >= 2) AS ok_stopwords,
+       (dup_line_frac <= 0.3) AS ok_dup_lines,
+       (top_bigram_frac <= 0.2) AS ok_bigram_rep,
+       ((n_words BETWEEN 10 AND 100000)
+        AND (mean_word_len BETWEEN 2.0 AND 12.0)
+        AND (symbol_word_ratio <= 0.1)
+        AND (bullet_line_frac <= 0.9)
+        AND (ellipsis_line_frac <= 0.3)
+        AND (alpha_word_frac >= 0.8)
+        AND (stop_hits >= 2)
+        AND (dup_line_frac <= 0.3)
+        AND (top_bigram_frac <= 0.2)) AS keep
+FROM feat
+ORDER BY doc_id
+"""
+
 # --- Language ID accuracy ---------------------------------------------------------------------
 
 def q_language_id(spark, sf_dir):
@@ -982,6 +1091,8 @@ QUERIES = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "repetition_quality": (q_repetition_quality, SQL_REPETITION_QUALITY),
+    "gopher_quality_gate": (q_gopher_quality_gate, SQL_GOPHER_GATE),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),

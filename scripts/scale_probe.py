@@ -29,7 +29,7 @@ def main() -> None:
     tmp = "/tmp/scale_probe"
     from demo_bigdata_spark.sources.catalog import load_table
 
-    ev = load_table(spark, SF, "events")  # ts timestamp + _ts_ns raw long
+    ev = load_table(spark, SF, "events")  # ts TIMESTAMP_LTZ (see session confs)
     # replicate with shifted ids/times so keys stay realistic (no giant dup keys)
     n = ev.count()
     reps = spark.range(FACTOR).withColumnRenamed("id", "rep")
@@ -40,10 +40,13 @@ def main() -> None:
         .withColumn("user_id", F.col("user_id") + (F.col("rep") % 10) * 1000)
         .withColumn("ts", F.timestamp_micros(
             (F.unix_micros("ts") + F.col("rep") * F.lit(day_us)).cast("long")
-        ))
-        .withColumn("_ts_ns", F.col("_ts_ns") + F.col("rep") * F.lit(day_us * 1000))
-        .drop("rep")
+        ).cast("timestamp"))
     )
+    if "_ts_ns" in big.columns:  # legacy nanos-encoded testdata only
+        big = big.withColumn(
+            "_ts_ns", F.col("_ts_ns") + F.col("rep") * F.lit(day_us * 1000)
+        )
+    big = big.drop("rep")
     big.write.mode("overwrite").parquet(f"{tmp}/events_big.parquet")
     big_n = spark.read.parquet(f"{tmp}/events_big.parquet").count()
 

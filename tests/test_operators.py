@@ -594,3 +594,38 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     }
     first = {tuple(r) for r in mixed.select("doc_id").collect()}
     assert first == again
+
+
+def test_gopher_rules_on_crafted_docs(spark):
+    """Gopher gate semantics: repetition, symbol spam, bullets, and
+    stopword-free docs are dropped for the right named reason; clean prose
+    passes every flag."""
+    from demo_bigdata_spark.operators.text import gopher_filter, repetition_features
+
+    clean = (
+        "the quick brown fox likes to be of service and that is why we have "
+        "fun with all the other animals in the forest every single day"
+    )
+    docs = [
+        (1, clean),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\nthe end of that be to have with and"),
+        (4, "#### #### #### the cat and the dog be of that to have with words words"),
+        (5, "dup line\ndup line\ndup line\ndup line\nthe end to be of and that have with more words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+
+    assert got[1]["keep"] and all(
+        got[1][f] for f in got[1].asDict() if f.startswith("ok_")
+    )
+    assert not got[2]["keep"] and not got[2]["ok_bigram_rep"] and not got[2]["ok_stopwords"]
+    assert not got[3]["keep"] and not got[3]["ok_bullets"]
+    assert got[3]["bullet_line_frac"] > 0.9
+    assert not got[4]["keep"] and not got[4]["ok_symbols"]
+    assert not got[5]["keep"] and not got[5]["ok_dup_lines"]
+
+    rep = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert rep[5]["dup_line_frac"] == 0.6  # 5 lines, 2 distinct
+    assert rep[2]["top_bigram_frac"] > 1.0  # overlapping bigram saturation
+    assert rep[1]["dup_line_frac"] == 0.0
