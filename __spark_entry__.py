@@ -22,7 +22,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Scan -> categorize (CASE) -> aggregate -> window percentage -> sort:
+    Scan -> categorize (CASE) -> aggregate -> broadcast pct-of-total -> sort:
     the reference's dashboard distribution (SURVEY.md §3.2) in one plan.
     """
     from demo_bigdata_spark.suites.suite_analytics import q_category_distribution

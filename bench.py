@@ -73,6 +73,7 @@ HEADLINE = [
     "doc_chunks",
     "hash_sample",
     "decontamination",
+    "winnowed_fingerprints",
 ]
 
 

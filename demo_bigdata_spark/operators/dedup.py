@@ -615,3 +615,89 @@ def char_ngram_jaccard_pairs(
         .otherwise(F.round(F.col("inter").cast("double") / union, 4))
         .alias("ngram_jaccard"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """[EXT] winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char k-gram of the
+    normalized text, then keep the minimum hash of each sliding window of
+    ``w`` consecutive gram hashes. The distinct minima form the fingerprint
+    set — guaranteed to share a fingerprint with any document that has a
+    matching substring of length >= k + w - 1, at ~2/(w+1) the density of
+    the full gram set.
+
+    Output: one row per (doc_id, fp), fp a 28-bit portable gram hash
+    (token_hash), distinct per doc. Local-substring dedup/plagiarism
+    detection joins two fingerprint tables on fp — shuffle volume is the
+    winnowed set (w+1 times smaller than all-grams), never the corpus.
+
+    Implementation notes: the gram array is built ONCE per row and pinned
+    (functions.scalar.pin) before the window-minima pass — an unpinned
+    gram expression would be re-inlined into the minima lambda and
+    recomputed per window (the ROUND_NOTES O(L^2) HOF trap). Everything is
+    Catalyst built-ins: substr/md5/conv, sequence/transform/slice/
+    array_min — no UDFs, no shuffle until the final distinct explode.
+    """
+    from demo_bigdata_spark.functions.scalar import pin
+
+    norm = df.select(
+        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_norm")
+    )
+    grams_expr = F.when(
+        F.length("_norm") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_norm") - (k - 1)),
+            lambda i: token_hash(F.col("_norm").substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grammed = norm.select(id_col, pin(grams_expr).alias("_grams")).filter(
+        F.size("_grams") > 0
+    )
+    mins = F.when(
+        F.size("_grams") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_grams") - w),
+            lambda j: F.array_min(F.slice("_grams", j + 1, w)),
+        ),
+    ).otherwise(F.array(F.array_min("_grams")))
+    return (
+        grammed.select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """[EXT] local-overlap candidate pairs via shared winnowed fingerprints:
+    equi-join the fingerprint table with itself on fp, count shared prints
+    per pair. ``max_bucket`` caps pathological fingerprints (boilerplate
+    shared by half the corpus) exactly like the LSH dup-farm cap — the join
+    stays bucket-bounded, never all-pairs."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(
+        eager=False
+    )
+    sizes = fps.groupBy("fp").agg(F.count("*").alias("_bn"))
+    bounded = fps.join(
+        F.broadcast(sizes.filter(F.col("_bn") > max_bucket)), "fp", "left_anti"
+    )
+    a = bounded.select(F.col(id_col).alias("id_a"), "fp")
+    b = bounded.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

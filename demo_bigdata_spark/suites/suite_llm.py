@@ -268,6 +268,68 @@ FROM base
 ORDER BY doc_id
 """
 
+# --- Winnowing fingerprints (MOSS) ------------------------------------------------------------
+
+def q_winnowed_fingerprints(spark, sf_dir):
+    """Per-doc winnowed fingerprint profile (operator:
+    dedup.winnow_fingerprints, k=5 char grams, window 4): count + min/max +
+    sum checksum — the full fingerprint set verified without collecting a
+    million-row table."""
+    fps = D.winnow_fingerprints(_docs(spark, sf_dir))
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("fp").alias("fp_sum"),
+    )
+
+
+_SQL_WINNOW_CTE = """
+wnorm AS (SELECT doc_id, lower(trim(text)) AS nm FROM documents),
+wgrams AS (
+  SELECT doc_id,
+         list_transform(range(length(nm) - 4),
+                        i -> ('0x' || substr(md5(substr(nm, i + 1, 5)), 1, 7))::BIGINT) AS gs
+  FROM wnorm WHERE length(nm) >= 5
+),
+wmins AS (
+  SELECT doc_id,
+         CASE WHEN len(gs) >= 4
+              THEN list_transform(range(len(gs) - 3), j -> list_min(gs[j + 1 : j + 4]))
+              ELSE [list_min(gs)] END AS ms
+  FROM wgrams WHERE len(gs) > 0
+),
+wfps AS (SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM wmins)
+"""
+
+SQL_WINNOWED_FINGERPRINTS = f"""
+WITH {_SQL_WINNOW_CTE}
+SELECT doc_id, count(*)::BIGINT AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp,
+       sum(fp)::BIGINT AS fp_sum
+FROM wfps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Local-overlap pairs by shared winnowed prints (bucket-capped join —
+    never all-pairs; operator: dedup.winnow_overlap_pairs)."""
+    return D.winnow_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
+    # unordered: see q_near_duplicates
+
+
+SQL_WINNOW_OVERLAP = f"""
+WITH {_SQL_WINNOW_CTE},
+wsizes AS (SELECT fp, count(*) AS bn FROM wfps GROUP BY 1),
+wbounded AS (
+  SELECT f.doc_id, f.fp FROM wfps f JOIN wsizes s USING (fp) WHERE s.bn <= 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM wbounded a
+JOIN wbounded b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
 # --- Gopher repetition / quality rules --------------------------------------------------------
 
 def q_repetition_quality(spark, sf_dir):
@@ -1093,6 +1155,8 @@ QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "repetition_quality": (q_repetition_quality, SQL_REPETITION_QUALITY),
     "gopher_quality_gate": (q_gopher_quality_gate, SQL_GOPHER_GATE),
+    "winnowed_fingerprints": (q_winnowed_fingerprints, SQL_WINNOWED_FINGERPRINTS),
+    "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),

@@ -629,3 +629,63 @@ def test_gopher_rules_on_crafted_docs(spark):
     assert rep[5]["dup_line_frac"] == 0.6  # 5 lines, 2 distinct
     assert rep[2]["top_bigram_frac"] > 1.0  # overlapping bigram saturation
     assert rep[1]["dup_line_frac"] == 0.0
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """Winnowed fingerprint sets must equal a brute-force Python
+    reimplementation (set of k-gram-hash window minima), including the
+    short-document edge cases (fewer grams than the window; text shorter
+    than k)."""
+    import hashlib
+
+    from demo_bigdata_spark.operators.dedup import winnow_fingerprints
+
+    def ref(text, k=5, w=4):
+        norm = text.strip().lower()
+        if len(norm) < k:
+            return set()
+        grams = [
+            int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:7], 16)
+            for i in range(len(norm) - k + 1)
+        ]
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abcdefg"),
+        (3, "abcde"),   # exactly one gram
+        (4, "abcd"),    # shorter than k -> no fingerprints
+        (5, "aaaaaaaaaaaaaaaa"),  # constant grams -> one distinct fp
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in docs:
+        expected = ref(text)
+        assert got.get(doc_id, set()) == expected, f"doc {doc_id}"
+    assert 4 not in got
+    assert len(got[5]) == 1
+
+
+def test_winnow_overlap_detects_shared_substring(spark):
+    """Two documents sharing a long substring must share fingerprints
+    (winnowing guarantee: any common substring of length >= k+w-1 yields a
+    shared print); disjoint documents must not pair."""
+    from demo_bigdata_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "this exact phrase appears verbatim in both documents here"
+    docs = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "completely different lead-in " + shared + " and another tail"),
+        (3, "nothing in common with the others at all whatsoever zzz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)

@@ -361,3 +361,34 @@ def test_incremental_sketches_match_batch(spark, sf_dir, stream_src, tmp_path):
         for r in read_distinct_estimates(spark, out).collect()
     )
     assert after == before
+
+
+def test_gopher_gate_features_run_on_stream(spark, tmp_path):
+    """The Gopher feature projection is stateless, so it runs unchanged on a
+    stream (the shared batch/stream-transform contract): micro-batched docs
+    through gopher_features must equal the batch run."""
+    from demo_bigdata_spark.operators.text import gopher_features
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in gopher_features(spark.read.parquet(src)).collect()
+    }
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = gopher_features(stream)
+    q = out.writeStream.outputMode("append").format("memory").queryName("gopher_s").start()
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: tuple(r)
+            for r in spark.sql("SELECT * FROM gopher_s").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch and len(got) == 200
