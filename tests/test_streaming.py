@@ -392,3 +392,39 @@ def test_gopher_gate_features_run_on_stream(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch and len(got) == 200
+
+
+def test_quality_observation_batch_and_stream(spark, sf_dir, stream_src):
+    """Observation metrics must report identical row/null counts batch-side
+    (Observation.get) and stream-side (progress.observedMetrics), without a
+    second scan."""
+    from demo_bigdata_spark.streaming.pipeline import with_quality_observation
+
+    ev = load_table(spark, sf_dir, "events")
+    observed, obs = with_quality_observation(ev)
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_event_id"] == ev.filter(F.col("event_id").isNull()).count()
+    assert got["null_ts"] == ev.filter(F.col("ts").isNull()).count()
+
+    stream = read_events_stream(spark, stream_src, max_files_per_trigger=10)
+    s_observed, _ = with_quality_observation(stream, name="q_stream")
+    q = (
+        s_observed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("obs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        totals = {"n_rows": 0, "null_event_id": 0}
+        for p in q.recentProgress:
+            m = (p.get("observedMetrics") or {}).get("q_stream")
+            if m:
+                totals["n_rows"] += m["n_rows"]
+                totals["null_event_id"] += m["null_event_id"]
+    finally:
+        q.stop()
+    assert totals["n_rows"] == n
+    assert totals["null_event_id"] == got["null_event_id"]
