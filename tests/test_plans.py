@@ -120,3 +120,31 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     plan = executed_plan(q_events_in_windows(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_gopher_gate_single_projection_scan(spark, sf_dir):
+    """The fused Gopher gate must scan the corpus at most twice (one
+    projection pass + the bigram aggregate) — a regression to the naive
+    features-join-repetition form shows up as a third FileScan."""
+    from demo_bigdata_spark.operators.text import gopher_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(gopher_filter(docs))
+    assert plan.count("Scan parquet") <= 2, plan
+    assert not has_cartesian(gopher_filter(docs))
+
+
+def test_winnow_overlap_no_cartesian_and_pct_no_global_window(spark, sf_dir):
+    """winnow_overlap joins on fp (never all-pairs); pct_of_total must plan
+    a broadcast join, not a single-partition global WindowExec."""
+    from demo_bigdata_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    assert not has_cartesian(winnow_overlap_pairs(docs))
+
+    dist = A.type_distribution(load_table(spark, sf_dir, "events"))
+    plan = executed_plan(dist)
+    assert "Window" not in plan, plan
+    # the one-row total attaches via a broadcast (nested-loop, keyless —
+    # correct for a scalar side), never an Exchange-to-one-partition window
+    assert "Broadcast" in plan, plan
