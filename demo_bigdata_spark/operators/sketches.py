@@ -175,3 +175,62 @@ def count_min_table(
     sketch = CountMinReader(bytes(blob))
     rows = [(p, sketch.estimate_count(p)) for p in probes]
     return df.sparkSession.createDataFrame(rows, "probe string, est_count long")
+
+
+def merge_count_min(blobs: list[bytes]) -> bytes:
+    """Merge serialized count-min sketches (pure Python, Connect-safe).
+
+    CMS is LINEAR: for equal (depth, width, hash family) the merged table is
+    the element-wise sum and totalCount adds — estimates over the union are
+    exactly the estimates of the concatenated input. Spark's aggregate always
+    derives the hash family from the item bytes plus the row index (seed is
+    only a table-shape parameter), so same eps/confidence => mergeable.
+
+    This is what makes per-partition / per-day CMS maintenance work at
+    100 TB: persist a KB-size blob per slice, answer any range by merging
+    slices — never rescan raw data (same pattern as the HLL fold in
+    streaming/pipeline.py).
+    """
+    import struct
+
+    if not blobs:
+        raise ValueError("merge_count_min: no sketches given")
+    readers = [CountMinReader(bytes(b)) for b in blobs]
+    first = readers[0]
+    for r in readers[1:]:
+        if (r.depth, r.width) != (first.depth, first.width):
+            raise ValueError(
+                f"incompatible CMS shapes: {(r.depth, r.width)} vs "
+                f"{(first.depth, first.width)}"
+            )
+    table = [
+        [sum(r.table[i][j] for r in readers) for j in range(first.width)]
+        for i in range(first.depth)
+    ]
+    total = sum(r.total_count for r in readers)
+    out = bytearray()
+    out += struct.pack(">i", 1)
+    out += struct.pack(">q", total)
+    out += struct.pack(">ii", first.depth, first.width)
+    out += struct.pack(f">{first.depth}q", *first.hash_a)
+    for row in table:
+        out += struct.pack(f">{first.width}q", *row)
+    return bytes(out)
+
+
+def count_min_blob(
+    df: DataFrame,
+    value_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> bytes:
+    """One serialized CMS over a column — the persistable partial for
+    :func:`merge_count_min`."""
+    return bytes(
+        df.agg(
+            F.count_min_sketch(
+                F.col(value_col), F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("sk")
+        ).head()["sk"]
+    )

@@ -558,3 +558,102 @@ def with_quality_observation(
         return df.observe(name, *metrics), None
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def combine_cms_partial(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+) -> None:
+    """Merge one micro-batch's per-day count-min partials into the sketch
+    table at ``path`` exactly once per epoch (epoch ledger beside the state,
+    as in combine_hourly_partial).
+
+    CMS is linear (operators.sketches.merge_count_min), so per-day token
+    frequencies are maintained as one KB blob per day: the fold computes the
+    batch's per-day sketches with ONE distributed aggregate, then merges
+    blob-with-blob driver-side — bounded work per epoch regardless of
+    history length. Readers answer "estimate frequency of X on day/range D"
+    by merging the touched blobs, never rescanning raw data.
+    """
+    from demo_bigdata_spark.operators.sketches import merge_count_min
+
+    epochs_path = path + "_epochs"
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    applied = (
+        {r["epoch_id"] for r in ledger.collect()} if ledger is not None else set()
+    )
+    if epoch_id in applied:
+        return
+    part_rows = (
+        batch_df.groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(
+            F.count_min_sketch(
+                F.col(value_col), F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("blob")
+        )
+        .collect()
+    )
+    parts = {str(r["day"]): bytes(r["blob"]) for r in part_rows}
+    state = _read_parquet_if_exists(spark, path)
+    merged = (
+        {r["day"]: bytes(r["blob"]) for r in state.collect()}
+        if state is not None
+        else {}
+    )
+    for day, blob in parts.items():
+        merged[day] = (
+            merge_count_min([merged[day], blob]) if day in merged else blob
+        )
+    spark.createDataFrame(
+        sorted(merged.items()), "day string, blob binary"
+    ).write.mode("overwrite").parquet(path + "_tmp")
+    # overwrite via rewrite: localCheckpoint not needed, the frame is local rows
+    spark.read.parquet(path + "_tmp").write.mode("overwrite").parquet(path)
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
+        "append"
+    ).parquet(epochs_path)
+
+
+def incremental_token_frequencies(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] incremental frequency maintenance: per-day CMS blobs folded per
+    micro-batch (see combine_cms_partial). Probe with
+    read_frequency_estimates."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        combine_cms_partial(spark, path, batch_df, epoch_id, value_col, ts_col)
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def read_frequency_estimates(spark, path: str, probes: list[str], days: list[str] | None = None):
+    """Estimate probe frequencies from the maintained per-day CMS table:
+    merge the (selected) day blobs driver-side, probe the merged sketch.
+    Returns [(probe, est_count)]."""
+    from demo_bigdata_spark.operators.sketches import CountMinReader, merge_count_min
+
+    rows = spark.read.parquet(path).collect()
+    blobs = [
+        bytes(r["blob"]) for r in rows if days is None or str(r["day"]) in days
+    ]
+    if not blobs:
+        return [(p, 0) for p in probes]
+    reader = CountMinReader(merge_count_min(blobs))
+    return [(p, reader.estimate_count(p)) for p in probes]

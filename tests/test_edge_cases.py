@@ -243,3 +243,36 @@ def test_read_parquet_if_exists_empty_dir(spark, tmp_path):
     p = str(tmp_path / "real")
     spark.range(3).write.parquet(p)
     assert _read_parquet_if_exists(spark, p).count() == 3
+
+
+def test_count_min_merge_is_exact_union(spark, sf_dir):
+    """CMS linearity: merging per-slice sketches must reproduce the
+    whole-corpus sketch exactly (same table bytes -> same estimates), and
+    the merged blob round-trips through the JVM reader."""
+    from demo_bigdata_spark.operators.sketches import (
+        CountMinReader,
+        count_min_blob,
+        merge_count_min,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    half_a = ev.filter(F.col("user_id") % 2 == 0)
+    half_b = ev.filter(F.col("user_id") % 2 == 1)
+    merged = merge_count_min(
+        [count_min_blob(half_a, "event_type"), count_min_blob(half_b, "event_type")]
+    )
+    whole = count_min_blob(ev, "event_type")
+    r_m, r_w = CountMinReader(merged), CountMinReader(whole)
+    assert r_m.total_count == r_w.total_count
+    assert r_m.table == r_w.table  # exact linearity, not just close estimates
+
+    jvm = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        spark._jvm.java.io.ByteArrayInputStream(merged)
+    )
+    for probe in ("click", "view", "absent"):
+        assert jvm.estimateCount(probe) == r_m.estimate_count(probe)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no sketches"):
+        merge_count_min([])

@@ -428,3 +428,38 @@ def test_quality_observation_batch_and_stream(spark, sf_dir, stream_src):
         q.stop()
     assert totals["n_rows"] == n
     assert totals["null_event_id"] == got["null_event_id"]
+
+
+def test_incremental_cms_matches_batch(spark, sf_dir, stream_src, tmp_path):
+    """Streamed per-day CMS blobs, merged on read, must estimate exactly what
+    a single whole-corpus sketch estimates (CMS linearity end-to-end), and
+    epoch replay must be a no-op."""
+    from demo_bigdata_spark.operators.sketches import (
+        CountMinReader,
+        count_min_blob,
+    )
+    from demo_bigdata_spark.streaming.pipeline import (
+        combine_cms_partial,
+        incremental_token_frequencies,
+        read_frequency_estimates,
+    )
+
+    out, ckpt = str(tmp_path / "cms"), str(tmp_path / "cms_ckpt")
+    stream = read_events_stream(spark, stream_src, max_files_per_trigger=1)
+    q = incremental_token_frequencies(stream, out, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = CountMinReader(count_min_blob(ev, "event_type"))
+    probes = ["click", "view", "purchase", "signup", "error", "absent"]
+    got = dict(read_frequency_estimates(spark, out, probes))
+    for p in probes:
+        assert got[p] == whole.estimate_count(p), p
+
+    before = got
+    combine_cms_partial(spark, out, ev.limit(50), epoch_id=0)  # replay
+    after = dict(read_frequency_estimates(spark, out, probes))
+    assert after == before
