@@ -701,3 +701,36 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] quality-aware exact dedup: per normalized-text digest keep the
+    HIGHEST-scoring duplicate (ties -> highest id, so the choice is total
+    and deterministic), not an arbitrary or min-id representative — the
+    production rule when duplicates differ in provenance quality.
+
+    Same 32-byte digest shuffle key as exact_dedup; the representative is a
+    single max of a (score, id) struct — no window, no second pass.
+    """
+    normalized = F.array_join(tokens(F.lower(F.col(text_col))), " ")
+    return (
+        df.withColumn("fp", F.md5(normalized))
+        .groupBy("fp")
+        .agg(
+            F.max(
+                F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
+            ).alias("_best"),
+            F.count("*").alias("n_dups"),
+        )
+        .select(
+            "fp",
+            F.col("_best.i").alias("keep_id"),
+            F.col("_best.s").alias("keep_score"),
+            "n_dups",
+        )
+    )

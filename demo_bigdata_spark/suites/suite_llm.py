@@ -44,6 +44,22 @@ GROUP BY 1
 ORDER BY fp
 """
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup (operator: dedup.exact_dedup_keep_best):
+    keep the longest duplicate (n_chars score), ties broken by id."""
+    return D.exact_dedup_keep_best(_docs(spark, sf_dir), "n_chars").orderBy("fp")
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+SELECT fp, best.i AS keep_id, best.s AS keep_score, n_dups FROM (
+  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
+         max(struct_pack(s := n_chars, i := doc_id)) AS best,
+         count(*) AS n_dups
+  FROM documents GROUP BY 1
+)
+ORDER BY fp
+"""
+
 # --- MinHash signatures -----------------------------------------------------------
 
 def q_minhash_signature(spark, sf_dir):
@@ -1157,6 +1173,7 @@ QUERIES = {
     "gopher_quality_gate": (q_gopher_quality_gate, SQL_GOPHER_GATE),
     "winnowed_fingerprints": (q_winnowed_fingerprints, SQL_WINNOWED_FINGERPRINTS),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),

@@ -689,3 +689,21 @@ def test_winnow_overlap_detects_shared_substring(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all(3 not in p for p in pairs)
+
+
+def test_exact_dedup_keep_best_semantics(spark):
+    """keep-best dedup picks the highest score, then the highest id on
+    score ties — never an arbitrary representative."""
+    from demo_bigdata_spark.operators.dedup import exact_dedup_keep_best
+
+    docs = [
+        (1, "same text here", 10),
+        (2, "same text here", 30),
+        (3, "same text here", 30),   # score tie with 2 -> keep id 3
+        (4, "unique document", 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, score long")
+    got = {r["keep_id"]: r for r in exact_dedup_keep_best(df, "score").collect()}
+    assert set(got) == {3, 4}
+    assert got[3]["n_dups"] == 3 and got[3]["keep_score"] == 30
+    assert got[4]["n_dups"] == 1
