@@ -262,3 +262,24 @@ def test_resample_fills_every_bucket_and_preserves_totals(spark, rows):
         for r in rs:
             h = int((r["bucket"] - EPOCH).total_seconds() // 3600)
             assert (r["n"] > 0) == (h in observed)
+
+
+_winnow_text = st.text(alphabet="abcdef ", min_size=0, max_size=40)
+
+
+@settings(max_examples=8, deadline=None)
+@given(prefix_a=_winnow_text, suffix_a=_winnow_text, prefix_b=_winnow_text, suffix_b=_winnow_text)
+def test_winnowing_guarantee_shared_substring(spark, prefix_a, suffix_a, prefix_b, suffix_b):
+    """The winnowing guarantee (SIGMOD'03): two documents sharing a
+    substring of length >= k + w - 1 MUST share at least one fingerprint,
+    for any surrounding context."""
+    from demo_bigdata_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 5, 4
+    core = "zqxywvutsr"  # length 10 >= k + w - 1 = 8; chars disjoint from context alphabet
+    rows = [(1, prefix_a + core + suffix_a), (2, prefix_b + core + suffix_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps: dict[int, set] = {1: set(), 2: set()}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], f"no shared fingerprint: {rows}"
