@@ -734,3 +734,63 @@ def exact_dedup_keep_best(
             "n_dups",
         )
     )
+
+
+def remove_common_lines(
+    df: DataFrame,
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] corpus-level line deduplication (the CCNet/RefinedWeb
+    boilerplate pass): drop every line that occurs at least ``min_count``
+    times across the corpus (headers, navigation, disclaimers), then
+    reassemble each document with its remaining lines in original order.
+
+    Shape: posexplode lines -> hash-aggregate line counts (shuffle keyed by
+    line digest; partial map-side combine collapses repeats before the
+    exchange) -> left-anti join -> per-doc ordered reassembly via
+    array_sort(collect_list(struct(pos, line))). Shuffle volume is bounded
+    by distinct lines, not total text. Documents whose every line was
+    common survive with empty text (the row is kept — dropping it would
+    silently change corpus size).
+
+    Matching is on the md5 digest of the raw line (32-byte join/group key,
+    as exact_dedup); blank lines are never treated as boilerplate.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lh", F.md5("_line"))
+    common = (
+        lines.filter(F.trim("_line") != "")
+        .groupBy("_lh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_lh")
+    )
+    kept = lines.join(common, "_lh", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda x: x["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        (F.size(F.split(F.col(text_col), "\n"))).alias("_n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

@@ -60,6 +60,41 @@ SELECT fp, best.i AS keep_id, best.s AS keep_score, n_dups FROM (
 ORDER BY fp
 """
 
+def q_common_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate-line removal (operator:
+    dedup.remove_common_lines, CCNet/RefinedWeb pass): lines appearing >= 3
+    times corpus-wide stripped, docs reassembled in original line order."""
+    return D.remove_common_lines(_docs(spark, sf_dir), min_count=3).orderBy("doc_id")
+
+
+SQL_COMMON_LINE_DEDUP = """
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS lls FROM documents),
+flat AS (
+  SELECT doc_id, e.pos AS pos, e.line AS line, md5(e.line) AS lh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(lls)),
+                  i -> struct_pack(pos := i, line := lls[i + 1]))) AS e
+    FROM ls
+  )
+),
+common AS (
+  SELECT lh FROM flat WHERE trim(line) <> '' GROUP BY lh HAVING count(*) >= 3
+),
+kept AS (SELECT * FROM flat WHERE lh NOT IN (SELECT lh FROM common)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(lls) AS n_lines FROM ls)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
 # --- MinHash signatures -----------------------------------------------------------
 
 def q_minhash_signature(spark, sf_dir):
@@ -1174,6 +1209,7 @@ QUERIES = {
     "winnowed_fingerprints": (q_winnowed_fingerprints, SQL_WINNOWED_FINGERPRINTS),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "common_line_dedup": (q_common_line_dedup, SQL_COMMON_LINE_DEDUP),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),

@@ -707,3 +707,27 @@ def test_exact_dedup_keep_best_semantics(spark):
     assert set(got) == {3, 4}
     assert got[3]["n_dups"] == 3 and got[3]["keep_score"] == 30
     assert got[4]["n_dups"] == 1
+
+
+def test_remove_common_lines(spark):
+    """Lines occurring >= min_count times corpus-wide are stripped; order of
+    surviving lines is preserved; fully-boilerplate docs survive with empty
+    text; blank lines are never counted as boilerplate."""
+    from demo_bigdata_spark.operators.dedup import remove_common_lines
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER"
+    docs = [
+        (1, f"{boiler}\nreal content one\n\nreal content two\n{boiler}"),
+        (2, f"intro line\n{boiler}\nbody text here"),
+        (3, f"{boiler}"),
+        (4, "totally unique document"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_common_lines(df, min_count=3).collect()}
+
+    assert got[1]["clean_text"] == "real content one\n\nreal content two"
+    assert got[1]["n_removed"] == 2
+    assert got[2]["clean_text"] == "intro line\nbody text here"
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 1
+    assert got[4]["clean_text"] == "totally unique document"
+    assert got[4]["n_removed"] == 0
