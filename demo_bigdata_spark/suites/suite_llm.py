@@ -490,6 +490,76 @@ FROM feat
 ORDER BY doc_id
 """
 
+def q_source_quality_report(spark, sf_dir):
+    """Per-source corpus health rollup: document count, Gopher pass rate,
+    and mean quality signals — the composite a curation pipeline reviews
+    before fixing mixture weights. One gate pass + one hash aggregate."""
+    gated = X.gopher_filter(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        gated.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum("n_words").alias("total_words"),
+            F.sum(F.when(F.col("ok_stopwords"), 1).otherwise(0)).alias("n_stopword_ok"),
+            F.sum(F.when(F.col("ok_bigram_rep"), 1).otherwise(0)).alias("n_bigram_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+_GOPHER_KEEP_SQL = """
+  ((n_words BETWEEN 10 AND 100000)
+   AND (mean_word_len BETWEEN 2.0 AND 12.0)
+   AND (symbol_word_ratio <= 0.1)
+   AND (bullet_line_frac <= 0.9)
+   AND (ellipsis_line_frac <= 0.3)
+   AND (alpha_word_frac >= 0.8)
+   AND (stop_hits >= 2)
+   AND (dup_line_frac <= 0.3)
+   AND (top_bigram_frac <= 0.2))
+"""
+
+SQL_SOURCE_QUALITY_REPORT = f"""
+WITH {_SQL_GOPHER_BASE},
+feat AS (
+  SELECT t.doc_id,
+         len(t.tk)::BIGINT AS n_words,
+         length(regexp_replace(t.text, '\\s', '', 'g'))
+               / greatest(len(t.tk), 1)::DOUBLE AS mean_word_len,
+         (
+             3 * (length(t.text) - length(replace(t.text, '#', '')))
+           + (length(t.text) - length(replace(t.text, '...', '')))
+           + 3 * (length(t.text) - length(replace(t.text, '…', '')))
+         ) / (3 * greatest(len(t.tk), 1))::DOUBLE AS symbol_word_ratio,
+         len(list_filter(l.ls, x -> list_contains(['-', '*', '•'], x[1:1])))
+               / greatest(len(l.ls), 1)::DOUBLE AS bullet_line_frac,
+         len(list_filter(l.ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+               / greatest(len(l.ls), 1)::DOUBLE AS ellipsis_line_frac,
+         len(list_filter(t.tk, x -> regexp_matches(x, '[A-Za-z]')))
+               / greatest(len(t.tk), 1)::DOUBLE AS alpha_word_frac,
+         len(list_filter([{_STOPS_SQL}],
+             s -> list_contains(list_distinct(list_transform(t.tk, w -> lower(w))), s)
+         ))::BIGINT AS stop_hits,
+         CASE WHEN len(l.ls) > 0
+              THEN round(1 - len(list_distinct(l.ls)) / len(l.ls)::DOUBLE, 4)
+              ELSE 0.0 END AS dup_line_frac,
+         coalesce(round(2 * p.mc / len(t.tk)::DOUBLE, 4), 0.0) AS top_bigram_frac
+  FROM toks t JOIN lns l USING (doc_id) LEFT JOIN topb p USING (doc_id)
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN {_GOPHER_KEEP_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(f.n_words)::BIGINT AS total_words,
+       sum(CASE WHEN f.stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_stopword_ok,
+       sum(CASE WHEN f.top_bigram_frac <= 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_bigram_ok
+FROM feat f JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
 # --- Language ID accuracy ---------------------------------------------------------------------
 
 def q_language_id(spark, sf_dir):
@@ -1210,6 +1280,7 @@ QUERIES = {
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "common_line_dedup": (q_common_line_dedup, SQL_COMMON_LINE_DEDUP),
+    "source_quality_report": (q_source_quality_report, SQL_SOURCE_QUALITY_REPORT),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
