@@ -490,6 +490,65 @@ FROM feat
 ORDER BY doc_id
 """
 
+def q_png_decode_roundtrip(spark, sf_dir):
+    """REAL PNG decode, oracle-checked: build a grayscale PNG from each
+    document's first 64 utf-8 bytes (deterministic pixels), decode it with
+    the pure-stdlib codec (functions/png.py — zlib inflate + unfilter), and
+    emit (width, height, luma_sum). The DuckDB twin recomputes the expected
+    features straight from the same bytes (hex-pair arithmetic), so the
+    decoder's output is verified against ground truth pixel-for-pixel —
+    closing the gap where media decode was only rows-only checkable."""
+    import pandas as pd
+
+    from demo_bigdata_spark.functions.png import decode_png, encode_png
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            ids, ws, hs, sums = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")[:64]
+                if not data:
+                    continue
+                w, h, mean = decode_png(encode_png(len(data), 1, data, color_type=0))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(round(mean * w * h)))  # exact byte sum for gray
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "luma_sum": sums}
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(
+            _roundtrip,
+            "doc_id long, width int, height int, luma_sum long",
+        )
+    )  # unordered: see q_near_duplicates
+
+
+SQL_PNG_DECODE_ROUNDTRIP = """
+WITH b AS (
+  SELECT doc_id, encode(text) AS bl FROM documents
+  WHERE octet_length(encode(text)) >= 1
+),
+pfx AS (
+  -- no BLOB substring in DuckDB: hex the whole blob, slice the hex pairs
+  SELECT doc_id,
+         least(octet_length(bl), 64) AS w,
+         substr(hex(bl), 1, 2 * least(octet_length(bl), 64)) AS hx
+  FROM b
+)
+SELECT doc_id,
+       w::INT AS width,
+       1::INT AS height,
+       list_sum(list_transform(range(w), i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT))::BIGINT AS luma_sum
+FROM pfx
+ORDER BY doc_id
+"""
+
+
 def q_source_quality_report(spark, sf_dir):
     """Per-source corpus health rollup: document count, Gopher pass rate,
     and mean quality signals — the composite a curation pipeline reviews
@@ -1281,6 +1340,7 @@ QUERIES = {
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "common_line_dedup": (q_common_line_dedup, SQL_COMMON_LINE_DEDUP),
     "source_quality_report": (q_source_quality_report, SQL_SOURCE_QUALITY_REPORT),
+    "png_decode_roundtrip": (q_png_decode_roundtrip, SQL_PNG_DECODE_ROUNDTRIP),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
