@@ -35,12 +35,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> tuple[int, int, float]:
+#: Default decode budget: 64 MP ≈ a 192 MB RGB raster — far above any
+#: legitimate thumbnail/feature workload, far below executor OOM territory.
+MAX_PIXELS = 64_000_000
+
+
+def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, float]:
     """Decode a PNG → (width, height, mean_luma).
 
     mean_luma is the Rec.601 luma (0.299 R + 0.587 G + 0.114 B) averaged
     over all pixels, in [0, 255]; for grayscale it is the mean gray value.
     Alpha is ignored (luma of the stored color channels).
+
+    Adversarial-input hardening (a corrupt blob must never kill the job, and
+    a per-row try/except cannot catch an OOM): IHDR dimensions are checked
+    against ``max_pixels`` BEFORE any allocation, and the IDAT inflate is
+    bounded to the expected raster size via ``zlib.decompressobj`` with
+    ``max_length`` — a zlib bomb raises ValueError instead of materializing.
     """
     if data[: len(PNG_MAGIC)] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
@@ -75,10 +86,21 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
     if color_type == 3 and palette is None:
         raise ValueError("palette image missing PLTE")
 
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension PNG")
+    if width * height > max_pixels:
+        raise ValueError(f"image {width}x{height} exceeds pixel budget {max_pixels}")
+
     bpp = _CHANNELS[color_type]
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
     expected = (stride + 1) * height
+    # bounded inflate: never materialize more than the declared raster needs,
+    # whatever the compressed stream claims (cap at expected+1 so a valid
+    # stream is never truncated mid-flush, but a bomb stops one byte over)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError(f"IDAT inflates past expected raster size {expected}")
     if len(raw) < expected:
         raise ValueError(f"truncated IDAT: {len(raw)} < {expected}")
 

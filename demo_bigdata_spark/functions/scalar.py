@@ -69,11 +69,19 @@ def pct_of_total(
     WindowExec partition and spammed "No Partition Defined" warnings; safe on
     an aggregated distribution, a scale bug if ever applied to raw rows —
     this shape is safe on BOTH)."""
-    total = df.agg(F.sum(F.col(count_col)).alias("_total"))
+    if out_col in df.columns:
+        raise ValueError(f"pct_of_total: output column {out_col!r} already exists")
+    # non-colliding internal alias for the broadcast scalar (a plain '_total'
+    # would duplicate on join if the input already carries that name, and
+    # drop() would then remove both)
+    tot = "_total"
+    while tot in df.columns:
+        tot += "_"
+    total = df.agg(F.sum(F.col(count_col)).alias(tot))
     return (
         df.join(F.broadcast(total))
-        .withColumn(out_col, F.round(F.col(count_col) * 100.0 / F.col("_total"), decimals))
-        .drop("_total")
+        .withColumn(out_col, F.round(F.col(count_col) * 100.0 / F.col(tot), decimals))
+        .drop(tot)
     )
 
 

@@ -117,6 +117,40 @@ def global_stats_approx(
     return df.agg(*aggs)
 
 
+def global_stats_approx_verified(
+    df: DataFrame,
+    *,
+    distinct_cols: tuple[str, ...] = ("user_id", "event_type"),
+    rsd: float = 0.02,
+    bound: float = 0.05,
+) -> DataFrame:
+    """:func:`global_stats_approx` with its accuracy contract asserted in-engine.
+
+    Emits the EXACT aggregates plus one boolean per sketch:
+    ``abs(approx - exact) <= bound * exact`` with ``bound = 2.5 * rsd`` by
+    default (HLL++ relative standard deviation 0.02 → a 2.5σ envelope). The
+    exact/approx pair runs in ONE aggregate, so the sketch is verified against
+    the same scan it would replace. A deterministic oracle computes the exact
+    side and literal-true bounds; a sketch drifting out of its documented
+    envelope flips the boolean and fails the differential — strictly stronger
+    than a rows-only check. This is the verification harness; production at
+    100 TB drops the exact ``countDistinct`` (the expand blowup) and keeps
+    only the sketch column.
+    """
+    aggs = [F.count("*").alias("total_events")]
+    aggs += [F.countDistinct(c).alias(f"unique_{c}") for c in distinct_cols]
+    aggs += [F.approx_count_distinct(c, rsd).alias(f"_approx_{c}") for c in distinct_cols]
+    checks = [
+        (
+            F.abs(F.col(f"_approx_{c}") - F.col(f"unique_{c}"))
+            <= F.lit(bound) * F.col(f"unique_{c}")
+        ).alias(f"hll_within_bound_{c}")
+        for c in distinct_cols
+    ]
+    exact_cols = ["total_events"] + [f"unique_{c}" for c in distinct_cols]
+    return df.agg(*aggs).select(*exact_cols, *checks)
+
+
 def type_distribution(df: DataFrame, group_col: str = "event_type") -> DataFrame:
     """Group-by count + in-engine percentage-of-total (reference A2+A3:
     services/api-service/data_service.py:289-303; percentage moved in-engine,
@@ -217,6 +251,68 @@ def numeric_profile_approx(df: DataFrame, value_col: str = "value", group_col: s
             F.percentile_approx(value_col, 0.5, 10000).alias("p50"),
             F.percentile_approx(value_col, 0.99, 10000).alias("p99"),
         )
+        .orderBy(group_col)
+    )
+
+
+def numeric_profile_approx_verified(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    accuracy: int = 10000,
+    eps: float = 0.001,
+) -> DataFrame:
+    """:func:`numeric_profile_approx` with the GK rank-error contract asserted
+    in-engine, in rank space — the form the guarantee is actually stated in.
+
+    ``percentile_approx(accuracy=10000)`` guarantees the returned element's
+    rank is within ``n / accuracy`` (1e-4·n) of the target rank; ``eps=1e-3``
+    gives a 10× margin. For each quantile q the check recounts the sketch
+    value's true rank against the full group — ``count(x < v) ≤ (q+eps)·n + 2``
+    and ``count(x ≤ v) ≥ (q−eps)·n − 2`` (the ±2 absorbs the discrete
+    rank-definition off-by-one, which is worth 1/n in quantile space and
+    vanishes at scale; the two-sided lt/le pair makes the check tie-safe).
+    A value-space band (exact percentile(q±eps)) is NOT equivalent: at small n
+    the interpolated band sits strictly inside one inter-element gap and
+    excludes the discrete element GK returns.
+
+    Two scans + one broadcast join — deliberate: it is the verification
+    harness for the one-scan production form :func:`numeric_profile_approx`.
+    Emits exact avg/median plus the per-quantile booleans; the oracle computes
+    the exact side and literal-true bounds, so a sketch outside its documented
+    envelope fails the differential.
+    """
+    qs = {"p50": 0.5, "p99": 0.99}
+    aggs = [
+        F.round(F.avg(value_col), 2).alias("avg_value"),
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 2).alias("median_value"),
+    ]
+    aggs += [
+        F.percentile_approx(value_col, q, accuracy).alias(f"_{name}")
+        for name, q in qs.items()
+    ]
+    sk = df.groupBy(group_col).agg(*aggs)
+    rank_aggs = [F.count("*").alias("_n")]
+    for name in qs:
+        rank_aggs += [
+            F.count(F.when(F.col(value_col) < F.col(f"_{name}"), 1)).alias(f"_lt_{name}"),
+            F.count(F.when(F.col(value_col) <= F.col(f"_{name}"), 1)).alias(f"_le_{name}"),
+        ]
+    ranks = (
+        df.join(F.broadcast(sk.select(group_col, *[f"_{n}" for n in qs])), group_col)
+        .groupBy(group_col)
+        .agg(*rank_aggs)
+    )
+    checks = [
+        (
+            (F.col(f"_lt_{name}") <= (q + eps) * F.col("_n") + 2)
+            & (F.col(f"_le_{name}") >= (q - eps) * F.col("_n") - 2)
+        ).alias(f"{name}_within_eps")
+        for name, q in qs.items()
+    ]
+    return (
+        sk.join(ranks, group_col)
+        .select(group_col, "avg_value", "median_value", *checks)
         .orderBy(group_col)
     )
 

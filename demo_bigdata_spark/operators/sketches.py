@@ -182,9 +182,13 @@ def merge_count_min(blobs: list[bytes]) -> bytes:
 
     CMS is LINEAR: for equal (depth, width, hash family) the merged table is
     the element-wise sum and totalCount adds — estimates over the union are
-    exactly the estimates of the concatenated input. Spark's aggregate always
-    derives the hash family from the item bytes plus the row index (seed is
-    only a table-shape parameter), so same eps/confidence => mergeable.
+    exactly the estimates of the concatenated input. For STRING/BINARY items
+    Spark hashes the item bytes with the row index, so same eps/confidence =>
+    same hash family; for LONG items, however, CountMinSketchImpl hashes via
+    the seed-derived ``hashA`` array, so blobs built with different seeds are
+    NOT mergeable — this function therefore requires ``hash_a`` equality
+    across all inputs (shape equality alone would silently mis-estimate while
+    stamping the first blob's hashA into the output).
 
     This is what makes per-partition / per-day CMS maintenance work at
     100 TB: persist a KB-size blob per slice, answer any range by merging
@@ -202,6 +206,11 @@ def merge_count_min(blobs: list[bytes]) -> bytes:
             raise ValueError(
                 f"incompatible CMS shapes: {(r.depth, r.width)} vs "
                 f"{(first.depth, first.width)}"
+            )
+        if r.hash_a != first.hash_a:
+            raise ValueError(
+                "incompatible CMS hash families (different seeds): "
+                "long-item estimates would be silently wrong"
             )
     table = [
         [sum(r.table[i][j] for r in readers) for j in range(first.width)]

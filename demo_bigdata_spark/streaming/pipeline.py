@@ -578,6 +578,14 @@ def combine_cms_partial(
     blob-with-blob driver-side — bounded work per epoch regardless of
     history length. Readers answer "estimate frequency of X on day/range D"
     by merging the touched blobs, never rescanning raw data.
+
+    Delivery caveat (same non-atomic state→ledger window as
+    combine_hourly_partial, but WORSE here): a crash between the state write
+    and the ledger append replays the epoch, and the CMS merge is ADDITIVE —
+    a replay double-counts, unlike the idempotent HLL register-max fold. Net
+    guarantee is at-least-once on that window; estimates remain upper bounds
+    (CMS never under-counts), which is the property downstream filters rely
+    on.
     """
     from demo_bigdata_spark.operators.sketches import merge_count_min
 
@@ -608,11 +616,12 @@ def combine_cms_partial(
         merged[day] = (
             merge_count_min([merged[day], blob]) if day in merged else blob
         )
+    # direct overwrite is safe: prior state was already collect()ed into
+    # `merged`, so the write never reads the path it replaces (no staging
+    # round-trip, no leaked _tmp dir)
     spark.createDataFrame(
         sorted(merged.items()), "day string, blob binary"
-    ).write.mode("overwrite").parquet(path + "_tmp")
-    # overwrite via rewrite: localCheckpoint not needed, the frame is local rows
-    spark.read.parquet(path + "_tmp").write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(path)
     spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
         "append"
     ).parquet(epochs_path)

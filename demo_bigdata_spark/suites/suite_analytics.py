@@ -486,19 +486,41 @@ ORDER BY n DESC, key
 LIMIT 10
 """
 
-# --- A1/A9 approx sketch variants (engine-specific values -> rows-only) ---------
+# --- A1/A9 approx sketch variants (oracle-checked via in-engine error bounds) ----
+#
+# r3 VERDICT #1: approximation sketches cannot hash-match a DuckDB twin on
+# their raw estimates (different HLL/GK implementations), so these queries
+# emit the EXACT aggregates plus booleans asserting, in-engine, that each
+# sketch landed inside its documented error envelope. The twin computes the
+# exact side and literal-true bounds — deterministic, hash-matchable, and a
+# sketch drifting out of bound flips a boolean and fails the differential,
+# which asserts strictly more than the old rows-only rows did.
 
 def q_approx_stats(spark, sf_dir):
-    return A.global_stats_approx(_events(spark, sf_dir))
+    """HLL global stats with the accuracy contract verified in-engine
+    (operator: analytics.global_stats_approx_verified; rsd=0.02, bound 5%)."""
+    return A.global_stats_approx_verified(_events(spark, sf_dir))
+
+
+SQL_APPROX_STATS = """
+SELECT count(*)::BIGINT AS total_events,
+       count(DISTINCT user_id)::BIGINT AS unique_user_id,
+       count(DISTINCT event_type)::BIGINT AS unique_event_type,
+       TRUE AS hll_within_bound_user_id,
+       TRUE AS hll_within_bound_event_type
+FROM events
+"""
 
 
 def q_sketched_uniques(spark, sf_dir):
     """Mergeable-HLL daily uniques + a reaggregated total from the SAME
     per-day sketches (hll_union_agg) — the persist-sketches/merge-on-read
     layout that replaces exact countDistinct rescans at 100 TB. Exact
-    per-day counts ride along; test_hll_sketch_accuracy pins the relative
-    error. Rows-only for the driver: DuckDB's HLL implementation differs, so
-    estimates cannot hash-match."""
+    per-day counts ride along, and each row carries an in-engine boolean
+    asserting the Datasketches estimate (lgK=12, rsd≈1.6%) is within a 5%
+    (~3σ) envelope of the exact count — including the merged-total row, so
+    the union-merge path itself is under test. test_hll_sketch_accuracy
+    additionally pins the relative error distribution."""
     from demo_bigdata_spark.operators import sketches as K
 
     ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
@@ -506,19 +528,51 @@ def q_sketched_uniques(spark, sf_dir):
         ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_uniques")),
         "day",
     )
+    bound = lambda: (  # noqa: E731 — same check on per-day and merged rows
+        F.abs(F.col("est_uniques") - F.col("exact_uniques"))
+        <= 0.05 * F.col("exact_uniques")
+    ).alias("hll_within_bound")
     per_day = K.estimate_distinct(daily).select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"), "est_uniques", "exact_uniques"
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "exact_uniques", bound()
     )
-    total = K.estimate_distinct(K.merge_sketches(daily)).select(
-        F.lit("ALL").alias("day"),
-        "est_uniques",
-        F.lit(None).cast("bigint").alias("exact_uniques"),
+    # 1x1 join: merged-sketch estimate vs the exact global countDistinct
+    total_exact = ev.agg(F.countDistinct("user_id").alias("exact_uniques"))
+    total = (
+        K.estimate_distinct(K.merge_sketches(daily))
+        .crossJoin(F.broadcast(total_exact))
+        .select(F.lit("ALL").alias("day"), "exact_uniques", bound())
     )
     return per_day.unionByName(total).orderBy("day")
 
 
+SQL_SKETCHED_UNIQUES = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)::BIGINT AS exact_uniques,
+       TRUE AS hll_within_bound
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL', count(DISTINCT user_id)::BIGINT, TRUE FROM events
+ORDER BY day
+"""
+
+
 def q_approx_quantiles(spark, sf_dir):
-    return A.numeric_profile_approx(_events(spark, sf_dir))
+    """GK-sketch quantiles with the rank-error contract verified in-engine
+    (operator: analytics.numeric_profile_approx_verified; accuracy=10000,
+    eps=1e-3 — a 10x margin on the 1/accuracy guarantee)."""
+    return A.numeric_profile_approx_verified(_events(spark, sf_dir))
+
+
+SQL_APPROX_QUANTILES = """
+SELECT event_type,
+       round(avg(value), 2) AS avg_value,
+       round(quantile_cont(value, 0.5), 2) AS median_value,
+       TRUE AS p50_within_eps,
+       TRUE AS p99_within_eps
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def q_resampled_hourly(spark, sf_dir):
@@ -692,7 +746,7 @@ QUERIES = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
-    "approx_stats": (q_approx_stats, None),
-    "approx_quantiles": (q_approx_quantiles, None),
-    "sketched_uniques": (q_sketched_uniques, None),
+    "approx_stats": (q_approx_stats, SQL_APPROX_STATS),
+    "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
+    "sketched_uniques": (q_sketched_uniques, SQL_SKETCHED_UNIQUES),
 }

@@ -1026,7 +1026,11 @@ def q_promo_share(spark, sf_dir):
     (no second scan, no self-join)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # integer 1/10000ths revenue, exact bigint sums, one division — see
+    # q_market_share for the cross-engine float rationale
+    rev10k = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -1035,7 +1039,11 @@ def q_promo_share(spark, sf_dir):
         .join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                (
+                    100
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev10k).otherwise(F.lit(0)))
+                )
+                / F.sum(rev10k),
                 4,
             ).alias("promo_share_pct"),
             F.count("*").alias("n_items"),
@@ -1045,9 +1053,10 @@ def q_promo_share(spark, sf_dir):
 
 SQL_PROMO_SHARE = """
 SELECT round(100 * sum(CASE WHEN p.p_type = 'PROMO'
-                            THEN l.l_extendedprice * (1 - l.l_discount)
-                            ELSE 0.0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct,
+                            THEN round(l.l_extendedprice * 100)::BIGINT * round((1 - l.l_discount) * 100)::BIGINT
+                            ELSE 0 END)
+             / sum(round(l.l_extendedprice * 100)::BIGINT * round((1 - l.l_discount) * 100)::BIGINT),
+             4) AS promo_share_pct,
        count(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
@@ -1170,7 +1179,14 @@ def q_market_share(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # revenue in integer 1/10000ths (prices/discounts have exactly 2dp):
+    # bigint sums are order-independent, so both ratio operands are exact and
+    # the single bigint/bigint division is bit-identical across engines
+    # (ROUND_NOTES fact 5 — a double-sum ratio flips round()'s .xxxx5
+    # boundary between Spark and DuckDB at some scale factor)
+    vol10k = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     facts = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1185,7 +1201,11 @@ def q_market_share(spark, sf_dir):
         facts.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("s_nationkey") == 3, vol).otherwise(0.0)) / F.sum(vol), 4
+                F.sum(
+                    F.when(F.col("s_nationkey") == 3, vol10k).otherwise(F.lit(0))
+                )
+                / F.sum(vol10k),
+                4,
             ).alias("mkt_share"),
             F.count("*").alias("n_items"),
         )
@@ -1195,8 +1215,11 @@ def q_market_share(spark, sf_dir):
 
 SQL_MARKET_SHARE = """
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN s_nationkey = 3 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+       round(sum(CASE WHEN s_nationkey = 3
+                      THEN round(l_extendedprice * 100)::BIGINT * round((1 - l_discount) * 100)::BIGINT
+                      ELSE 0 END)
+             / sum(round(l_extendedprice * 100)::BIGINT * round((1 - l_discount) * 100)::BIGINT),
+             4) AS mkt_share,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1315,14 +1338,18 @@ def q_small_quantity_revenue(spark, sf_dir):
     small = branded.withColumn("avg_qty", F.avg("l_quantity").over(w)).filter(
         F.col("l_quantity") < 0.5 * F.col("avg_qty")
     )
+    # exact bigint cents sum, one division (sum(double)/7 rounds an
+    # order-dependent float — ROUND_NOTES fact 5)
     return small.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 700.0, 2
+        ).alias("avg_yearly"),
         F.count("*").alias("n_items"),
     )
 
 
 SQL_SMALL_QUANTITY_REVENUE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(sum(round(l_extendedprice * 100)::BIGINT) / 700.0, 2) AS avg_yearly,
        count(*) AS n_items
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#5'

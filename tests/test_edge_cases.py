@@ -276,3 +276,123 @@ def test_count_min_merge_is_exact_union(spark, sf_dir):
 
     with pytest.raises(ValueError, match="no sketches"):
         merge_count_min([])
+
+
+def test_count_min_merge_rejects_seed_mismatch(spark, sf_dir):
+    """Blobs built with different seeds have different hashA families; for
+    LONG items the estimates would be silently wrong, so the merge must
+    refuse (r3 ADVICE)."""
+    from demo_bigdata_spark.operators.sketches import count_min_blob, merge_count_min
+
+    ev = load_table(spark, sf_dir, "events").select("event_type").limit(100)
+    a = count_min_blob(ev, "event_type", seed=42)
+    b = count_min_blob(ev, "event_type", seed=43)
+    with pytest.raises(ValueError, match="hash famil"):
+        merge_count_min([a, b])
+    # same seed still merges
+    assert merge_count_min([a, count_min_blob(ev, "event_type", seed=42)])
+
+
+def test_png_adversarial_bounds():
+    """A corrupt blob must never kill the job (r3 ADVICE): oversized IHDR
+    dimensions are rejected BEFORE any allocation, and a zlib bomb is stopped
+    by the bounded inflate instead of materializing."""
+    import struct
+    import zlib
+
+    from demo_bigdata_spark.functions.png import PNG_MAGIC, decode_png, encode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def png(width, height, raw):
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        return (
+            PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # huge declared dimensions: rejected without touching the (tiny) IDAT
+    with pytest.raises(ValueError, match="pixel budget"):
+        decode_png(png(1 << 20, 1 << 20, b"\x00"))
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_png(png(0, 0, b""))
+
+    # zlib bomb: 4x2 declared, but the stream inflates to ~10 MB — the
+    # bounded inflate stops one byte past the expected raster
+    bomb = png(4, 2, b"\x00" * 10_000_000)
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_png(bomb)
+
+    # a valid image at exactly the budget still decodes
+    gray = bytes(range(8))
+    img = encode_png(4, 2, gray, color_type=0)
+    assert decode_png(img, max_pixels=8)[:2] == (4, 2)
+    with pytest.raises(ValueError, match="pixel budget"):
+        decode_png(img, max_pixels=7)
+
+
+def test_pct_of_total_name_collisions(spark):
+    """pct_of_total must survive an input that already carries its internal
+    '_total' alias, and must refuse to silently overwrite out_col (r3
+    ADVICE: the keyless broadcast join otherwise yields ambiguous columns
+    and drop() removes both)."""
+    from demo_bigdata_spark.functions.scalar import pct_of_total
+
+    df = spark.createDataFrame([(1, 10), (2, 30)], "k int, n int")
+    # existing _total column: internal alias must not collide
+    clash = df.withColumn("_total", F.lit(999))
+    out = pct_of_total(clash, "n").orderBy("k").collect()
+    assert [r["percentage"] for r in out] == [25.0, 75.0]
+    assert [r["_total"] for r in out] == [999, 999]  # user column intact
+
+    with pytest.raises(ValueError, match="already exists"):
+        pct_of_total(df.withColumn("percentage", F.lit(0)), "n")
+
+
+def test_cands_cache_keying_and_eviction(monkeypatch, tmp_path):
+    """_CANDS_CACHE is keyed by applicationId (never recycled, unlike id())
+    and evicts entries from dead sessions, so a fresh session can never be
+    handed a stale localCheckpoint from a stopped context (r3 ADVICE)."""
+    from demo_bigdata_spark.suites import suite_llm
+
+    class FakeDF:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def localCheckpoint(self, eager=False):
+            return self
+
+    class FakeSession:
+        def __init__(self, app_id):
+            class _Ctx:
+                applicationId = app_id
+
+            self.sparkContext = _Ctx()
+
+    built = []
+
+    def fake_candidates(docs, max_bucket):
+        built.append(docs)
+        return FakeDF(docs)
+
+    monkeypatch.setattr(suite_llm.D, "minhash_candidates", fake_candidates)
+    monkeypatch.setattr(suite_llm, "_docs", lambda spark, sf_dir: sf_dir)
+    monkeypatch.setattr(suite_llm, "_CANDS_CACHE", {})
+
+    s1 = FakeSession("app-1")
+    a = suite_llm._cands(s1, "/sf/a")
+    assert suite_llm._cands(s1, "/sf/a") is a  # same session: cache hit
+    suite_llm._cands(s1, "/sf/b")
+    assert len(suite_llm._CANDS_CACHE) == 2  # per-sf entries coexist
+
+    # new session (as after a stop/start that reuses the object's id):
+    # old entries evicted, nothing stale returned
+    s2 = FakeSession("app-2")
+    b = suite_llm._cands(s2, "/sf/a")
+    assert b is not a
+    assert list(suite_llm._CANDS_CACHE) == [("app-2", "/sf/a")]
+    assert built == ["/sf/a", "/sf/b", "/sf/a"]  # one hit, three builds

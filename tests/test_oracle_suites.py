@@ -29,9 +29,15 @@ def con(sf_dir):
 def test_oracle_match(name, fn, sql, spark, sf_dir, con):
     df = fn(spark, sf_dir)
     if sql is None:
-        # rows-only check (non-SQL-expressible op)
+        # non-SQL-expressible op: every rows-only query must carry a
+        # falsifiable invariant (tests/invariants.py) — a missing entry
+        # fails, so `(fn, None)` rows can't ship unchecked
+        from tests.invariants import INVARIANTS
+
         out = df.toPandas()
         assert isinstance(out, pd.DataFrame)
-        assert len(out) >= 0
+        inv = INVARIANTS.get(name)
+        assert inv is not None, f"{name}: rows-only query without an invariant"
+        inv(out, spark, sf_dir, con)
     else:
         compare(df, con, sql, name)

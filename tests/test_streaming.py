@@ -463,3 +463,9 @@ def test_incremental_cms_matches_batch(spark, sf_dir, stream_src, tmp_path):
     combine_cms_partial(spark, out, ev.limit(50), epoch_id=0)  # replay
     after = dict(read_frequency_estimates(spark, out, probes))
     assert after == before
+
+    # the fold writes state directly — no staging dir may be left behind
+    # (r3 ADVICE: every epoch used to leak path + '_tmp')
+    import os
+
+    assert not os.path.exists(out + "_tmp")
