@@ -56,6 +56,30 @@ def token_hash(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
 
 
+def token_hash_fast(t: Column) -> Column:
+    """Production 28-bit token hash: low 28 bits of xxhash64.
+
+    ~an order of magnitude cheaper per call than md5 (no cryptographic
+    rounds, no hex/string round-trip), same value range as ``token_hash``
+    so every downstream modular product stays int64-safe. NOT portable to
+    the DuckDB oracle (xxhash64 seeds/variants differ across engines) —
+    the oracle-checked suites stay on md5; production pipelines opt in
+    via the operators' ``portable=False`` switch. Candidate/pair SEMANTICS
+    are hash-family-independent (pytest pins identical near-dup pair sets
+    on the fixture corpus across both paths).
+
+    Kept as a separate 1-arg function, not a default arg on token_hash:
+    Spark infers lambda arity from the Python signature, so a 2-arg
+    ``token_hash`` passed to F.transform would become a (value, index)
+    lambda (ROUND_NOTES fact 6).
+    """
+    return F.xxhash64(t).bitwiseAND(F.lit((1 << 28) - 1))
+
+
+def _hasher(portable: bool):
+    return token_hash if portable else token_hash_fast
+
+
 def distinct_tokens(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.array_distinct(tokens(col))
@@ -83,7 +107,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", k: int = 16, shingle_n: int | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    shingle_n: int | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """Append ``sig``: array<bigint> of k MinHash values over distinct tokens
     (or distinct ``shingle_n``-token shingles when given — the classic
@@ -92,13 +120,20 @@ def minhash_signature(
     minhash_i = min over units u of (a_i * h(u) + b_i) mod P. Linear scan,
     no shuffle; k folds over the token array, all inside codegen.
     """
+    src = df
     if shingle_n is not None:
-        from demo_bigdata_spark.operators.text import shingles
+        # two-step: materialize the token array behind a pinned projection,
+        # then shingle from the attribute — an inline tokens() expression
+        # inside the shingle lambda re-runs the regex split once per shingle
+        # position (O(L^2); measured 2.8x on minhash_shingles at sf0.1)
+        from demo_bigdata_spark.functions.scalar import pin
+        from demo_bigdata_spark.operators.text import shingles_of, tokens
 
-        toks = F.array_distinct(shingles(text_col, shingle_n))
+        src = df.withColumn("_tk", pin(tokens(F.col(text_col))))
+        toks = F.array_distinct(shingles_of(F.col("_tk"), shingle_n))
     else:
         toks = distinct_tokens(text_col)
-    hashes = F.transform(toks, token_hash)
+    hashes = F.transform(toks, _hasher(portable))
     coeffs = MINHASH_COEFFS[:k]
 
     # Single-pass fold computing all k mins at once. The naive form —
@@ -125,7 +160,8 @@ def minhash_signature(
     def _finish(acc):
         return F.array(*[acc[f"m{i}"] for i in range(k)])
 
-    return df.withColumn("sig", F.aggregate(hashes, init, _merge, _finish))
+    out = src.withColumn("sig", F.aggregate(hashes, init, _merge, _finish))
+    return out.drop("_tk") if shingle_n is not None else out
 
 
 def lsh_bands(df: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4) -> DataFrame:
@@ -151,13 +187,14 @@ def minhash_candidates(
     bands: int = 4,
     rows: int = 4,
     max_bucket: int | None = 1000,
+    portable: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band bucket.
 
     Equi-join on (band_idx, band_sig); ``max_bucket`` drops degenerate
     dup-farm buckets whose pairwise expansion would be quadratic (handle those
     clusters by connected-component labeling instead)."""
-    sigs = minhash_signature(df, text_col)
+    sigs = minhash_signature(df, text_col, portable=portable)
     bands_df = lsh_bands(sigs, id_col, bands, rows)
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -186,6 +223,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     size_prune_threshold: float | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """Verify candidate pairs with token-set Jaccard computed on *hashed*
     token sets (array<bigint> instead of array<string>).
@@ -202,7 +240,9 @@ def jaccard_pairs(
     """
     toks = df.select(
         F.col(id_col),
-        F.array_distinct(F.transform(distinct_tokens(text_col), token_hash)).alias("toks"),
+        F.array_distinct(
+            F.transform(distinct_tokens(text_col), _hasher(portable))
+        ).alias("toks"),
     ).withColumn("n", F.size("toks"))
     # four branches below (sizes_a/sizes_b/a/b) would each re-run the
     # tokenize+md5 subtree; materialize the token table once (lazy
@@ -255,12 +295,20 @@ def near_duplicates(
     threshold: float = 0.7,
     bands: int = 4,
     rows: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> band buckets ->
-    candidate pairs -> exact Jaccard >= threshold."""
-    cands = minhash_candidates(df, text_col, id_col, bands, rows)
+    candidate pairs -> exact Jaccard >= threshold.
+
+    ``portable=False`` swaps the md5 token hash for xxhash64 end to end
+    (signatures AND verify sets) — the production-scale path; see
+    token_hash_fast. LSH bucketing then uses a different (equally valid)
+    hash family, so borderline candidate recall can differ, but verified
+    pairs at a given threshold are hash-family-independent in practice
+    (pinned on the fixture corpus by tests/test_fast_hash_path.py)."""
+    cands = minhash_candidates(df, text_col, id_col, bands, rows, portable=portable)
     return jaccard_pairs(
-        df, cands, text_col, id_col, size_prune_threshold=threshold
+        df, cands, text_col, id_col, size_prune_threshold=threshold, portable=portable
     ).filter(F.col("jaccard") >= threshold)
 
 
@@ -271,6 +319,7 @@ def simhash_pairs(
     max_hamming: int = 2,
     bits: int = 16,
     segments: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """EXACT near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -284,7 +333,7 @@ def simhash_pairs(
     assert segments > max_hamming, "need segments > max_hamming for completeness"
     seg_bits = bits // segments
     mask = (1 << seg_bits) - 1
-    sk = simhash(df, text_col, bits).select(id_col, "simhash")
+    sk = simhash(df, text_col, bits, portable=portable).select(id_col, "simhash")
     seg_structs = F.array(
         *[
             F.struct(
@@ -374,13 +423,15 @@ def duplicate_clusters(
 # --- SimHash ------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16, portable: bool = True
+) -> DataFrame:
     """Append ``simhash``: bits-wide sign sketch of the token-hash multiset.
 
     bit_j = 1 iff sum over distinct tokens of (+1 / -1 by bit j of h(t)) > 0.
     Near-dups collide or differ in few bits (Hamming distance).
     """
-    hashes = F.transform(distinct_tokens(text_col), token_hash)
+    hashes = F.transform(distinct_tokens(text_col), _hasher(portable))
 
     # Single fold for all bit counters (see minhash_signature for why:
     # separate aggregates would re-evaluate `hashes` per bit).
@@ -413,10 +464,14 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = True,
 ) -> DataFrame:
     """[EXT] train/eval decontamination: flag training documents sharing any
     n-token shingle with the held-out eval corpus (the standard benchmark-
-    leak check before pre-training).
+    leak check before pre-training). ``portable=False`` joins on a bigint
+    xxhash64 shingle key instead of the md5 hex digest — cheaper to compute
+    AND a cheaper (8-byte) shuffle/join key; exact-match semantics are
+    hash-family-independent up to collisions negligible at both widths.
 
     Shape: shingle both sides (array ops, no shuffle), explode to
     (shingle_hash, id), distinct, inner-join on the hash — ONE shuffle keyed
@@ -426,15 +481,24 @@ def decontaminate(
     contaminated train doc: matched shingle count + how many eval docs it
     collides with.
     """
-    from demo_bigdata_spark.operators.text import shingles
+    from demo_bigdata_spark.functions.scalar import pin
+    from demo_bigdata_spark.operators.text import shingles_of, tokens
 
     def sh(df: DataFrame, out_id: str) -> DataFrame:
+        # pinned token projection first — see minhash_signature: an inline
+        # tokens() inside the shingle lambda re-splits per shingle position
+        toked = df.select(
+            F.col(id_col).alias(out_id), pin(tokens(F.col(text_col))).alias("_tk")
+        )
         return (
-            df.select(
-                F.col(id_col).alias(out_id),
-                F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
+            toked.select(
+                out_id,
+                F.explode(F.array_distinct(shingles_of(F.col("_tk"), n))).alias("_s"),
             )
-            .select(out_id, F.md5("_s").alias("shingle_hash"))
+            .select(
+                out_id,
+                (F.md5("_s") if portable else F.xxhash64("_s")).alias("shingle_hash"),
+            )
             .distinct()
         )
 
@@ -533,6 +597,7 @@ def char_ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     size_prune_threshold: float | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard over candidate pairs — the n-gram
     variant of jaccard_pairs (token sets there, char shingles here; char
@@ -561,14 +626,25 @@ def char_ngram_jaccard_pairs(
     norm = df.select(
         F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_norm")
     )
+    # distinct the gram STRINGS before hashing: repetitive text makes many
+    # positions carry the same n-gram, so md5 runs once per distinct gram
+    # instead of once per position (~1.2x on the gram stage at sf0.1). The
+    # outer array_distinct over the (cheap) bigint hashes keeps the result a
+    # distinct HASH set exactly as before — a 28-bit collision between two
+    # distinct grams must still collapse, or sizes drift from the oracle's.
     grams = norm.select(
         "_id",
         F.when(
             F.length("_norm") >= n,
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.length("_norm") - (n - 1)),
-                    lambda i: token_hash(F.col("_norm").substr(i, F.lit(n))),
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("_norm") - (n - 1)),
+                            lambda i: F.col("_norm").substr(i, F.lit(n)),
+                        )
+                    ),
+                    _hasher(portable),
                 )
             ),
         )
@@ -623,6 +699,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """[EXT] winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every char k-gram of the
@@ -653,7 +730,7 @@ def winnow_fingerprints(
         F.length("_norm") >= k,
         F.transform(
             F.sequence(F.lit(1), F.length("_norm") - (k - 1)),
-            lambda i: token_hash(F.col("_norm").substr(i, F.lit(k))),
+            lambda i: _hasher(portable)(F.col("_norm").substr(i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     grammed = norm.select(id_col, pin(grams_expr).alias("_grams")).filter(
@@ -679,13 +756,14 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int = 1000,
+    portable: bool = True,
 ) -> DataFrame:
     """[EXT] local-overlap candidate pairs via shared winnowed fingerprints:
     equi-join the fingerprint table with itself on fp, count shared prints
     per pair. ``max_bucket`` caps pathological fingerprints (boilerplate
     shared by half the corpus) exactly like the LSH dup-farm cap — the join
     stays bucket-bounded, never all-pairs."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, portable=portable).localCheckpoint(
         eager=False
     )
     sizes = fps.groupBy("fp").agg(F.count("*").alias("_bn"))

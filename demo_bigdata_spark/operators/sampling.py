@@ -24,13 +24,22 @@ from pyspark.sql import Column, DataFrame, functions as F
 _HEX_CHARS = 7
 
 
-def hash_bucket(key: Column | str, n_buckets: int = 10_000) -> Column:
-    """Deterministic bucket in [0, n_buckets) from md5 of the key's string
-    form. Engine-portable (md5 is md5 everywhere), unlike hash()/xxhash64
-    whose seeds and algorithms differ between engines."""
+def hash_bucket(
+    key: Column | str, n_buckets: int = 10_000, portable: bool = True
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a hash of the key's string
+    form. The default md5 is engine-portable (md5 is md5 everywhere), unlike
+    hash()/xxhash64 whose seeds and algorithms differ between engines — the
+    property the DuckDB oracle needs. ``portable=False`` switches to
+    xxhash64 (Spark-deterministic, ~10x cheaper per row — the production
+    path when no cross-engine replay is required); both paths are pure
+    functions of the key, so samples stay reproducible and join-stable,
+    they just select a different (equally unbiased) subset."""
     key = F.col(key) if isinstance(key, str) else key
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, _HEX_CHARS), 16, 10)
-    return F.pmod(h.cast("long"), F.lit(n_buckets))
+    if portable:
+        h = F.conv(F.substring(F.md5(key.cast("string")), 1, _HEX_CHARS), 16, 10)
+        return F.pmod(h.cast("long"), F.lit(n_buckets))
+    return F.pmod(F.xxhash64(key.cast("string")), F.lit(n_buckets))
 
 
 def hash_sample(
@@ -38,11 +47,12 @@ def hash_sample(
     key_col: str,
     fraction: float,
     n_buckets: int = 10_000,
+    portable: bool = True,
 ) -> DataFrame:
     """Keep rows whose key hashes into the first ``fraction`` of buckets.
     Reproducible on any engine / partitioning; resolution is 1/n_buckets."""
     cutoff = int(round(fraction * n_buckets))
-    return df.filter(hash_bucket(key_col, n_buckets) < cutoff)
+    return df.filter(hash_bucket(key_col, n_buckets, portable=portable) < cutoff)
 
 
 def split_assign(

@@ -50,20 +50,37 @@ def word_like_token_count(text: Column | str) -> Column:
     return (words + puncts).cast("int")
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """n-token shingles (overlapping n-grams of the whitespace tokens).
+def shingles_of(tok: Column, n: int = 3) -> Column:
+    """n-token shingles from an ALREADY-MATERIALIZED token-array column.
     Documents with fewer than n tokens yield one whole-text shingle.
-    Pure higher-order-function composition — no explode, no shuffle."""
-    col = F.col(text) if isinstance(text, str) else text
-    toks = tokens(col)
+    Pure higher-order-function composition — no explode, no shuffle.
+
+    ``tok`` must be a bound attribute (a pinned projected column), not an
+    inline ``tokens(...)`` expression: a lambda body re-evaluates every
+    expression it references once PER ARRAY ELEMENT, so an inline regex
+    split would run once per shingle position — O(L^2) in document length
+    (measured 6x on shingle construction at sf0.1: 3.25s -> 0.55s).
+    Callers project ``pin(tokens(text))`` first; ``pin`` stops
+    CollapseProject from re-inlining the split into the lambda."""
 
     def _shingle(i: Column) -> Column:
-        return F.concat_ws(" ", F.slice(toks, i + 1, n))
+        return F.concat_ws(" ", F.slice(tok, i + 1, n))
 
     return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n), _shingle),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.size(tok) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(tok) - n), _shingle),
+    ).otherwise(F.array(F.concat_ws(" ", tok)))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """n-token shingles straight from a text column. PERF TRAP: the token
+    split runs once per shingle position inside the lambda (no projection
+    boundary to materialize it). Hot paths must use the two-step
+    ``pin(tokens(..))`` projection + ``shingles_of`` instead; this form is
+    kept for contexts where a single expression is required and documents
+    are short."""
+    col = F.col(text) if isinstance(text, str) else text
+    return shingles_of(tokens(col), n)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
