@@ -766,6 +766,20 @@ def winnow_overlap_pairs(
     fps = winnow_fingerprints(df, text_col, id_col, k, w, portable=portable).localCheckpoint(
         eager=False
     )
+    return winnow_overlap_from_fps(fps, id_col, min_shared, max_bucket)
+
+
+def winnow_overlap_from_fps(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Overlap pairs from an existing (id, fp) fingerprint table — the
+    persist-the-fingerprint-table flow: build prints once per corpus
+    (winnow_fingerprints, ideally materialized), then run overlap joins,
+    incremental probes, or cross-corpus checks against the same table
+    without re-hashing text."""
     sizes = fps.groupBy("fp").agg(F.count("*").alias("_bn"))
     bounded = fps.join(
         F.broadcast(sizes.filter(F.col("_bn") > max_bucket)), "fp", "left_anti"

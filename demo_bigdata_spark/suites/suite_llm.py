@@ -327,13 +327,31 @@ ORDER BY doc_id
 
 # --- Winnowing fingerprints (MOSS) ------------------------------------------------------------
 
+# The winnowed fingerprint table feeds BOTH winnow queries (per-doc profile
+# + overlap pairs) — the same pay-once shape as _CANDS_CACHE: a production
+# pipeline materializes the fingerprint table once per corpus and every
+# downstream consumer joins against it. Same applicationId keying/eviction.
+_FPS_CACHE: dict = {}
+
+
+def _fps(spark, sf_dir):
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _FPS_CACHE if k[0] != app_id]:
+        del _FPS_CACHE[k]
+    key = (app_id, sf_dir)
+    if key not in _FPS_CACHE:
+        _FPS_CACHE[key] = D.winnow_fingerprints(_docs(spark, sf_dir)).localCheckpoint(
+            eager=False
+        )
+    return _FPS_CACHE[key]
+
+
 def q_winnowed_fingerprints(spark, sf_dir):
     """Per-doc winnowed fingerprint profile (operator:
     dedup.winnow_fingerprints, k=5 char grams, window 4): count + min/max +
     sum checksum — the full fingerprint set verified without collecting a
     million-row table."""
-    fps = D.winnow_fingerprints(_docs(spark, sf_dir))
-    return fps.groupBy("doc_id").agg(
+    return _fps(spark, sf_dir).groupBy("doc_id").agg(
         F.count("*").alias("n_fps"),
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
@@ -369,8 +387,9 @@ FROM wfps GROUP BY doc_id ORDER BY doc_id
 
 def q_winnow_overlap(spark, sf_dir):
     """Local-overlap pairs by shared winnowed prints (bucket-capped join —
-    never all-pairs; operator: dedup.winnow_overlap_pairs)."""
-    return D.winnow_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
+    never all-pairs; operator: dedup.winnow_overlap_from_fps over the shared
+    session fingerprint table)."""
+    return D.winnow_overlap_from_fps(_fps(spark, sf_dir), min_shared=2)
     # unordered: see q_near_duplicates
 
 

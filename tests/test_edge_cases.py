@@ -396,3 +396,39 @@ def test_cands_cache_keying_and_eviction(monkeypatch, tmp_path):
     assert b is not a
     assert list(suite_llm._CANDS_CACHE) == [("app-2", "/sf/a")]
     assert built == ["/sf/a", "/sf/b", "/sf/a"]  # one hit, three builds
+
+
+def test_fps_cache_keying_and_eviction(monkeypatch):
+    """_FPS_CACHE (shared winnow fingerprint table) follows the same
+    applicationId keying/eviction contract as _CANDS_CACHE."""
+    from demo_bigdata_spark.suites import suite_llm
+
+    class FakeDF:
+        def localCheckpoint(self, eager=False):
+            return self
+
+    class FakeSession:
+        def __init__(self, app_id):
+            class _Ctx:
+                applicationId = app_id
+
+            self.sparkContext = _Ctx()
+
+    built = []
+
+    def fake_winnow(docs):
+        built.append(docs)
+        return FakeDF()
+
+    monkeypatch.setattr(suite_llm.D, "winnow_fingerprints", fake_winnow)
+    monkeypatch.setattr(suite_llm, "_docs", lambda spark, sf_dir: sf_dir)
+    monkeypatch.setattr(suite_llm, "_FPS_CACHE", {})
+
+    s1 = FakeSession("app-1")
+    a = suite_llm._fps(s1, "/sf/a")
+    assert suite_llm._fps(s1, "/sf/a") is a
+    s2 = FakeSession("app-2")
+    b = suite_llm._fps(s2, "/sf/a")
+    assert b is not a
+    assert list(suite_llm._FPS_CACHE) == [("app-2", "/sf/a")]
+    assert built == ["/sf/a", "/sf/a"]
