@@ -132,9 +132,13 @@ def decode_image_fake(media: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "width": (n % 640 + 1).astype("int32"),
                     "height": (n % 480 + 1).astype("int32"),
+                    # raw double, no rounding: the int/int division is
+                    # bit-identical across engines, while pandas .round is
+                    # banker's and SQL round() is half-away — a tie at the
+                    # 4th decimal would diverge (dyadic sums /64 CAN tie)
                     "mean_luma": payloads.map(
                         lambda b: (sum(b[:64]) / max(min(len(b), 64), 1)) if len(b) else 0.0
-                    ).round(4),
+                    ),
                 }
             )
 

@@ -1109,12 +1109,14 @@ GROUP BY t.doc_id
 ORDER BY t.doc_id
 """
 
-# --- Sentence-boundary segmentation (Python UDTF — rows-only) -----------------------
+# --- Sentence-boundary segmentation (Python UDTF, recursive-CTE oracle) -------------
 
 def q_sentence_segments(spark, sf_dir):
     """Greedy sentence packing into <=64-token segments via the SentencePack
-    UDTF (functions/udtfs.py) — reset-on-overflow accumulation has no
-    declarative SQL form, so this is a rows-only query by design."""
+    UDTF (functions/udtfs.py). The reset-on-overflow accumulation has no
+    window-function SQL form, but it IS a sequential fold — the DuckDB twin
+    replays it with a recursive CTE walking sentences in order, so the UDTF
+    is value-checked end to end (was rows-only through r3)."""
     from demo_bigdata_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
@@ -1126,6 +1128,39 @@ def q_sentence_segments(spark, sf_dir):
         ORDER BY doc_id, s.seg_id
         """
     )
+
+
+# RE2 (DuckDB) has no lookbehind, so the UDTF's `(?<=[.!?])\s+` sentence split
+# is emulated by marking boundaries with chr(1) (absent from the corpus) and
+# splitting on the marker; the greedy packer itself is the recursive CTE.
+SQL_SENTENCE_SEGMENTS = r"""
+WITH RECURSIVE
+sent_arrays AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS ss
+  FROM documents WHERE trim(text) <> ''
+),
+sent AS (
+  SELECT doc_id, i::INT AS idx,
+         len(list_filter(regexp_split_to_array(ss[i+1], '\s+'), x -> x <> ''))::INT AS t
+  FROM sent_arrays, unnest(range(len(ss))) AS u(i)
+),
+walk AS (
+  SELECT doc_id, idx, t, 0 AS seg_id, t AS cur_tokens
+  FROM sent WHERE idx = 0
+  UNION ALL
+  SELECT s.doc_id, s.idx, s.t,
+         CASE WHEN w.cur_tokens + s.t > 64 THEN w.seg_id + 1 ELSE w.seg_id END,
+         CASE WHEN w.cur_tokens + s.t > 64 THEN s.t ELSE w.cur_tokens + s.t END
+  FROM walk w JOIN sent s ON s.doc_id = w.doc_id AND s.idx = w.idx + 1
+)
+SELECT doc_id, seg_id::INT AS seg_id,
+       count(*)::INT AS n_sentences,
+       sum(t)::INT AS n_tokens
+FROM walk
+GROUP BY doc_id, seg_id
+ORDER BY doc_id, seg_id
+"""
 
 
 # --- Multimodal metadata -----------------------------------------------------------------------------
@@ -1145,20 +1180,85 @@ ORDER BY doc_id
 """
 
 
+# The fake decode/sample/resize tier is deterministic byte arithmetic over the
+# payload, so DuckDB CAN replay it: the corpus is pure ASCII (pinned by
+# multimodal_meta's n_bytes == length check), making VARCHAR positions equal
+# byte positions and ascii() equal the byte value — every mapInPandas operator
+# below is value-checked end to end against a SQL twin (was rows-only in r3).
+
 def q_image_features(spark, sf_dir):
-    # mapInPandas fake-decode plumbing — deterministic but not SQL-expressible
+    """mapInPandas fake decode — width/height/mean-luma derived from payload
+    bytes. mean_luma is the RAW int/int division (bit-identical across
+    engines); no in-engine rounding (pandas .round is banker's, SQL round()
+    is half-away — dyadic /64 sums can tie at any decimal)."""
     media = M.attach_binary(_docs(spark, sf_dir))
     return M.decode_image_fake(media).orderBy("doc_id")
 
 
+SQL_IMAGE_FEATURES = """
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id,
+       (n % 640 + 1)::INT AS width,
+       (n % 480 + 1)::INT AS height,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE list_sum(list_transform(range(least(n, 64)), i -> ascii(text[i+1])))
+                 / least(n, 64)::DOUBLE END AS mean_luma
+FROM m
+ORDER BY doc_id
+"""
+
+
 def q_frame_samples(spark, sf_dir):
+    """mapInPandas fan-out: one 'frame' per 64-byte chunk (capped at 8),
+    sha256[:16] per chunk — the twin replays chunking + hashing in SQL."""
     media = M.attach_binary(_docs(spark, sf_dir))
     return M.frame_sample_fake(media).orderBy("doc_id", "frame_idx")
 
 
+SQL_FRAME_SAMPLES = """
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+fr AS (
+  SELECT doc_id, text,
+         unnest(range(least(greatest(n // 64, 1), 8))) AS frame_idx
+  FROM m
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       substr(sha256(substr(text, frame_idx::INT * 64 + 1, 64)), 1, 16) AS frame_sha
+FROM fr
+ORDER BY doc_id, frame_idx
+"""
+
+
 def q_image_resize(spark, sf_dir):
+    """mapInPandas fake resize: aspect-preserving dimension math + stride
+    'resample' of the payload, sha256[:16] of the strided bytes — the twin
+    replays the double arithmetic (trunc semantics match numpy astype) and
+    rebuilds the strided byte string."""
     media = M.attach_binary(_docs(spark, sf_dir))
     return M.resize_image_fake(media).orderBy("doc_id")
+
+
+SQL_IMAGE_RESIZE = """
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+dims AS (
+  SELECT doc_id, text, n,
+         (n % 640 + 1) AS w, (n % 480 + 1) AS h,
+         greatest(greatest(n % 640 + 1, n % 480 + 1) / 64.0, 1.0) AS scale
+  FROM m
+),
+calc AS (
+  SELECT doc_id, text, n, scale,
+         greatest(trunc(w / scale), 1)::INT AS out_w,
+         greatest(trunc(h / scale), 1)::INT AS out_h,
+         greatest(trunc(scale)::BIGINT, 1) AS stride
+  FROM dims
+)
+SELECT doc_id, out_w, out_h,
+       substr(sha256(array_to_string(
+           list_transform(range(0, n, stride), i -> text[i+1]), '')), 1, 16) AS resized_sha
+FROM calc
+ORDER BY doc_id
+"""
 
 
 # --- Native approx_top_k heavy hitters ----------------------------------------
@@ -1378,7 +1478,7 @@ QUERIES = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
-    "sentence_segments": (q_sentence_segments, None),
+    "sentence_segments": (q_sentence_segments, SQL_SENTENCE_SEGMENTS),
     "logprob_scores": (q_logprob_scores, SQL_LOGPROB_SCORES),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
@@ -1386,9 +1486,9 @@ QUERIES = {
     "lsh_pairs": (q_lsh_pairs, None),
     "ivf_topk": (q_ivf_topk, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "image_features": (q_image_features, None),
-    "frame_samples": (q_frame_samples, None),
-    "image_resize": (q_image_resize, None),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "cms_token_counts": (q_cms_token_counts, None),
     "approx_top_tokens": (q_approx_top_tokens, SQL_APPROX_TOP_TOKENS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -5,7 +5,9 @@ sketches, approximate search, iterative algorithms, mapInPandas media ops)
 previously got a vacuous ``len(out) >= 0`` twin check. Each entry here is a
 falsifiable assertion of the query's actual contract — recall floors against
 the exact operator, refinement/subset relations against oracle-checked
-siblings, sketch error bounds, and feature-range/shape checks.
+siblings, and sketch error bounds. (The mapInPandas media tier and the
+UDTF segmenter graduated to full SQL twins in r4 — ASCII corpus makes the
+byte arithmetic replayable, a recursive CTE replays the greedy packer.)
 
 Every rows-only query MUST have an entry: the twin fails on a missing name,
 so a new ``(fn, None)`` suite row cannot ship without an invariant.
@@ -45,27 +47,6 @@ def inv_dup_clusters(out: pd.DataFrame, spark, sf_dir, con) -> None:
             f"near-dup pair ({a},{b}) not co-clustered"
         )
 
-
-def inv_sentence_segments(out: pd.DataFrame, spark, sf_dir, con) -> None:
-    """Greedy sentence packing: per doc, seg_ids are contiguous from 0; every
-    segment respects the 64-token budget unless it is a single overlong
-    sentence; token counts are conserved (sum of segment tokens == the doc's
-    whitespace token count — packing must not drop or invent text)."""
-    docs = _docs_pdf(con)
-    doc_tokens = {
-        r.doc_id: len(_TOK_SPLIT.split(r.text.strip())) if r.text.strip() else 0
-        for r in docs.itertuples()
-    }
-    assert (out["n_sentences"] >= 1).all()
-    assert (out["n_tokens"] >= 1).all()
-    over = out[(out["n_tokens"] > 64) & (out["n_sentences"] > 1)]
-    assert over.empty, f"multi-sentence segment over budget: {over.head(3)}"
-    for doc_id, seg in out.groupby("doc_id"):
-        assert sorted(seg["seg_id"]) == list(range(len(seg))), doc_id
-        assert seg["n_tokens"].sum() == doc_tokens[doc_id], (
-            f"doc {doc_id}: segment tokens {seg['n_tokens'].sum()} != "
-            f"doc tokens {doc_tokens[doc_id]}"
-        )
 
 
 def _exact_cosine_pairs(con, threshold: float) -> pd.DataFrame:
@@ -133,36 +114,7 @@ def inv_ivf_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
         assert abs(c - true_cos[vid]) <= 1e-4 + 1e-9, (vid, c, true_cos[vid])
 
 
-def inv_image_features(out: pd.DataFrame, spark, sf_dir, con) -> None:
-    """Fake-decode plumbing: one feature row per document, dimensions inside
-    the synthetic generator's ranges, luma a valid 8-bit mean."""
-    docs = _docs_pdf(con)
-    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
-    assert out["width"].between(1, 640).all()
-    assert out["height"].between(1, 480).all()
-    assert out["mean_luma"].between(0.0, 255.0).all()
-    assert out.notna().all().all()
 
-
-def inv_frame_samples(out: pd.DataFrame, spark, sf_dir, con) -> None:
-    """Frame fan-out: every doc yields 1..8 frames, frame_idx contiguous from
-    0, stable 16-hex-char content hashes."""
-    docs = _docs_pdf(con)
-    assert set(out["doc_id"]) == set(docs["doc_id"])
-    for doc_id, g in out.groupby("doc_id"):
-        assert 1 <= len(g) <= 8, doc_id
-        assert sorted(g["frame_idx"]) == list(range(len(g))), doc_id
-    assert out["frame_sha"].str.fullmatch(r"[0-9a-f]{16}").all()
-
-
-def inv_image_resize(out: pd.DataFrame, spark, sf_dir, con) -> None:
-    """Aspect-preserving resize to max side 64: one row per doc, output
-    dimensions in [1, 64], stable content hashes."""
-    docs = _docs_pdf(con)
-    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
-    assert out["out_w"].between(1, 64).all()
-    assert out["out_h"].between(1, 64).all()
-    assert out["resized_sha"].str.fullmatch(r"[0-9a-f]{16}").all()
 
 
 def inv_cms_token_counts(out: pd.DataFrame, spark, sf_dir, con) -> None:
@@ -194,11 +146,7 @@ def inv_cms_token_counts(out: pd.DataFrame, spark, sf_dir, con) -> None:
 
 INVARIANTS = {
     "dup_clusters": inv_dup_clusters,
-    "sentence_segments": inv_sentence_segments,
     "lsh_pairs": inv_lsh_pairs,
     "ivf_topk": inv_ivf_topk,
-    "image_features": inv_image_features,
-    "frame_samples": inv_frame_samples,
-    "image_resize": inv_image_resize,
     "cms_token_counts": inv_cms_token_counts,
 }
