@@ -252,9 +252,39 @@ ORDER BY id_a, id_b
 # --- Duplicate clusters (label propagation over band buckets) ----------------------
 
 def q_dup_clusters(spark, sf_dir):
-    # iterative algorithm (driver-side convergence loop) -> rows-only check;
-    # the connectivity property is pytest-verified (tests/test_operators.py)
+    """Label-propagation duplicate clusters (operator:
+    dedup.duplicate_clusters). Oracle-checked since r4: the operator runs AT
+    MOST 10 min-propagation rounds (breaking early on fixpoint), and extra
+    rounds after convergence are idempotent — so a twin that unrolls exactly
+    10 rounds as chained aggregates produces the identical labeling whether
+    or not the loop converged early. No transitive-closure CTE (a dup-farm
+    clique makes that quadratic); 10 x two GROUP BYs stays linear in the
+    band table."""
     return D.duplicate_clusters(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _sql_dup_clusters() -> str:
+    rounds = []
+    for k in range(1, 11):
+        rounds.append(
+            f"bmin{k} AS (SELECT bucket, min(lbl) AS bm FROM db "
+            f"JOIN lbl{k - 1} USING (doc_id) GROUP BY bucket),\n"
+            f"lbl{k} AS (SELECT doc_id, min(bm) AS lbl FROM db "
+            f"JOIN bmin{k} USING (bucket) GROUP BY doc_id)"
+        )
+    # the shared band CTE caps dup-farm buckets for PAIR generation; cluster
+    # propagation runs on the UNCAPPED buckets by design (that's how capped
+    # farms still get cluster ids)
+    return f"""
+WITH {_SQL_SIGS_CTE.replace("WHERE s.bn <= 1000", "")},
+db AS (SELECT doc_id, band_idx || '|' || band_sig AS bucket FROM all_bands),
+lbl0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM db),
+{",".join(rounds)}
+SELECT doc_id, lbl AS cluster_id FROM lbl10 ORDER BY doc_id
+"""
+
+
+SQL_DUP_CLUSTERS = _sql_dup_clusters()
 
 
 # --- SimHash -------------------------------------------------------------------------------
@@ -808,11 +838,60 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dups)
 
 
 def q_lsh_pairs(spark, sf_dir):
-    # Approximate variant — recall measured against the exact op in pytest;
-    # rows-only for the driver (hyperplane SQL twin would be meaningless).
+    """Sign-LSH near-pair search, OR-amplified over 8 tables (operator:
+    similarity.lsh_pairs_above). Fully oracle-checked since r4: the
+    hyperplanes are seed-frozen doubles, so the twin embeds them as
+    literals and replays the sign-bucketing with an order-identical
+    list_reduce fold — Spark and DuckDB must produce the SAME candidate
+    set and 4dp cosines, not just comparable recall (that recall floor is
+    additionally pytest-pinned against the exact O(n^2) operator)."""
     return S.lsh_pairs_above(_emb(spark, sf_dir), PAIR_THRESHOLD, n_planes=4, n_tables=8).orderBy(
         "id_a", "id_b"
     )
+
+
+def _sql_lsh_pairs() -> str:
+    """Build the LSH twin: 8 tables x 4 planes of float64 literals (repr
+    round-trips exactly; DuckDB decimal->double parsing is correctly
+    rounded). Spark folds the dot product left to right from 0.0
+    (F.aggregate); list_reduce folds left to right from the first element —
+    identical IEEE sums, hence identical signs."""
+    n_planes, n_tables, dim = 4, 8, 64
+
+    def plane_lit(plane):
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def bucket_expr(t):
+        planes = S.hyperplanes(dim, n_planes, seed=42 + t)
+        terms = []
+        for i, plane in enumerate(planes):
+            d = (
+                f"list_reduce(list_transform(range({dim}), "
+                f"j -> v[j+1] * ({plane_lit(plane)})[j+1]), (a, b) -> a + b)"
+            )
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    keyed = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {bucket_expr(t)} AS b FROM v"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keyed AS ({keyed}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b,
+       round(list_cosine_similarity(x.v, y.v), 4) AS cosine
+FROM pairs p JOIN v x ON x.vec_id = p.id_a JOIN v y ON y.vec_id = p.id_b
+WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {PAIR_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_LSH_PAIRS = _sql_lsh_pairs()
 
 
 # --- Composite training-data pipeline: quality gate -> exact dedup -> stats -------
@@ -1456,7 +1535,7 @@ QUERIES = {
     "minhash_shingles": (q_minhash_shingles, SQL_MINHASH_SHINGLES),
     "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
     "near_duplicates": (q_near_duplicates, SQL_NEAR_DUPLICATES),
-    "dup_clusters": (q_dup_clusters, None),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
@@ -1483,7 +1562,7 @@ QUERIES = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
-    "lsh_pairs": (q_lsh_pairs, None),
+    "lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     "ivf_topk": (q_ivf_topk, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
