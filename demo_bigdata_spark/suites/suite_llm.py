@@ -1478,14 +1478,96 @@ def q_cms_token_counts(spark, sf_dir):
     """Count-min estimates for a fixed probe list over the exploded token
     stream — one mergeable distributed aggregate (KB-size sketch), probes
     answered from the sketch without a groupBy shuffle of all tokens. Fixed
-    seed => deterministic, but DuckDB has no CMS, so the driver check is
-    rows-only; test_cms_bounds pins est >= exact and est <= exact + eps*N."""
+    seed => deterministic. Fully oracle-checked since r4: DuckDB has no CMS,
+    but the sketch IS deterministic arithmetic — the twin reimplements
+    Spark's Murmur3_x86_32 (HUGEINT wrap multiplication, rotations as
+    disjoint shift-halves, signed-tail-byte rounds) over the ASCII token
+    bytes, rebuilds the depth x width counter table from the corpus, and
+    takes the same min-over-rows estimate — so the exact estimates, over-
+    counts included, must agree. test_cms_bounds additionally pins
+    est >= exact and est <= exact + eps*N."""
     from demo_bigdata_spark.operators import sketches as K
 
     toks = _docs(spark, sf_dir).select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
     return K.count_min_table(toks, "tok", CMS_PROBE_TOKENS).orderBy("probe")
+
+
+def _sql_cms_token_counts() -> str:
+    """Generate the CMS twin. Mirrors operators/sketches.py::_murmur3_32 /
+    CountMinReader._buckets exactly: h1 = murmur(tok, 0), h2 = murmur(tok,
+    h1), bucket_i = abs(java_i32(h1 + i*h2)) % width; counters are sums over
+    the exploded token stream (empty-string tokens from blank docs included,
+    as Spark's explode(split(...)) produces them). width/depth follow
+    eps=0.001, confidence=0.99 (ceil(e/eps)=2719, ceil(ln 100)=5). All
+    32-bit wrap arithmetic runs in HUGEINT with explicit % 2^32; rotl is the
+    sum of its two disjoint shift halves; java byte sign-extension is the
+    +2^32-256 case on tail bytes."""
+    m32 = 4294967296
+    width, depth = 2719, 5
+
+    def mix(acc, w):
+        k1a = f"(({w}::HUGEINT * 3432918353) % {m32})"
+        k1b = f"((({k1a} * 32768) % {m32}) + ({k1a} // 131072))"
+        k1c = f"((({k1b} * 461845907) % {m32})::BIGINT)"
+        h = f"xor({acc}::BIGINT, {k1c})"
+        hb = f"((({h}::HUGEINT * 8192) % {m32}) + ({h} // 524288))"
+        return f"(((({hb} * 5) + 3864292196) % {m32})::BIGINT)"
+
+    mix_lambda = "(a, w) -> " + mix("a", "w")
+
+    def fmix(h1, length):
+        s1 = f"xor({h1}, {length})"
+        s2 = f"xor({s1}, {s1} // 65536)"
+        s3 = f"((({s2}::HUGEINT * 2246822507) % {m32})::BIGINT)"
+        s4 = f"xor({s3}, {s3} // 8192)"
+        s5 = f"((({s4}::HUGEINT * 3266489909) % {m32})::BIGINT)"
+        return f"xor({s5}, {s5} // 65536)"
+
+    words = (
+        "list_concat("
+        "list_transform(range((length({t}) // 4)), j -> "
+        "ascii({t}[4*j+1]) + 256*ascii({t}[4*j+2]) + 65536*ascii({t}[4*j+3]) + 16777216*ascii({t}[4*j+4])), "
+        "list_transform(range(4 * (length({t}) // 4), length({t})), i -> "
+        "CASE WHEN ascii({t}[i+1]) >= 128 THEN ascii({t}[i+1]) + 4294967040 ELSE ascii({t}[i+1]) END))"
+    )
+
+    def murmur(t, seed):
+        fold = f"list_reduce(list_prepend({seed}::BIGINT, {words.format(t=t)}), {mix_lambda})"
+        return fmix(f"({fold})", f"length({t})")
+
+    def signed(u):
+        return f"(CASE WHEN {u} >= 2147483648 THEN {u} - {m32} ELSE {u} END)"
+
+    bucket = f"abs({signed(f'((((h1 + r.i * h2) % {m32}) + {m32}) % {m32})')}) % {width}"
+    probes_vals = ", ".join(f"('{p}')" for p in CMS_PROBE_TOKENS)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
+),
+tc AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+th AS (SELECT tok, cnt, {murmur('tok', '0')} AS h1u FROM tc),
+th2 AS (SELECT tok, cnt, {signed('h1u')} AS h1, {signed(murmur('tok', 'h1u'))} AS h2 FROM th),
+tbuck AS (
+  SELECT cnt, r.i AS row_i, {bucket} AS bucket
+  FROM th2, (SELECT unnest(range({depth})) AS i) r
+),
+counters AS (SELECT row_i, bucket, sum(cnt)::BIGINT AS c FROM tbuck GROUP BY row_i, bucket),
+ph AS (SELECT probe, {murmur('probe', '0')} AS h1u FROM (VALUES {probes_vals}) p(probe)),
+ph2 AS (SELECT probe, {signed('h1u')} AS h1, {signed(murmur('probe', 'h1u'))} AS h2 FROM ph),
+pbuck AS (
+  SELECT probe, r.i AS row_i, {bucket} AS bucket
+  FROM ph2, (SELECT unnest(range({depth})) AS i) r
+)
+SELECT probe, min(coalesce(c.c, 0))::BIGINT AS est_count
+FROM pbuck b LEFT JOIN counters c ON c.row_i = b.row_i AND c.bucket = b.bucket
+GROUP BY probe
+ORDER BY probe
+"""
+
+
+SQL_CMS_TOKEN_COUNTS = _sql_cms_token_counts()
 
 
 # --- int8-quantized embedding top-k --------------------------------------------
@@ -1568,7 +1650,7 @@ QUERIES = {
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
-    "cms_token_counts": (q_cms_token_counts, None),
+    "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "approx_top_tokens": (q_approx_top_tokens, SQL_APPROX_TOP_TOKENS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),

@@ -3,12 +3,12 @@
 Queries whose values cannot hash-match a DuckDB twin previously got a
 vacuous ``len(out) >= 0`` twin check. Each entry here is a falsifiable
 assertion of the query's actual contract — recall floors against the exact
-operator and sketch error bounds. Only two queries remain rows-only after
+operator and sketch error bounds. Only one query remains rows-only after
 r4's oracle graduations (media tier via ASCII byte arithmetic, UDTF packer
 via recursive CTE, LSH pairs via frozen-hyperplane literals, dup clusters
-via a 10-round unrolled propagation): ivf_topk (k-means centroids are
-data-dependent, unreproducible in a static SQL string) and cms_token_counts
-(Spark's murmur3-based CMS has no SQL replay).
+via a 10-round unrolled propagation, count-min via a full murmur3 SQL
+reimplementation): ivf_topk — its k-means centroids are data-dependent, so
+no static SQL string can reproduce them.
 
 Every rows-only query MUST have an entry: the twin fails on a missing name,
 so a new ``(fn, None)`` suite row cannot ship without an invariant.
@@ -55,34 +55,6 @@ def inv_ivf_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
 
 
 
-def inv_cms_token_counts(out: pd.DataFrame, spark, sf_dir, con) -> None:
-    """Count-min contract on the query's own output: est >= exact for every
-    probe, and est <= exact + eps*N (eps=0.001, N = total token count) —
-    the overestimate-only property downstream frequency filters rely on."""
-    from demo_bigdata_spark.suites.suite_llm import CMS_PROBE_TOKENS
-
-    probes = ", ".join(f"'{p}'" for p in CMS_PROBE_TOKENS)
-    stats = con.sql(
-        f"""
-        WITH toks AS (
-          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-          FROM documents
-        )
-        SELECT tok, count(*)::BIGINT AS n FROM toks WHERE tok IN ({probes}) GROUP BY tok
-        """
-    ).df()
-    exact = dict(stats.itertuples(index=False, name=None))
-    n_total = con.sql(
-        "SELECT sum(len(string_split_regex(trim(lower(text)), '\\s+'))) FROM documents"
-    ).fetchone()[0]
-    assert set(out["probe"]) == set(CMS_PROBE_TOKENS)
-    for probe, est in out[["probe", "est_count"]].itertuples(index=False, name=None):
-        true_n = exact.get(probe, 0)
-        assert est >= true_n, (probe, est, true_n)
-        assert est <= true_n + 0.001 * n_total, (probe, est, true_n, n_total)
-
-
 INVARIANTS = {
     "ivf_topk": inv_ivf_topk,
-    "cms_token_counts": inv_cms_token_counts,
 }

@@ -148,3 +148,21 @@ def test_winnow_overlap_no_cartesian_and_pct_no_global_window(spark, sf_dir):
     # the one-row total attaches via a broadcast (nested-loop, keyless —
     # correct for a scalar side), never an Exchange-to-one-partition window
     assert "Broadcast" in plan, plan
+
+
+def test_shingle_two_step_prunes_and_builds_once(spark, sf_dir):
+    """The shingle pipeline projects pin(tokens(text)) then shingles from the
+    attribute (the O(L^2) split-per-position fix). Two properties must hold:
+    (a) column pruning still reaches the scan THROUGH the nondeterministic
+    pin projection (only doc_id+text read), and (b) the physical plan
+    contains exactly one split of the text column — a regression to the
+    inline-lambda form re-inlines the split into the shingle transform and
+    the count jumps to per-position."""
+    from demo_bigdata_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, shingle_n=3).select("doc_id", "sig")
+    cols = read_schema_columns(sig)
+    assert set(cols) == {"doc_id", "text"}, cols
+    plan = executed_plan(sig)
+    assert plan.count("split(") == 1, f"tokens() re-inlined: {plan.count('split(')} splits"
