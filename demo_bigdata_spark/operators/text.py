@@ -256,7 +256,10 @@ BULLET_PREFIXES: tuple[str, ...] = ("-", "*", "•")
 
 
 def repetition_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
 ) -> DataFrame:
     """[EXT] Gopher-style repetition signals per document:
 
@@ -278,7 +281,9 @@ def repetition_features(
         F.col(id_col), _dup_line_frac_expr(F.col(text_col)).alias("dup_line_frac")
     )
     return (
-        line_stats.join(_top_bigram_frac(df, text_col, id_col), id_col, "left")
+        line_stats.join(
+            _top_bigram_frac(df, text_col, id_col, portable=portable), id_col, "left"
+        )
         .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
     )
 
@@ -299,27 +304,36 @@ def _dup_line_frac_expr(c: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def _top_bigram_frac(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _top_bigram_frac(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = True
+) -> DataFrame:
     """(id, top_bigram_frac) aggregate — the one shuffling stage of the
     repetition tier (see repetition_features docstring for the scale
-    rationale)."""
+    rationale). ``portable=False`` shuffles xxhash64(bigram) bigints
+    instead of bigram strings (~19% at sf0.1, more at scale where the
+    shuffle dominates); a 64-bit collision merging two bigrams is
+    negligible, but the oracle-checked default stays on raw strings
+    (exact, and an md5-bigint middle ground measured SLOWER than the
+    string shuffle — the digest costs more than it saves)."""
     c = F.col(text_col)
     base = df.select(
         F.col(id_col), tokens(c).alias("_toks"), token_count(c).alias("_n_toks")
     )
+
+    def _bg(i):
+        s = F.concat_ws(" ", F.get("_toks", i), F.get("_toks", i + 1))
+        return s if portable else F.xxhash64(s)
+
     bigrams = base.select(
         id_col,
         "_n_toks",
         F.explode(
             F.when(
                 F.col("_n_toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n_toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.get("_toks", i), F.get("_toks", i + 1)
-                    ),
-                ),
-            ).otherwise(F.array())
+                F.transform(F.sequence(F.lit(0), F.col("_n_toks") - 2), _bg),
+            ).otherwise(
+                F.array() if portable else F.array().cast("array<bigint>")
+            )
         ).alias("_bg"),
     )
     return (
@@ -414,6 +428,7 @@ def gopher_filter(
     min_stop_hits: int = 2,
     max_dup_line_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
+    portable: bool = True,
 ) -> DataFrame:
     """[EXT] the combined Gopher keep/drop gate: every rule a named boolean
     column plus the conjunction ``keep`` — decomposed flags make the drop
@@ -429,7 +444,7 @@ def gopher_filter(
     shuffles doc_id twice (measured 1.5x at the 30x scale probe:
     67.5s -> 44.9s)."""
     feats = gopher_features(df, text_col, id_col, _include_dup_line=True).join(
-        _top_bigram_frac(df, text_col, id_col), id_col, "left"
+        _top_bigram_frac(df, text_col, id_col, portable=portable), id_col, "left"
     ).withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
     flags = {
         "ok_words": (F.col("n_words") >= min_words)

@@ -115,3 +115,15 @@ def test_fast_hash_range_is_28_bit(spark, sf_dir):
     )
     mn, mx = vals.agg(F.min("h"), F.max("h")).first()
     assert mn >= 0 and mx < (1 << 28)
+
+
+def test_gopher_filter_fast_bigram_path_matches(spark, sf_dir):
+    """The xxhash64 bigram-shuffle path must produce identical Gopher gate
+    output on the fixture corpus (a 64-bit collision merging two distinct
+    bigrams is the only possible divergence)."""
+    from demo_bigdata_spark.operators import text as X
+
+    docs = _docs(spark, sf_dir)
+    slow = X.gopher_filter(docs).orderBy("doc_id").collect()
+    fast = X.gopher_filter(docs, portable=False).orderBy("doc_id").collect()
+    assert [tuple(r) for r in slow] == [tuple(r) for r in fast]
