@@ -87,15 +87,16 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         df = fn(spark, SF_DIR)
-        # best of 3: first execution pays one-time whole-stage-codegen javac
+        # best of 5: first execution pays one-time whole-stage-codegen javac
         # + JIT compilation (measured 2x+ noise on expression-heavy queries);
         # steady-state throughput is what projects to cluster scale, where
         # compile cost amortizes over TBs instead of being re-paid per run.
-        # Three runs (was two in r1/r2) so ONE externally-contended execution
-        # — e.g. the correctness driver sharing the box, which poisoned the
-        # r2 numbers — cannot set the recorded floor.
+        # Raised 2->3 in r3 (one contended run poisoned r2) and 3->5 in r4:
+        # the r4 container showed +/-15% swings on UNCHANGED queries between
+        # whole-bench runs, so a deeper min is needed for stable
+        # round-over-round comparison.
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -104,7 +105,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (noop-materialized, best-of-3)",
+                "metric": "headline suite wall time (noop-materialized, best-of-5)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
