@@ -1242,6 +1242,43 @@ ORDER BY doc_id, seg_id
 """
 
 
+# --- Corpus-level sequence packing ------------------------------------------------
+
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk packing of the whole corpus into
+    2048-token sequences (operator: text.pack_sequences): per doc, its
+    global token offset, landing pack, in-pack offset, and a
+    spans-boundary flag. The Spark side computes the global prefix sum
+    with a TWO-LEVEL cumsum (deterministic id-buckets + per-bucket totals)
+    so no window ever holds the corpus in one partition; the oracle
+    recomputes the same exact integers with a flat SQL window — identical
+    results, different (scale-safe) execution strategy."""
+    return X.pack_sequences(_docs(spark, sf_dir), seq_len=2048).orderBy("doc_id")
+
+
+SQL_SEQUENCE_PACKING = rf"""
+WITH nt AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len({SQL_TOKS_RAW}) END)::BIGINT AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+  FROM nt
+)
+SELECT doc_id, n_tokens, tok_offset,
+       (tok_offset // 2048)::BIGINT AS pack_id,
+       (tok_offset % 2048)::BIGINT AS pack_offset,
+       (n_tokens > 0 AND ((tok_offset + n_tokens - 1) // 2048) <> (tok_offset // 2048))
+           AS spans_boundary
+FROM off
+ORDER BY doc_id
+"""
+
+
 # --- Multimodal metadata -----------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -1640,6 +1677,7 @@ QUERIES = {
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "sentence_segments": (q_sentence_segments, SQL_SENTENCE_SEGMENTS),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "logprob_scores": (q_logprob_scores, SQL_LOGPROB_SCORES),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),

@@ -166,3 +166,28 @@ def test_shingle_two_step_prunes_and_builds_once(spark, sf_dir):
     assert set(cols) == {"doc_id", "text"}, cols
     plan = executed_plan(sig)
     assert plan.count("split(") == 1, f"tokens() re-inlined: {plan.count('split(')} splits"
+
+
+def test_pack_sequences_two_level_prefix_sum(spark, sf_dir):
+    """pack_sequences must never run a corpus-wide single-partition window:
+    the doc-level Window is partitioned by the id bucket, and the only
+    unpartitioned Window runs over the tiny per-bucket totals table (one
+    row per 4096 ids). Also pins exact conservation: offsets are the
+    exclusive prefix sum of token counts in id order."""
+    from demo_bigdata_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.pack_sequences(docs, seq_len=128, bucket_size=64)
+    plan = executed_plan(out)
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln or "Window[" in ln]
+    assert len(windows) == 2, plan
+    bucketed = [w for w in windows if "_bkt" in w.split("windowspecdefinition")[-1]]
+    assert len(bucketed) >= 1, windows
+    rows = out.orderBy("doc_id").collect()
+    run = 0
+    for r in rows:
+        assert r.tok_offset == run, (r, run)
+        assert r.pack_id == run // 128 and r.pack_offset == run % 128
+        expected_span = r.n_tokens > 0 and (run + r.n_tokens - 1) // 128 != run // 128
+        assert r.spans_boundary == expected_span, r
+        run += r.n_tokens
