@@ -529,3 +529,73 @@ def pack_sequences(
     return out.select(
         id_col, "n_tokens", "tok_offset", "pack_id", "pack_offset", "spans_boundary"
     )
+
+
+def materialize_packs(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """[EXT] materialize the packs laid out by :func:`pack_sequences`: every
+    document is split into its per-pack token segments, segments shuffle ON
+    pack_id (the one genuine shuffle — volume = corpus tokens, keyed by a
+    perfectly balanced dense integer), and each pack reassembles its
+    segments in offset order. Emits per pack: doc count, token count
+    (exactly ``seq_len`` for every pack but the last) and an md5 checksum
+    of the packed token stream — the verifiable unit a training-data job
+    writes out.
+
+    Per-pack memory is bounded by ``seq_len`` tokens regardless of corpus
+    size; the doc->segments fan-out is a narrow explode (a doc touches
+    ceil(n_tokens/seq_len)+1 packs at most).
+    """
+    from demo_bigdata_spark.functions.scalar import pin
+
+    packed = pack_sequences(df, seq_len, text_col, id_col, bucket_size)
+    toked = df.select(F.col(id_col), pin(tokens(F.col(text_col))).alias("_tk"))
+    spans = (
+        packed.filter(F.col("n_tokens") > 0)
+        .join(toked, id_col)
+        .select(
+            id_col,
+            "tok_offset",
+            "n_tokens",
+            "_tk",
+            F.explode(
+                F.sequence(
+                    (F.col("tok_offset") / seq_len).cast("bigint"),
+                    ((F.col("tok_offset") + F.col("n_tokens") - 1) / seq_len).cast(
+                        "bigint"
+                    ),
+                )
+            ).alias("pack_id"),
+        )
+    )
+    seg_start = F.greatest(F.col("pack_id") * seq_len, F.col("tok_offset"))
+    seg_end = F.least(
+        (F.col("pack_id") + 1) * seq_len, F.col("tok_offset") + F.col("n_tokens")
+    )
+    segs = spans.select(
+        "pack_id",
+        "tok_offset",
+        F.slice(
+            "_tk",
+            (seg_start - F.col("tok_offset") + 1).cast("int"),
+            (seg_end - seg_start).cast("int"),
+        ).alias("_seg"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("tok_offset").alias("o"), F.col("_seg").alias("s")))
+    )
+    return (
+        segs.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size("_seg")).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.flatten(F.transform(ordered, lambda x: x["s"])))
+            ).alias("checksum"),
+        )
+    )

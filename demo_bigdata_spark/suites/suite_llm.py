@@ -1279,6 +1279,47 @@ ORDER BY doc_id
 """
 
 
+def q_pack_checksums(spark, sf_dir):
+    """Materialized training packs (operator: text.materialize_packs):
+    2048-token packs reassembled from per-doc segments shuffled on pack_id,
+    each with doc/token counts and an md5 checksum of the packed token
+    stream. Every pack but the last must carry exactly 2048 tokens — the
+    oracle recomputes the identical packing (flat window cumsum + segment
+    slicing + ordered string_agg), so the checksums pin the full packed
+    corpus byte-for-byte."""
+    return X.materialize_packs(_docs(spark, sf_dir), seq_len=2048).orderBy("pack_id")
+
+
+SQL_PACK_CHECKSUMS = rf"""
+WITH nt AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE {SQL_TOKS_RAW} END AS tk
+  FROM documents
+),
+off AS (
+  SELECT doc_id, tk, len(tk)::BIGINT AS n_tokens,
+         coalesce(sum(len(tk)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+  FROM nt
+),
+spans AS (
+  SELECT doc_id, tok_offset, n_tokens, tk,
+         unnest(generate_series(tok_offset // 2048,
+                                (tok_offset + n_tokens - 1) // 2048)) AS pack_id
+  FROM off WHERE n_tokens > 0
+),
+segs AS (
+  SELECT pack_id, tok_offset,
+         tk[(greatest(pack_id * 2048, tok_offset) - tok_offset + 1) :
+            (least((pack_id + 1) * 2048, tok_offset + n_tokens) - tok_offset)] AS seg
+  FROM spans
+)
+SELECT pack_id, count(*)::BIGINT AS n_docs, sum(len(seg))::BIGINT AS n_tokens,
+       md5(string_agg(array_to_string(seg, ' '), ' ' ORDER BY tok_offset)) AS checksum
+FROM segs GROUP BY pack_id ORDER BY pack_id
+"""
+
+
 # --- Multimodal metadata -----------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -1678,6 +1719,7 @@ QUERIES = {
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "sentence_segments": (q_sentence_segments, SQL_SENTENCE_SEGMENTS),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "pack_checksums": (q_pack_checksums, SQL_PACK_CHECKSUMS),
     "logprob_scores": (q_logprob_scores, SQL_LOGPROB_SCORES),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
