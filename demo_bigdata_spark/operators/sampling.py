@@ -140,3 +140,47 @@ def mixture_sample(
     return with_rate.filter(hash_bucket(key_col, n_buckets) < F.col("_cut")).drop(
         "_gn", "_cut"
     )
+
+
+def mixture_sample_weighted(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    target_weight: float,
+    weight_col: Column | str,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """[EXT] deterministic corpus mixing against a WEIGHT budget instead of a
+    row budget — the form pre-training mixtures actually use (token budgets:
+    "web 60% of 1T tokens"), since documents differ wildly in length.
+
+    Per-group keep-rate = min(1, weight*target_weight / group_weight_sum)
+    where group_weight_sum = sum(weight_col) over the group; the rate is
+    applied as the same content-addressed hash-bucket cutoff as
+    :func:`mixture_sample`, so WHICH documents survive is still a pure
+    function of their key. The sampled weight per group then concentrates
+    around its target by construction (documents land in buckets
+    independently of their length). Undersized groups clamp at rate 1;
+    zero-weight groups drop.
+    """
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    sizes = df.groupBy(group_col).agg(F.sum(wc.cast("bigint")).alias("_gw"))
+    wmap = F.create_map(
+        *[x for k, w in sorted(weights.items()) for x in (F.lit(k), F.lit(float(w)))]
+    )
+    with_rate = df.join(F.broadcast(sizes), group_col).withColumn(
+        "_cut",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(wmap[F.col(group_col)], F.lit(0.0))
+                * target_weight
+                / F.col("_gw"),
+            )
+            * n_buckets
+        ).cast("bigint"),
+    )
+    return with_rate.filter(hash_bucket(key_col, n_buckets) < F.col("_cut")).drop(
+        "_gw", "_cut"
+    )

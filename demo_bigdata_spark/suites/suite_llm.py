@@ -1501,6 +1501,63 @@ ORDER BY source
 """
 
 
+def q_token_mixture(spark, sf_dir):
+    """Token-budget data mixing (operator: sampling.mixture_sample_weighted):
+    per-source keep-rates derived from TOKEN sums instead of row counts —
+    the form real pre-training mixtures use, since documents differ wildly
+    in length. Emits per-source surviving rows AND token volume; the oracle
+    replays the identical rate arithmetic (double ops on exact bigint token
+    sums) and md5-bucket predicate, so the exact surviving doc set is
+    value-checked."""
+    from demo_bigdata_spark.operators.sampling import mixture_sample_weighted
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_nt", X.token_count(F.col("text")).cast("bigint")
+    )
+    mixed = mixture_sample_weighted(
+        docs, "source", "doc_id", MIXTURE_WEIGHTS, MIXTURE_TARGET_TOKENS, "_nt"
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("_nt").alias("tokens_kept"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_TARGET_TOKENS = 20_000
+
+SQL_TOKEN_MIXTURE = rf"""
+WITH nt AS (
+  SELECT doc_id, source,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len({SQL_TOKS_RAW}) END)::BIGINT AS n_tokens
+  FROM documents
+),
+sizes AS (SELECT source, sum(n_tokens)::BIGINT AS gw FROM nt GROUP BY source),
+cuts AS (
+  SELECT source, gw,
+         round(least(1.0, coalesce(
+             element_at({_MIX_WMAP_SQL}, source)[1], 0.0)
+             * {MIXTURE_TARGET_TOKENS} / gw) * 10000)::BIGINT AS cut
+  FROM sizes
+),
+kept AS (
+  SELECT d.source, d.doc_id, d.n_tokens
+  FROM nt d JOIN cuts c ON d.source = c.source
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT % 10000 < c.cut
+)
+SELECT source, count(*) AS n_kept, sum(n_tokens)::BIGINT AS tokens_kept,
+       min(doc_id) AS min_doc
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- Char n-gram Jaccard near-dup (LSH candidates -> exact trigram overlap) ----
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1734,5 +1791,6 @@ QUERIES = {
     "approx_top_tokens": (q_approx_top_tokens, SQL_APPROX_TOP_TOKENS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "token_mixture": (q_token_mixture, SQL_TOKEN_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
 }
