@@ -514,6 +514,72 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    min_frac: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """[EXT] graded decontamination: per training doc, the FRACTION of its
+    distinct n-shingles found in the eval corpus — the thresholdable form
+    (drop at frac >= x, audit the band below) instead of decontaminate's
+    binary any-hit flag. Docs with zero overlap are omitted (at corpus
+    scale nearly every doc is clean — emitting them would dominate output
+    volume with zeros).
+
+    Same single-shuffle join shape as :func:`decontaminate`; the per-doc
+    distinct-shingle total rides along from the explode side, so no second
+    scan of the train corpus. ``contamination_frac`` is ONE int/int
+    division — exact operands, engine-identical (ROUND_NOTES fact 5).
+    """
+    from demo_bigdata_spark.functions.scalar import pin
+    from demo_bigdata_spark.operators.text import shingles_of, tokens
+
+    hash_fn = (lambda c: F.md5(c)) if portable else (lambda c: F.xxhash64(c))
+    toked = train.select(
+        F.col(id_col).alias("train_id"), pin(tokens(F.col(text_col))).alias("_tk")
+    )
+    tsh = (
+        toked.select(
+            "train_id",
+            F.explode(F.array_distinct(shingles_of(F.col("_tk"), n))).alias("_s"),
+        )
+        .select("train_id", hash_fn(F.col("_s")).alias("shingle_hash"))
+        .distinct()
+    )
+    totals = tsh.groupBy("train_id").agg(F.count("*").alias("n_train_shingles"))
+    etoked = eval_set.select(
+        F.col(id_col).alias("eval_id"), pin(tokens(F.col(text_col))).alias("_tk")
+    )
+    esh = (
+        etoked.select(
+            F.explode(F.array_distinct(shingles_of(F.col("_tk"), n))).alias("_s")
+        )
+        .select(hash_fn(F.col("_s")).alias("shingle_hash"))
+        .distinct()
+    )
+    shared = (
+        tsh.join(esh, "shingle_hash")
+        .groupBy("train_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    return (
+        shared.join(totals, "train_id")
+        .select(
+            "train_id",
+            "n_shared_shingles",
+            "n_train_shingles",
+            (F.col("n_shared_shingles") / F.col("n_train_shingles")).alias(
+                "contamination_frac"
+            ),
+        )
+        .filter(F.col("contamination_frac") >= min_frac)
+    )
+
+
 def build_dedup_index(
     df: DataFrame,
     path: str,

@@ -1162,6 +1162,43 @@ ORDER BY train_id
 """
 
 
+def q_contamination_report(spark, sf_dir):
+    """Graded benchmark-leak report (operator: dedup.contamination_report):
+    per training doc, the fraction of its distinct 8-shingles found in the
+    eval slice — the thresholdable form of decontamination. One shuffle
+    keyed by shingle hash; the fraction is a single int/int division
+    (engine-exact)."""
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    return D.contamination_report(train, eval_set, n=8)  # unordered
+
+
+SQL_CONTAMINATION_REPORT = rf"""
+WITH raw AS (SELECT doc_id, source, {SQL_TOKS_RAW} AS tkr FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(tkr) >= 8
+              THEN list_distinct(list_transform(range(0, len(tkr) - 7),
+                                                i -> array_to_string(tkr[i+1:i+8], ' ')))
+              ELSE [array_to_string(tkr, ' ')] END) AS s
+  FROM raw
+),
+hashed AS (SELECT DISTINCT doc_id, source, md5(s) AS shingle_hash FROM sh),
+tsh AS (SELECT doc_id AS train_id, shingle_hash FROM hashed WHERE source NOT IN ('src0', 'src1')),
+esh AS (SELECT DISTINCT shingle_hash FROM hashed WHERE source IN ('src0', 'src1')),
+totals AS (SELECT train_id, count(*)::BIGINT AS n_train_shingles FROM tsh GROUP BY train_id),
+shared AS (
+  SELECT train_id, count(*)::BIGINT AS n_shared_shingles
+  FROM tsh JOIN esh USING (shingle_hash) GROUP BY train_id
+)
+SELECT s.train_id, s.n_shared_shingles, t.n_train_shingles,
+       s.n_shared_shingles / t.n_train_shingles::DOUBLE AS contamination_frac
+FROM shared s JOIN totals t USING (train_id)
+ORDER BY s.train_id
+"""
+
+
 # --- Corpus-LM quality signal -------------------------------------------------------
 
 def q_logprob_scores(spark, sf_dir):
@@ -1792,5 +1829,6 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "token_mixture": (q_token_mixture, SQL_TOKEN_MIXTURE),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
 }
