@@ -184,3 +184,51 @@ def mixture_sample_weighted(
     return with_rate.filter(hash_bucket(key_col, n_buckets) < F.col("_cut")).drop(
         "_gw", "_cut"
     )
+
+
+def mixture_sample_repeat(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    n_buckets: int = 10_000,
+    max_repeat: int = 16,
+) -> DataFrame:
+    """[EXT] mixture sampling WITHOUT the rate-1 clamp: a group whose target
+    exceeds its size is UPSAMPLED by repetition — the standard pre-training
+    treatment of scarce high-quality sources (weights say 30% but the
+    source holds 3% of the corpus: every doc repeats ~10x).
+
+    rate = weight*target/|group|; every doc is emitted floor(rate) times,
+    plus one more copy when its hash bucket falls under the fractional
+    remainder — so repetition is content-addressed and deterministic like
+    every other sampler here, and expected group size = weight*target
+    exactly. Output rows carry ``epoch`` (0-based copy index): downstream
+    packing/shuffling can spread copies across the token stream.
+    ``max_repeat`` guards against a degenerate weight blowing a tiny group
+    into the corpus (raise deliberately when a 100x repeat is intended).
+
+    Scale shape: one tiny count aggregate broadcast back, then a narrow
+    explode of sequence(0, n_copies-1) — no shuffle of the corpus at all.
+    """
+    sizes = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    wmap = F.create_map(
+        *[x for k, w in sorted(weights.items()) for x in (F.lit(k), F.lit(float(w)))]
+    )
+    rate = (
+        F.coalesce(wmap[F.col(group_col)], F.lit(0.0)) * target_rows / F.col("_gn")
+    )
+    base = F.floor(rate).cast("bigint")
+    frac_cut = F.round((rate - F.floor(rate)) * n_buckets).cast("bigint")
+    n_copies = base + F.when(
+        hash_bucket(key_col, n_buckets) < frac_cut, F.lit(1)
+    ).otherwise(F.lit(0))
+    out = (
+        df.join(F.broadcast(sizes), group_col)
+        .withColumn("_nc", F.least(n_copies, F.lit(max_repeat)))
+        .filter(F.col("_nc") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .drop("_gn", "_nc")
+    )
+    return out

@@ -1538,6 +1538,65 @@ ORDER BY source
 """
 
 
+REPEAT_WEIGHTS = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+REPEAT_TARGET = 400
+
+
+def q_repeat_mixture(spark, sf_dir):
+    """Upsampling mixture (operator: sampling.mixture_sample_repeat): rates
+    above 1 REPEAT documents (scarce high-quality sources) — floor(rate)
+    copies each plus a content-addressed fractional copy. Per source:
+    emitted rows, distinct docs, and the highest epoch index. The oracle
+    replays floor/fractional-bucket arithmetic and generate_series
+    expansion exactly."""
+    from demo_bigdata_spark.operators.sampling import mixture_sample_repeat
+
+    mixed = mixture_sample_repeat(
+        _docs(spark, sf_dir), "source", "doc_id", REPEAT_WEIGHTS, REPEAT_TARGET
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("epoch").cast("bigint").alias("max_epoch"),
+        )
+        .orderBy("source")
+    )
+
+
+_REPEAT_WMAP_SQL = "MAP " + str(
+    {k: float(v) for k, v in sorted(REPEAT_WEIGHTS.items())}
+)
+SQL_REPEAT_MIXTURE = f"""
+WITH sizes AS (SELECT source, count(*) AS gn FROM documents GROUP BY source),
+rates AS (
+  SELECT source, gn,
+         coalesce(element_at({_REPEAT_WMAP_SQL}, source)[1], 0.0)
+             * {REPEAT_TARGET} / gn AS rate
+  FROM sizes
+),
+copies AS (
+  SELECT d.source, d.doc_id,
+         least(
+           floor(r.rate)::BIGINT
+           + (CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT % 10000
+                        < round((r.rate - floor(r.rate)) * 10000)::BIGINT
+                   THEN 1 ELSE 0 END),
+           16) AS nc
+  FROM documents d JOIN rates r ON d.source = r.source
+),
+expanded AS (
+  SELECT source, doc_id, unnest(range(nc)) AS epoch FROM copies WHERE nc > 0
+)
+SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+       max(epoch)::BIGINT AS max_epoch
+FROM expanded
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_token_mixture(spark, sf_dir):
     """Token-budget data mixing (operator: sampling.mixture_sample_weighted):
     per-source keep-rates derived from TOKEN sums instead of row counts —
@@ -1830,5 +1889,6 @@ QUERIES = {
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "token_mixture": (q_token_mixture, SQL_TOKEN_MIXTURE),
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "repeat_mixture": (q_repeat_mixture, SQL_REPEAT_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
 }
