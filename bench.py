@@ -74,6 +74,10 @@ HEADLINE = [
     "hash_sample",
     "decontamination",
     "winnowed_fingerprints",
+    # r4 packing/mixture tier
+    "sequence_packing",
+    "pack_checksums",
+    "token_mixture",
 ]
 
 
