@@ -116,3 +116,22 @@ def test_murmur3_sql_matches_python(con, tok, seed):
     )
     got = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [tok]).fetchone()[0]
     assert got == _murmur3_32(tok.encode(), seed) & 0xFFFFFFFF, (tok, seed)
+
+
+def test_corpus_is_pure_ascii(sf_dir):
+    """The media-tier twins (image_features/frame_samples/image_resize) and
+    the murmur3 CMS twin equate DuckDB VARCHAR positions with byte positions
+    and ascii() with byte values — valid ONLY for a pure-ASCII corpus. If a
+    regenerated testdata set ever breaks this, fail HERE with a clear
+    message instead of as inscrutable hash mismatches in four oracles."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE octet_length(encode(text)) <> length(text) OR contains(text, chr(1))"
+    ).fetchone()[0]
+    con.close()
+    assert n == 0, (
+        f"{n} documents contain non-ASCII bytes (or chr(1)) — the byte-level "
+        "SQL twins' char==byte equivalence no longer holds; those oracles "
+        "must be rewritten against hex(encode(text)) pairs"
+    )
