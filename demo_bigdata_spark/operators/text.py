@@ -497,7 +497,10 @@ def pack_sequences(
     nt = df.select(
         F.col(id_col),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
-        (F.col(id_col) / bucket_size).cast("bigint").alias("_bkt"),
+        # integer div, not float-divide-then-cast: a snowflake-scale id
+        # (> 2^53) silently loses low bits through the double and could
+        # mis-bucket; `div` stays in long arithmetic
+        F.expr(f"{id_col} div {bucket_size}").alias("_bkt"),
     )
     w_local = (
         Window.partitionBy("_bkt")
