@@ -666,3 +666,95 @@ def read_frequency_estimates(spark, path: str, probes: list[str], days: list[str
         return [(p, 0) for p in probes]
     reader = CountMinReader(merge_count_min(blobs))
     return [(p, reader.estimate_count(p)) for p in probes]
+
+
+def combine_pack_partial(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Assign one micro-batch of documents to the continuously-growing pack
+    layout exactly once per epoch: batch-local offsets (the same two-level
+    prefix sum as text.pack_sequences) are shifted by the persisted running
+    token total, appended to the assignment table, and the total advances.
+
+    This is the streaming twin of corpus packing — new documents keep
+    packing where the corpus left off, no recompute of history, O(batch)
+    per trigger. Offsets depend on arrival order ACROSS batches (inherent
+    to continuous ingestion — the checkpointed source replays identical
+    batches on restart, so the layout is stable for a given ingest
+    history); WITHIN a batch, docs pack in id order.
+
+    Exactly-once caveat (same as combine_hourly_partial): the assignment
+    append, total overwrite, and ledger append are separate writes; a crash
+    between them reopens a narrow at-least-once window that only a
+    transactional table format can close. The ledger check makes clean
+    replays no-ops, and every assignment row carries its ``epoch_id``, so
+    a half-applied epoch's duplicates are removable on read (keep one row
+    per (doc_id, epoch_id), or the minimum epoch per doc).
+    """
+    from demo_bigdata_spark.operators.text import pack_sequences
+
+    epochs_path = path + "_epochs"
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    applied = (
+        {r["epoch_id"] for r in ledger.collect()} if ledger is not None else set()
+    )
+    if epoch_id in applied:
+        return
+    total_path = path + "_total"
+    tot_df = _read_parquet_if_exists(spark, total_path)
+    base = tot_df.collect()[0]["total_tokens"] if tot_df is not None else 0
+    local = pack_sequences(batch_df, seq_len, text_col, id_col)
+    assigned = (
+        local.withColumn("tok_offset", F.col("tok_offset") + F.lit(int(base)))
+        .withColumn("pack_id", F.expr(f"tok_offset div {seq_len}"))
+        .withColumn("pack_offset", F.col("tok_offset") % seq_len)
+        .withColumn(
+            "spans_boundary",
+            (F.col("n_tokens") > 0)
+            & (
+                F.expr(f"(tok_offset + n_tokens - 1) div {seq_len}")
+                != F.col("pack_id")
+            ),
+        )
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+    )
+    # pin before the two dependent writes so the batch plan runs once
+    assigned = assigned.localCheckpoint(eager=True)
+    assigned.write.mode("append").parquet(path)
+    batch_total = assigned.agg(F.sum("n_tokens")).first()[0] or 0
+    spark.createDataFrame(
+        [(int(base + batch_total),)], "total_tokens long"
+    ).write.mode("overwrite").parquet(total_path)
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
+        "append"
+    ).parquet(epochs_path)
+
+
+def incremental_sequence_packing(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    seq_len: int = 2048,
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous corpus packing: every micro-batch of ingested
+    documents extends the pack layout from the persisted token total
+    instead of repacking history (see combine_pack_partial)."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        combine_pack_partial(spark, path, batch_df, epoch_id, seq_len)
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
