@@ -121,16 +121,23 @@ def minhash_signature(
     no shuffle; k folds over the token array, all inside codegen.
     """
     src = df
+    tk_col = None
     if shingle_n is not None:
         # two-step: materialize the token array behind a pinned projection,
         # then shingle from the attribute — an inline tokens() expression
         # inside the shingle lambda re-runs the regex split once per shingle
-        # position (O(L^2); measured 2.8x on minhash_shingles at sf0.1)
+        # position (O(L^2); measured 2.8x on minhash_shingles at sf0.1).
+        # The internal column name is collision-proofed: withColumn would
+        # silently REPLACE (and the final drop delete) a caller's column of
+        # the same name (the pct_of_total alias-collision class).
         from demo_bigdata_spark.functions.scalar import pin
         from demo_bigdata_spark.operators.text import shingles_of, tokens
 
-        src = df.withColumn("_tk", pin(tokens(F.col(text_col))))
-        toks = F.array_distinct(shingles_of(F.col("_tk"), shingle_n))
+        tk_col = "_tk"
+        while tk_col in df.columns:
+            tk_col += "_"
+        src = df.withColumn(tk_col, pin(tokens(F.col(text_col))))
+        toks = F.array_distinct(shingles_of(F.col(tk_col), shingle_n))
     else:
         toks = distinct_tokens(text_col)
     hashes = F.transform(toks, _hasher(portable))
@@ -161,7 +168,7 @@ def minhash_signature(
         return F.array(*[acc[f"m{i}"] for i in range(k)])
 
     out = src.withColumn("sig", F.aggregate(hashes, init, _merge, _finish))
-    return out.drop("_tk") if shingle_n is not None else out
+    return out.drop(tk_col) if tk_col is not None else out
 
 
 def lsh_bands(df: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4) -> DataFrame:

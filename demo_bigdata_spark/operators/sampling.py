@@ -165,7 +165,22 @@ def mixture_sample_weighted(
     zero-weight groups drop.
     """
     wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    sizes = df.groupBy(group_col).agg(F.sum(wc.cast("bigint")).alias("_gw"))
+    # weight must be an integral column (token/byte counts): exact bigint
+    # sums are order-independent, which is what keeps rates deterministic
+    # across partitionings AND replayable by the oracle. A fractional
+    # column would be silently floored per row by the bigint cast (a 0.7
+    # weight becomes 0), so reject it loudly instead.
+    wdtype = df.select(wc.alias("_w")).schema[0].dataType.simpleString()
+    if wdtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight_col must be integral (token counts), got {wdtype}; "
+            "scale fractional weights to integers first"
+        )
+    sizes = df.groupBy(group_col).agg(
+        # greatest(1): a group whose weights sum to 0 (all-empty docs) would
+        # otherwise divide by zero -> Infinity -> rate clamps to keep-all
+        F.greatest(F.sum(wc.cast("bigint")), F.lit(1)).alias("_gw")
+    )
     wmap = F.create_map(
         *[x for k, w in sorted(weights.items()) for x in (F.lit(k), F.lit(float(w)))]
     )

@@ -518,13 +518,15 @@ def pack_sequences(
     out = (
         local.join(F.broadcast(prefixes), "_bkt")
         .withColumn("tok_offset", (F.col("_prefix") + F.col("_local")).cast("bigint"))
-        .withColumn("pack_id", (F.col("tok_offset") / seq_len).cast("bigint"))
+        # integer div throughout (see _bkt): double-divide-then-cast loses
+        # exactness past 2^53 and must match the streaming twin bit-for-bit
+        .withColumn("pack_id", F.expr(f"tok_offset div {seq_len}"))
         .withColumn("pack_offset", F.col("tok_offset") % seq_len)
         .withColumn(
             "spans_boundary",
             (F.col("n_tokens") > 0)
             & (
-                ((F.col("tok_offset") + F.col("n_tokens") - 1) / seq_len).cast("bigint")
+                F.expr(f"(tok_offset + n_tokens - 1) div {seq_len}")
                 != F.col("pack_id")
             ),
         )
@@ -568,10 +570,8 @@ def materialize_packs(
             "_tk",
             F.explode(
                 F.sequence(
-                    (F.col("tok_offset") / seq_len).cast("bigint"),
-                    ((F.col("tok_offset") + F.col("n_tokens") - 1) / seq_len).cast(
-                        "bigint"
-                    ),
+                    F.expr(f"tok_offset div {seq_len}"),
+                    F.expr(f"(tok_offset + n_tokens - 1) div {seq_len}"),
                 )
             ).alias("pack_id"),
         )

@@ -679,8 +679,8 @@ def combine_pack_partial(
 ) -> None:
     """Assign one micro-batch of documents to the continuously-growing pack
     layout exactly once per epoch: batch-local offsets (the same two-level
-    prefix sum as text.pack_sequences) are shifted by the persisted running
-    token total, appended to the assignment table, and the total advances.
+    prefix sum as text.pack_sequences) are shifted past the end of the
+    COMMITTED layout and appended to the assignment table.
 
     This is the streaming twin of corpus packing — new documents keep
     packing where the corpus left off, no recompute of history, O(batch)
@@ -689,13 +689,14 @@ def combine_pack_partial(
     batches on restart, so the layout is stable for a given ingest
     history); WITHIN a batch, docs pack in id order.
 
-    Exactly-once caveat (same as combine_hourly_partial): the assignment
-    append, total overwrite, and ledger append are separate writes; a crash
-    between them reopens a narrow at-least-once window that only a
-    transactional table format can close. The ledger check makes clean
-    replays no-ops, and every assignment row carries its ``epoch_id``, so
-    a half-applied epoch's duplicates are removable on read (keep one row
-    per (doc_id, epoch_id), or the minimum epoch per doc).
+    Exactly-once design: there is NO separate running-total file to drift
+    out of sync. The base offset derives from assignment rows whose epoch
+    is IN the ledger (the committed view), so a crash between the data
+    append and the ledger append leaves only UNCOMMITTED rows — the replay
+    recomputes the identical base, appends byte-identical rows, then
+    commits the epoch; the stale first copy is an exact duplicate that
+    ``read_pack_assignments`` removes with a (doc_id, epoch_id) dedup over
+    the ledger semi-join. No gap, no double-advance, deterministic layout.
     """
     from demo_bigdata_spark.operators.text import pack_sequences
 
@@ -706,9 +707,17 @@ def combine_pack_partial(
     )
     if epoch_id in applied:
         return
-    total_path = path + "_total"
-    tot_df = _read_parquet_if_exists(spark, total_path)
-    base = tot_df.collect()[0]["total_tokens"] if tot_df is not None else 0
+    state = _read_parquet_if_exists(spark, path)
+    if state is not None and applied:
+        committed = state.filter(F.col("epoch_id").isin([int(e) for e in applied]))
+        base = (
+            committed.agg(
+                F.max(F.col("tok_offset") + F.col("n_tokens")).alias("m")
+            ).first()["m"]
+            or 0
+        )
+    else:
+        base = 0
     local = pack_sequences(batch_df, seq_len, text_col, id_col)
     assigned = (
         local.withColumn("tok_offset", F.col("tok_offset") + F.lit(int(base)))
@@ -724,16 +733,30 @@ def combine_pack_partial(
         )
         .withColumn("epoch_id", F.lit(int(epoch_id)))
     )
-    # pin before the two dependent writes so the batch plan runs once
+    # pin before writing so the batch plan runs once
     assigned = assigned.localCheckpoint(eager=True)
     assigned.write.mode("append").parquet(path)
-    batch_total = assigned.agg(F.sum("n_tokens")).first()[0] or 0
-    spark.createDataFrame(
-        [(int(base + batch_total),)], "total_tokens long"
-    ).write.mode("overwrite").parquet(total_path)
     spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
         "append"
     ).parquet(epochs_path)
+
+
+def read_pack_assignments(spark, path: str) -> DataFrame:
+    """The committed view of the continuous pack layout: assignment rows
+    semi-joined to the epoch ledger (uncommitted crash leftovers excluded),
+    deduplicated on (doc_id, epoch_id) — replayed epochs write byte-identical
+    rows (see combine_pack_partial), so the dedup is exact, not lossy."""
+    ledger = _read_parquet_if_exists(spark, path + "_epochs")
+    rows = _read_parquet_if_exists(spark, path)
+    if rows is None or ledger is None:
+        schema = (
+            "doc_id long, n_tokens long, tok_offset long, pack_id long, "
+            "pack_offset long, spans_boundary boolean, epoch_id long"
+        )
+        return spark.createDataFrame([], schema)
+    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
+        ["doc_id", "epoch_id"]
+    )
 
 
 def incremental_sequence_packing(

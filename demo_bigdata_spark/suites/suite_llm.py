@@ -272,11 +272,12 @@ def _sql_dup_clusters() -> str:
             f"lbl{k} AS (SELECT doc_id, min(bm) AS lbl FROM db "
             f"JOIN bmin{k} USING (bucket) GROUP BY doc_id)"
         )
-    # the shared band CTE caps dup-farm buckets for PAIR generation; cluster
-    # propagation runs on the UNCAPPED buckets by design (that's how capped
-    # farms still get cluster ids)
+    # cluster propagation reads all_bands DIRECTLY — the shared CTE's capped
+    # `bands` view exists for PAIR generation and is simply unused here
+    # (DuckDB never evaluates unreferenced CTEs), so capped dup farms still
+    # get cluster ids
     return f"""
-WITH {_SQL_SIGS_CTE.replace("WHERE s.bn <= 1000", "")},
+WITH {_SQL_SIGS_CTE},
 db AS (SELECT doc_id, band_idx || '|' || band_sig AS bucket FROM all_bands),
 lbl0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM db),
 {",".join(rounds)}
@@ -1633,7 +1634,7 @@ WITH nt AS (
                ELSE len({SQL_TOKS_RAW}) END)::BIGINT AS n_tokens
   FROM documents
 ),
-sizes AS (SELECT source, sum(n_tokens)::BIGINT AS gw FROM nt GROUP BY source),
+sizes AS (SELECT source, greatest(sum(n_tokens), 1)::BIGINT AS gw FROM nt GROUP BY source),
 cuts AS (
   SELECT source, gw,
          round(least(1.0, coalesce(
@@ -1725,48 +1726,59 @@ def q_cms_token_counts(spark, sf_dir):
     return K.count_min_table(toks, "tok", CMS_PROBE_TOKENS).orderBy("probe")
 
 
+_M32 = 4294967296
+
+
+def murmur3_sql(t: str, seed: str) -> str:
+    """DuckDB expression computing Spark's Murmur3_x86_32 over the ASCII
+    bytes of VARCHAR expression ``t`` with 32-bit ``seed`` expression —
+    UNSIGNED 32-bit result. Mirrors operators/sketches.py::_murmur3_32
+    exactly: 4-byte little-endian words then each trailing byte
+    (sign-extended) as a full mix round, fmix with the byte length. All
+    wrap arithmetic in HUGEINT with explicit % 2^32; rotl is the sum of
+    its two disjoint shift halves. This single builder feeds BOTH the CMS
+    twin and tests/test_sql_replays.py's property check, so an edit here
+    is exercised by the hypothesis differential against the pure-Python
+    reference — never a stale copy."""
+
+    def mix(acc, w):
+        k1a = f"(({w}::HUGEINT * 3432918353) % {_M32})"
+        k1b = f"((({k1a} * 32768) % {_M32}) + ({k1a} // 131072))"
+        k1c = f"((({k1b} * 461845907) % {_M32})::BIGINT)"
+        h = f"xor({acc}::BIGINT, {k1c})"
+        hb = f"((({h}::HUGEINT * 8192) % {_M32}) + ({h} // 524288))"
+        return f"(((({hb} * 5) + 3864292196) % {_M32})::BIGINT)"
+
+    def fmix(h1, length):
+        s1 = f"xor({h1}, {length})"
+        s2 = f"xor({s1}, {s1} // 65536)"
+        s3 = f"((({s2}::HUGEINT * 2246822507) % {_M32})::BIGINT)"
+        s4 = f"xor({s3}, {s3} // 8192)"
+        s5 = f"((({s4}::HUGEINT * 3266489909) % {_M32})::BIGINT)"
+        return f"xor({s5}, {s5} // 65536)"
+
+    words = (
+        "list_concat("
+        f"list_transform(range((length({t}) // 4)), j -> "
+        f"ascii({t}[4*j+1]) + 256*ascii({t}[4*j+2]) + 65536*ascii({t}[4*j+3]) + 16777216*ascii({t}[4*j+4])), "
+        f"list_transform(range(4 * (length({t}) // 4), length({t})), i -> "
+        f"CASE WHEN ascii({t}[i+1]) >= 128 THEN ascii({t}[i+1]) + 4294967040 ELSE ascii({t}[i+1]) END))"
+    )
+    mix_lambda = "(a, w) -> " + mix("a", "w")
+    fold = f"list_reduce(list_prepend({seed}::BIGINT, {words}), {mix_lambda})"
+    return fmix(f"({fold})", f"length({t})")
+
+
 def _sql_cms_token_counts() -> str:
     """Generate the CMS twin. Mirrors operators/sketches.py::_murmur3_32 /
     CountMinReader._buckets exactly: h1 = murmur(tok, 0), h2 = murmur(tok,
     h1), bucket_i = abs(java_i32(h1 + i*h2)) % width; counters are sums over
     the exploded token stream (empty-string tokens from blank docs included,
     as Spark's explode(split(...)) produces them). width/depth follow
-    eps=0.001, confidence=0.99 (ceil(e/eps)=2719, ceil(ln 100)=5). All
-    32-bit wrap arithmetic runs in HUGEINT with explicit % 2^32; rotl is the
-    sum of its two disjoint shift halves; java byte sign-extension is the
-    +2^32-256 case on tail bytes."""
-    m32 = 4294967296
+    eps=0.001, confidence=0.99 (ceil(e/eps)=2719, ceil(ln 100)=5)."""
+    m32 = _M32
     width, depth = 2719, 5
-
-    def mix(acc, w):
-        k1a = f"(({w}::HUGEINT * 3432918353) % {m32})"
-        k1b = f"((({k1a} * 32768) % {m32}) + ({k1a} // 131072))"
-        k1c = f"((({k1b} * 461845907) % {m32})::BIGINT)"
-        h = f"xor({acc}::BIGINT, {k1c})"
-        hb = f"((({h}::HUGEINT * 8192) % {m32}) + ({h} // 524288))"
-        return f"(((({hb} * 5) + 3864292196) % {m32})::BIGINT)"
-
-    mix_lambda = "(a, w) -> " + mix("a", "w")
-
-    def fmix(h1, length):
-        s1 = f"xor({h1}, {length})"
-        s2 = f"xor({s1}, {s1} // 65536)"
-        s3 = f"((({s2}::HUGEINT * 2246822507) % {m32})::BIGINT)"
-        s4 = f"xor({s3}, {s3} // 8192)"
-        s5 = f"((({s4}::HUGEINT * 3266489909) % {m32})::BIGINT)"
-        return f"xor({s5}, {s5} // 65536)"
-
-    words = (
-        "list_concat("
-        "list_transform(range((length({t}) // 4)), j -> "
-        "ascii({t}[4*j+1]) + 256*ascii({t}[4*j+2]) + 65536*ascii({t}[4*j+3]) + 16777216*ascii({t}[4*j+4])), "
-        "list_transform(range(4 * (length({t}) // 4), length({t})), i -> "
-        "CASE WHEN ascii({t}[i+1]) >= 128 THEN ascii({t}[i+1]) + 4294967040 ELSE ascii({t}[i+1]) END))"
-    )
-
-    def murmur(t, seed):
-        fold = f"list_reduce(list_prepend({seed}::BIGINT, {words.format(t=t)}), {mix_lambda})"
-        return fmix(f"({fold})", f"length({t})")
+    murmur = murmur3_sql
 
     def signed(u):
         return f"(CASE WHEN {u} >= 2147483648 THEN {u} - {m32} ELSE {u} END)"

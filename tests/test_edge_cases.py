@@ -432,3 +432,29 @@ def test_fps_cache_keying_and_eviction(monkeypatch):
     assert b is not a
     assert list(suite_llm._FPS_CACHE) == [("app-2", "/sf/a")]
     assert built == ["/sf/a", "/sf/a"]
+
+
+def test_minhash_shingle_path_preserves_caller_tk_column(spark, sf_dir):
+    """minhash_signature(shingle_n=...) must not clobber a caller column
+    named '_tk' (the pct_of_total alias-collision class — the internal
+    pinned-token projection now picks a non-colliding name)."""
+    from demo_bigdata_spark.operators.dedup import minhash_signature
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("_tk", F.lit(7))
+    out = minhash_signature(docs, shingle_n=3)
+    assert "_tk" in out.columns and "sig" in out.columns
+    assert out.select("_tk").distinct().collect()[0][0] == 7
+
+
+def test_mixture_weighted_rejects_fractional_weights(spark, sf_dir):
+    """A fractional weight column would be silently floored per row by the
+    bigint cast (0.7 -> 0); the operator must reject it loudly."""
+    import pytest as _pytest
+
+    from demo_bigdata_spark.operators.sampling import mixture_sample_weighted
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", F.lit(0.7))
+    with _pytest.raises(ValueError, match="integral"):
+        mixture_sample_weighted(docs, "source", "doc_id", {"src0": 1.0}, 100, "w")

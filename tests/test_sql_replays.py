@@ -79,41 +79,13 @@ def test_sentence_pack_cte_matches_reference(texts):
 @settings(max_examples=80, deadline=None)
 @given(tok=ascii_token, seed=st.integers(min_value=0, max_value=2**32 - 1))
 def test_murmur3_sql_matches_python(con, tok, seed):
-    """The SQL Murmur3_x86_32 inside SQL_CMS_TOKEN_COUNTS must equal the
-    pure-Python (JVM-equivalence-pinned) reference for any ASCII token and
-    any 32-bit seed — word blocks, signed tail bytes, empty string."""
-    from demo_bigdata_spark.suites.suite_llm import _sql_cms_token_counts  # noqa: F401
+    """The PRODUCTION murmur3 SQL builder (suite_llm.murmur3_sql — the one
+    the CMS twin is generated from) must equal the pure-Python
+    (JVM-equivalence-pinned) reference for any ASCII token and any 32-bit
+    seed — word blocks, signed tail bytes, empty string."""
+    from demo_bigdata_spark.suites.suite_llm import murmur3_sql
 
-    # rebuild just the murmur expression the generator uses
-    m32 = 4294967296
-
-    def mix(acc, w):
-        k1a = f"(({w}::HUGEINT * 3432918353) % {m32})"
-        k1b = f"((({k1a} * 32768) % {m32}) + ({k1a} // 131072))"
-        k1c = f"((({k1b} * 461845907) % {m32})::BIGINT)"
-        h = f"xor({acc}::BIGINT, {k1c})"
-        hb = f"((({h}::HUGEINT * 8192) % {m32}) + ({h} // 524288))"
-        return f"(((({hb} * 5) + 3864292196) % {m32})::BIGINT)"
-
-    def fmix(h1, length):
-        s1 = f"xor({h1}, {length})"
-        s2 = f"xor({s1}, {s1} // 65536)"
-        s3 = f"((({s2}::HUGEINT * 2246822507) % {m32})::BIGINT)"
-        s4 = f"xor({s3}, {s3} // 8192)"
-        s5 = f"((({s4}::HUGEINT * 3266489909) % {m32})::BIGINT)"
-        return f"xor({s5}, {s5} // 65536)"
-
-    words = (
-        "list_concat("
-        "list_transform(range((length(t) // 4)), j -> "
-        "ascii(t[4*j+1]) + 256*ascii(t[4*j+2]) + 65536*ascii(t[4*j+3]) + 16777216*ascii(t[4*j+4])), "
-        "list_transform(range(4 * (length(t) // 4), length(t)), i -> "
-        "CASE WHEN ascii(t[i+1]) >= 128 THEN ascii(t[i+1]) + 4294967040 ELSE ascii(t[i+1]) END))"
-    )
-    expr = fmix(
-        f"(list_reduce(list_prepend({seed}::BIGINT, {words}), (a, w) -> {mix('a', 'w')}))",
-        "length(t)",
-    )
+    expr = murmur3_sql("t", str(seed))
     got = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [tok]).fetchone()[0]
     assert got == _murmur3_32(tok.encode(), seed) & 0xFFFFFFFF, (tok, seed)
 

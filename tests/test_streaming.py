@@ -478,6 +478,7 @@ def test_incremental_sequence_packing_matches_batch(spark, sf_dir, tmp_path):
     from demo_bigdata_spark.streaming.pipeline import (
         combine_pack_partial,
         incremental_sequence_packing,
+        read_pack_assignments,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -503,7 +504,7 @@ def test_incremental_sequence_packing_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
 
-    got = spark.read.parquet(out)
+    got = read_pack_assignments(spark, out)
     n_epochs = got.select("epoch_id").distinct().count()
     expected = pack_sequences(docs, seq_len=128)
     g = {
@@ -524,4 +525,26 @@ def test_incremental_sequence_packing_matches_batch(spark, sf_dir, tmp_path):
     # replaying an applied epoch is a no-op
     before = got.count()
     combine_pack_partial(spark, out, docs.limit(5), epoch_id=0, seq_len=128)
-    assert spark.read.parquet(out).count() == before
+    assert read_pack_assignments(spark, out).count() == before
+
+    # crash-window recovery: data appended but epoch NOT committed (ledger
+    # write lost) -> rows invisible in the committed view; the replay
+    # appends byte-identical rows and commits, and the (doc_id, epoch_id)
+    # dedup collapses the stale copy — layout unchanged vs a clean run
+    import shutil
+
+    ledger_path = out + "_epochs"
+    backup = str(tmp_path / "ledger_backup")
+    extra = docs.filter(F.col("doc_id") > cut).limit(3)
+    shutil.copytree(ledger_path, backup)
+    combine_pack_partial(spark, out, extra, epoch_id=99, seq_len=128)
+    # snapshot NOW — the DataFrame is lazy and would re-list the mutated files
+    committed_after = {
+        tuple(r) for r in read_pack_assignments(spark, out).collect()
+    }
+    shutil.rmtree(ledger_path)
+    shutil.copytree(backup, ledger_path)  # simulate: epoch-99 commit lost
+    assert read_pack_assignments(spark, out).count() == before  # invisible
+    combine_pack_partial(spark, out, extra, epoch_id=99, seq_len=128)  # replay
+    final = {tuple(r) for r in read_pack_assignments(spark, out).collect()}
+    assert final == committed_after
