@@ -696,9 +696,17 @@ def char_ngram_jaccard_pairs(
     the doc; any collision merges the same grams on both sides of an
     engine comparison because the DuckDB twin hashes identically.
     """
+    # CPU-heavy, byte-cheap stages must be sized by CORES, not input bytes:
+    # the doc scan is one thin parquet split and AQE coalesces the candidate
+    # shuffle to a handful of partitions (it targets 64 MB of 16-byte pair
+    # rows — blind to the per-row intersect cost downstream), so without
+    # explicit repartitioning the gram build and the 100k+-pair verify run
+    # on 1 and ~5 threads respectively (measured 8.5 -> 3.4 s at sf0.1 on
+    # local[32]). The reshuffles move ~MBs; the verify moves minutes.
+    par = df.sparkSession.sparkContext.defaultParallelism
     norm = df.select(
         F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_norm")
-    )
+    ).repartition(par)
     # distinct the gram STRINGS before hashing: repetitive text makes many
     # positions carry the same n-gram, so md5 runs once per distinct gram
     # instead of once per position (~1.2x on the gram stage at sf0.1). The
@@ -738,7 +746,10 @@ def char_ngram_jaccard_pairs(
     gb = grams.select(
         F.col("_id").alias("id_b"), F.col("grams").alias("gb"), F.col("_n").alias("nb")
     )
-    joined = cands.join(ga, "id_a").join(gb, "id_b")
+    # spread the pairs across all cores before the per-pair intersects; both
+    # gram sides broadcast, so any partitioning is join-valid — round-robin
+    # also breaks the one-giant-LSH-bucket skew a dup farm produces
+    joined = cands.repartition(2 * par).join(ga, "id_a").join(gb, "id_b")
     if size_prune_threshold is not None:
         joined = joined.filter(
             F.least("na", "nb") >= F.lit(size_prune_threshold) * F.greatest("na", "nb")

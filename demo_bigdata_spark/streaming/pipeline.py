@@ -655,13 +655,19 @@ def incremental_token_frequencies(
 def read_frequency_estimates(spark, path: str, probes: list[str], days: list[str] | None = None):
     """Estimate probe frequencies from the maintained per-day CMS table:
     merge the (selected) day blobs driver-side, probe the merged sketch.
-    Returns [(probe, est_count)]."""
+    Returns [(probe, est_count)].
+
+    The ``days`` restriction is a predicate on the read itself (pushed to
+    the parquet scan / partition pruning when the table is day-partitioned),
+    so at long retention only the selected day blobs ever reach the driver
+    — the driver loop is bounded by len(days), not by history length."""
     from demo_bigdata_spark.operators.sketches import CountMinReader, merge_count_min
 
-    rows = spark.read.parquet(path).collect()
-    blobs = [
-        bytes(r["blob"]) for r in rows if days is None or str(r["day"]) in days
-    ]
+    cms = spark.read.parquet(path)
+    if days is not None:
+        cms = cms.filter(F.col("day").cast("string").isin(list(days)))
+    rows = cms.select("blob").collect()
+    blobs = [bytes(r["blob"]) for r in rows]
     if not blobs:
         return [(p, 0) for p in probes]
     reader = CountMinReader(merge_count_min(blobs))

@@ -1038,13 +1038,12 @@ def q_promo_share(spark, sf_dir):
         )
         .join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
+            (
                 (
                     100
                     * F.sum(F.when(F.col("p_type") == "PROMO", rev10k).otherwise(F.lit(0)))
                 )
-                / F.sum(rev10k),
-                4,
+                / F.sum(rev10k)
             ).alias("promo_share_pct"),
             F.count("*").alias("n_items"),
         )
@@ -1052,11 +1051,11 @@ def q_promo_share(spark, sf_dir):
 
 
 SQL_PROMO_SHARE = """
-SELECT round(100 * sum(CASE WHEN p.p_type = 'PROMO'
-                            THEN round(l.l_extendedprice * 100)::BIGINT * round((1 - l.l_discount) * 100)::BIGINT
-                            ELSE 0 END)
-             / sum(round(l.l_extendedprice * 100)::BIGINT * round((1 - l.l_discount) * 100)::BIGINT),
-             4) AS promo_share_pct,
+SELECT 100 * sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN round(l.l_extendedprice * 100)::BIGINT * round((1 - l.l_discount) * 100)::BIGINT
+                      ELSE 0 END)
+           / sum(round(l.l_extendedprice * 100)::BIGINT * round((1 - l.l_discount) * 100)::BIGINT)
+       AS promo_share_pct,
        count(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
@@ -1200,12 +1199,11 @@ def q_market_share(spark, sf_dir):
     return (
         facts.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
-            F.round(
+            (
                 F.sum(
                     F.when(F.col("s_nationkey") == 3, vol10k).otherwise(F.lit(0))
                 )
-                / F.sum(vol10k),
-                4,
+                / F.sum(vol10k)
             ).alias("mkt_share"),
             F.count("*").alias("n_items"),
         )
@@ -1215,11 +1213,11 @@ def q_market_share(spark, sf_dir):
 
 SQL_MARKET_SHARE = """
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN s_nationkey = 3
-                      THEN round(l_extendedprice * 100)::BIGINT * round((1 - l_discount) * 100)::BIGINT
-                      ELSE 0 END)
-             / sum(round(l_extendedprice * 100)::BIGINT * round((1 - l_discount) * 100)::BIGINT),
-             4) AS mkt_share,
+       sum(CASE WHEN s_nationkey = 3
+                THEN round(l_extendedprice * 100)::BIGINT * round((1 - l_discount) * 100)::BIGINT
+                ELSE 0 END)
+           / sum(round(l_extendedprice * 100)::BIGINT * round((1 - l_discount) * 100)::BIGINT)
+       AS mkt_share,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
