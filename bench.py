@@ -78,6 +78,9 @@ HEADLINE = [
     "sequence_packing",
     "pack_checksums",
     "token_mixture",
+    # r5 ranking tier
+    "tfidf_terms",
+    "bm25_rank",
 ]
 
 

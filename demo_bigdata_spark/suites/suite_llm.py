@@ -1854,6 +1854,112 @@ LIMIT 10
 """
 
 
+# --- Ranking: TF-IDF salient terms + BM25 retrieval (operators/ranking.py) ----
+
+BM25_TERMS = ["join", "spark", "stream", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (operator: ranking.tfidf_top_terms): tf * (ln((N+1)/(df+1)) + 1),
+    per-doc row_number window, ties on term asc. The oracle rebuilds the
+    identical tf/df tables and idf doubles from exact bigint counts."""
+    from demo_bigdata_spark.operators.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF_TERMS = r"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+idf AS (
+  SELECT term, ln((n_docs + 1) / (count(*)::BIGINT + 1)) + 1.0 AS idf
+  FROM tf CROSS JOIN n
+  GROUP BY term, n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * idf.idf DESC, tf.term ASC)::INT AS rank
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, rank, term, tf, tfidf
+FROM scored WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 top-20 documents for a fixed 4-term query (operator:
+    ranking.bm25_rank): always-positive idf, per-doc length normalization
+    against the corpus mean, scores folded in fixed term order so the
+    float sum is accumulation-order-independent. The oracle replays the
+    identical double arithmetic from exact counts."""
+    from demo_bigdata_spark.operators.ranking import bm25_rank
+
+    return bm25_rank(
+        _docs(spark, sf_dir), BM25_TERMS, k1=BM25_K1, b=BM25_B, limit=20
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+_BM25_PIVOT = ",\n         ".join(
+    f"sum(CASE WHEN term = '{t}' THEN term_score END) AS _s{i}"
+    for i, t in enumerate(sorted(set(BM25_TERMS)))
+)
+_BM25_FOLD = " + ".join(
+    f"coalesce(_s{i}, 0.0)" for i in range(len(set(BM25_TERMS)))
+)
+
+SQL_BM25_RANK = rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS dl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM d)
+  WHERE tok IN ({_BM25_IN})
+  GROUP BY doc_id, dl, tok
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+ad AS (SELECT sum(dl) / count(*) AS avgdl FROM d),
+idf AS (
+  SELECT term, ln(1 + (n_docs - count(*)::BIGINT + 0.5) / (count(*)::BIGINT + 0.5)) AS idf
+  FROM toks CROSS JOIN n
+  GROUP BY term, n_docs
+),
+per_term AS (
+  SELECT t.doc_id, t.term,
+         idf.idf * (t.tf * ({BM25_K1} + 1))
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * (t.dl / ad.avgdl))) AS term_score
+  FROM toks t JOIN idf USING (term) CROSS JOIN ad
+),
+pivoted AS (
+  SELECT doc_id,
+         {_BM25_PIVOT},
+         count(*) AS n_hits
+  FROM per_term
+  GROUP BY doc_id
+)
+SELECT doc_id, 0.0 + {_BM25_FOLD} AS bm25, n_hits
+FROM pivoted
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
@@ -1903,4 +2009,6 @@ QUERIES = {
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "repeat_mixture": (q_repeat_mixture, SQL_REPEAT_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
 }

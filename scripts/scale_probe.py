@@ -116,6 +116,79 @@ def main() -> None:
         ),
         timed("exact_dedup", D.exact_dedup(bdocs)),
     ]
+
+    # packing/mixture tier (round-4 operators): the two-level prefix sum and
+    # the one pack_id-keyed shuffle are the scale claims under test — growth
+    # must track corpus tokens, with no corpus-sized single partition.
+    # Mixture targets scale WITH the corpus so keep-rates stay realistic
+    # (a fixed target at x30 would just probe the cheap all-dropped path).
+    from demo_bigdata_spark.operators import sampling as SA
+    from demo_bigdata_spark.operators.text import token_count
+    from demo_bigdata_spark.suites.suite_llm import (
+        MIXTURE_WEIGHTS,
+        MIXTURE_TARGET_TOKENS,
+        REPEAT_WEIGHTS,
+        REPEAT_TARGET,
+    )
+
+    toked = bdocs.withColumn("_nt", token_count(F.col("text")).cast("bigint"))
+    pack_results = [
+        timed("pack_sequences", X.pack_sequences(bdocs, seq_len=2048)),
+        timed("materialize_packs", X.materialize_packs(bdocs, seq_len=2048)),
+        timed(
+            "token_mixture",
+            SA.mixture_sample_weighted(
+                toked,
+                "source",
+                "doc_id",
+                MIXTURE_WEIGHTS,
+                MIXTURE_TARGET_TOKENS * FACTOR,
+                "_nt",
+            ),
+        ),
+        timed(
+            "repeat_mixture",
+            SA.mixture_sample_repeat(
+                bdocs, "source", "doc_id", REPEAT_WEIGHTS, REPEAT_TARGET * FACTOR
+            ),
+        ),
+    ]
+
+    # continuous packing: fold the x30 corpus in 10 micro-batches; the claim
+    # is O(batch) per trigger — per-batch time must stay FLAT as committed
+    # history grows (a history-rescan would make batch 10 ~10x batch 1)
+    import shutil
+
+    from demo_bigdata_spark.streaming.pipeline import combine_pack_partial
+
+    inc_path = f"{tmp}/inc_packs"
+    shutil.rmtree(inc_path, ignore_errors=True)
+    n_batches = 10
+    span = (dbig_n + n_batches - 1) // n_batches
+    batch_times = []
+    for b in range(n_batches):
+        chunk = bdocs.filter(
+            (F.col("doc_id") >= b * span) & (F.col("doc_id") < (b + 1) * span)
+        )
+        t0 = time.perf_counter()
+        combine_pack_partial(spark, inc_path, chunk, epoch_id=b, seq_len=2048)
+        batch_times.append(time.perf_counter() - t0)
+    pack_results.append(
+        (
+            "incremental_packing (10 batches: first/median/last)",
+            f"{batch_times[0]:.2f} / {sorted(batch_times)[len(batch_times) // 2]:.2f} / {batch_times[-1]:.2f}",
+        )
+    )
+
+    # media tier: mapInPandas Arrow-batch throughput must scale with
+    # partition count — fake decode/resize over the x30 binary corpus
+    from demo_bigdata_spark.operators import multimodal as MM
+
+    media = MM.attach_binary(bdocs)
+    media_results = [
+        timed("image_features", MM.decode_image_fake(media)),
+        timed("image_resize", MM.resize_image_fake(media)),
+    ]
     # relational tier: replicate the FACT tables (lineitem + orders) with
     # shifted order keys; dims (customer/part/supplier/nation/region) keep
     # their real size — exactly how a production scale-up looks (facts grow,
@@ -248,7 +321,12 @@ def main() -> None:
         "|---|---|",
     ]
     lines += [
-        f"| {label} | {secs} |" for label, secs in results + doc_results + rel_results
+        f"| {label} | {secs} |"
+        for label, secs in results
+        + doc_results
+        + pack_results
+        + media_results
+        + rel_results
     ]
     lines += [
         "",
@@ -269,6 +347,19 @@ def main() -> None:
         "win over the DuckDB-portable md5 default that compounds at scale;",
         "candidate/pair semantics across hash families are pinned by",
         "tests/test_fast_hash_path.py.",
+        "",
+        "Packing/mixture tier (x30 corpus, targets scaled x30 so keep-rates",
+        "stay realistic): pack_sequences' only global window runs over",
+        "per-bucket totals (corpus/4096 rows), materialize_packs' single",
+        "shuffle is keyed by dense pack_id (balanced by construction), and",
+        "the mixtures reduce to one tiny per-source aggregate plus a",
+        "content-addressed filter — all should grow ~linearly in corpus",
+        "tokens. incremental_packing folds the same corpus in 10 sequential",
+        "micro-batches; its claim is O(batch) per trigger, so the",
+        "first/median/last batch times must stay FLAT as the committed",
+        "history grows (a history rescan would make the last batch ~10x the",
+        "first). Media rows probe mapInPandas Arrow-batch throughput over",
+        "the x30 binary corpus.",
         "",
         "## Runtime bloom-filter join pruning",
         "",

@@ -20,11 +20,18 @@ import pandas as pd
 
 
 
+# recall@10 floors per scale factor, set one notch under the measured values
+# (0.5/0.9/0.7 at sf0.001/0.01/0.1, n_probe=6) so ANN quality is tracked at
+# every sf the twin runs at — not just the smallest — while k-means seed
+# jitter across environments doesn't flake the suite
+IVF_RECALL_FLOOR = {"sf0.001": 4, "sf0.01": 7, "sf0.1": 5}
+
+
 def inv_ivf_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
     """IVF probe search must hit the exact top-10 (DuckDB brute force against
-    the same query vector, vec_id 0) with recall@10 >= 0.4 (measured
-    0.5/0.9/0.7 at sf0.001/0.01/0.1 with n_probe=6), and every returned
-    cosine must be the true cosine for that id."""
+    the same query vector, vec_id 0) with recall@10 above the per-sf floor
+    (IVF_RECALL_FLOOR), and every returned cosine must be the true cosine
+    for that id."""
     exact = con.sql(
         """
         SELECT vec_id,
@@ -36,7 +43,10 @@ def inv_ivf_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
     ).df()
     assert len(out) == 10
     overlap = set(out["vec_id"]) & set(exact["vec_id"])
-    assert len(overlap) >= 4, f"IVF recall@10 {len(overlap)}/10 below floor"
+    floor = IVF_RECALL_FLOOR.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 4)
+    assert len(overlap) >= floor, (
+        f"IVF recall@10 {len(overlap)}/10 below floor {floor} for {sf_dir}"
+    )
     true_cos = dict(
         con.sql(
             """

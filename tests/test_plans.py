@@ -191,3 +191,24 @@ def test_pack_sequences_two_level_prefix_sum(spark, sf_dir):
         expected_span = r.n_tokens > 0 and (run + r.n_tokens - 1) // 128 != run // 128
         assert r.spans_boundary == expected_span, r
         run += r.n_tokens
+
+
+def test_ranking_plans_scale_shaped(spark, sf_dir):
+    """bm25_rank's final cut must be TakeOrderedAndProject (never a global
+    Sort of all scoring docs), and tfidf_top_terms' per-doc top-k window
+    must be PARTITIONED by the doc id — an unpartitioned WindowExec would
+    serialize the corpus through one partition."""
+    from demo_bigdata_spark.operators.ranking import bm25_rank, tfidf_top_terms
+    from demo_bigdata_spark.suites.suite_llm import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(bm25_rank(docs, BM25_TERMS))
+    assert "TakeOrderedAndProject" in plan, plan
+
+    tplan = executed_plan(tfidf_top_terms(docs, k=5))
+    windows = [
+        ln for ln in tplan.splitlines() if "Window [" in ln or "Window[" in ln
+    ]
+    assert windows, tplan
+    for w in windows:
+        assert "doc_id" in w.split("windowspecdefinition")[-1], w
