@@ -79,6 +79,54 @@ def split_assign(
     return df.withColumn(split_col, expr)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    n_shards: int = 1024,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    portable: bool = True,
+) -> DataFrame:
+    """[EXT] content-addressed global shuffle — the reproducible corpus
+    permutation a pre-training run needs before sharding to data loaders.
+    A row's place is a pure function of (salt, key): identical on any
+    engine, partitioning, or rerun; a new ``salt`` is a fresh epoch-level
+    reshuffle with zero state.
+
+    Spark-first shape: the permutation is exposed as ``(shard, pos)`` —
+    hash-shard the corpus (ONE shuffle on the shard key), then
+    ``row_number`` within each shard ordered by the row's hash. Reading
+    shards in index order replays the exact global permutation, but no
+    stage ever runs a corpus-wide total sort or a single-partition window:
+    per-shard volume is ~corpus/n_shards, so ``n_shards`` is the memory
+    knob (thousands at bench scale, hundreds of thousands at 100 TB —
+    conveniently also the training-side file-shard count).
+
+    ``portable=False`` switches the hash to xxhash64 (the cheaper
+    production path, same contract, not DuckDB-replayable)."""
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col)
+    if portable:
+        h: Column = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    else:
+        h = F.xxhash64(F.concat(F.lit(salt), key.cast("string"))).cast("string")
+    shard = F.pmod(
+        F.conv(F.substring(F.col("_h"), 1, _HEX_CHARS), 16, 10).cast("long")
+        if portable
+        else F.xxhash64(F.col("_h")),
+        F.lit(n_shards),
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_h"), key)
+    return (
+        df.withColumn("_h", h)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("_h")
+    )
+
+
 def per_group_quota(
     df: DataFrame,
     group_cols: list[str],

@@ -1960,6 +1960,32 @@ LIMIT 20
 """
 
 
+# --- Deterministic corpus shuffle (operator: sampling.deterministic_shuffle) --
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Reproducible global training shuffle as (shard, pos): md5(salt||key)
+    shards the corpus, row_number within shard orders it — the exact
+    permutation replays on any engine with no global sort anywhere in the
+    plan. The oracle recomputes the identical hash/shard/pos integers."""
+    from demo_bigdata_spark.operators.sampling import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", salt="ep0-", n_shards=64
+    ).orderBy("doc_id")
+
+
+SQL_CORPUS_SHUFFLE = """
+WITH h AS (SELECT doc_id, md5('ep0-' || doc_id::VARCHAR) AS h FROM documents)
+SELECT doc_id,
+       ('0x' || substr(h, 1, 7))::BIGINT % 64 AS shard,
+       row_number() OVER (PARTITION BY ('0x' || substr(h, 1, 7))::BIGINT % 64
+                          ORDER BY h, doc_id)::INT AS pos
+FROM h
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
@@ -2011,4 +2037,5 @@ QUERIES = {
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
+    "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
 }
