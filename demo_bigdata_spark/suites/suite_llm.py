@@ -1960,6 +1960,48 @@ LIMIT 20
 """
 
 
+# --- Inverted index build + pruned conjunctive probe (operators/index.py) ----
+
+INDEX_TERMS = ["join", "spark", "vector"]
+
+
+def q_index_search(spark, sf_dir):
+    """End-to-end inverted-index round trip: materialize the postings table
+    partitioned by content-addressed term_bucket, then answer a 3-term
+    conjunctive query from the index alone — the scan partition-prunes to
+    the query terms' buckets (plan-pinned in tests/test_plans.py). The
+    oracle computes the same result directly from the corpus, so the
+    build+prune+probe pipeline is value-checked against a scan-side
+    ground truth."""
+    from demo_bigdata_spark.operators.index import (
+        build_inverted_index,
+        conjunctive_search,
+    )
+
+    path = "/tmp/spark_graft_index_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    build_inverted_index(_docs(spark, sf_dir), path)
+    return conjunctive_search(spark, path, INDEX_TERMS).orderBy("doc_id")
+
+
+_INDEX_IN = ", ".join(f"'{t}'" for t in sorted(set(INDEX_TERMS)))
+
+SQL_INDEX_SEARCH = rf"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+)
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS total_tf
+FROM tf
+WHERE term IN ({_INDEX_IN})
+GROUP BY doc_id
+HAVING count(*) = {len(set(INDEX_TERMS))}
+ORDER BY doc_id
+"""
+
+
 # --- Deterministic corpus shuffle (operator: sampling.deterministic_shuffle) --
 
 
@@ -2038,4 +2080,5 @@ QUERIES = {
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
+    "index_search": (q_index_search, SQL_INDEX_SEARCH),
 }

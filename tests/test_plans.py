@@ -212,3 +212,37 @@ def test_ranking_plans_scale_shaped(spark, sf_dir):
     assert windows, tplan
     for w in windows:
         assert "doc_id" in w.split("windowspecdefinition")[-1], w
+
+
+def test_index_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """conjunctive_search must reach the postings scan with a PARTITION
+    filter on term_bucket (driver-computed from the query string), so a
+    k-term query reads <= k bucket directories no matter the corpus size;
+    python_term_bucket must stay bit-compatible with the Spark bucket
+    expression or pruning silently empties results."""
+    from demo_bigdata_spark.operators.index import (
+        build_inverted_index,
+        conjunctive_search,
+        python_term_bucket,
+    )
+    from demo_bigdata_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bit-compat: Spark expression and driver-side python agree on buckets
+    got = (
+        docs.limit(50)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .select("term", hash_bucket("term", 256).alias("b"))
+        .distinct()
+        .collect()
+    )
+    assert got and all(python_term_bucket(r.term, 256) == r.b for r in got)
+
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs, path)
+    out = conjunctive_search(spark, path, ["spark", "join"])
+    plan = executed_plan(out)
+    assert "term_bucket" in plan, plan
+    scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "PartitionFilters" in ln]
+    assert any("term_bucket" in ln for ln in scan_lines), plan
