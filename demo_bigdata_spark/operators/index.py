@@ -57,6 +57,85 @@ def build_inverted_index(
     )
 
 
+def build_positional_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> None:
+    """Positional postings: one row per (doc, term) carrying the sorted
+    array of its token positions. Per-row array size is bounded by the
+    DOCUMENT's length (positions are per-doc, unlike per-term posting
+    lists), so even corpus stopwords stay cells of at most doc-length
+    ints. Same term_bucket layout/pruning as the tf index."""
+    from demo_bigdata_spark.operators.text import tokens
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    (
+        toks.withColumn("term_bucket", hash_bucket("term", n_buckets))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+
+
+def phrase_search(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact phrase matching off the positional index: join the phrase
+    terms' postings per doc (scan pruned to the phrase's buckets), then a
+    start position is any occurrence of term 0 whose i-th successor
+    position holds term i. The adjacency fold is an array HOF over the
+    FIRST term's per-doc positions — per-row work bounded by doc length.
+    Emits (doc, n_matches, first_pos) for matching docs."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    buckets = sorted({python_term_bucket(t, n_buckets) for t in phrase})
+    postings = spark.read.parquet(path).filter(
+        F.col("term_bucket").isin(buckets)
+        & F.col("term").isin(sorted(set(phrase)))
+    )
+    joined = (
+        postings.filter(F.col("term") == phrase[0])
+        .select(F.col(id_col), F.col("positions").alias("_p0"))
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias(f"_p{i}")
+        )
+        joined = joined.join(nxt, id_col)
+
+    def _adjacent(x):
+        cond = F.lit(True)
+        for i in range(1, len(phrase)):
+            cond = cond & F.array_contains(F.col(f"_p{i}"), x + i)
+        return cond
+
+    starts = F.filter(F.col("_p0"), _adjacent)
+    return (
+        joined.select(
+            id_col,
+            F.size(starts).cast("bigint").alias("n_matches"),
+            F.array_min(starts).cast("bigint").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def conjunctive_search(
     spark: SparkSession,
     path: str,

@@ -2002,6 +2002,48 @@ ORDER BY doc_id
 """
 
 
+PHRASE = ["table", "hash"]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase matching off the positional inverted index (operator:
+    index.phrase_search): per-(doc, term) sorted position arrays, scan
+    pruned to the phrase terms' buckets, adjacency verified with an array
+    HOF bounded by doc length. The oracle rebuilds positions with zipped
+    unnest and replays the same list_filter adjacency."""
+    from demo_bigdata_spark.operators.index import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    path = "/tmp/spark_graft_posindex_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    build_positional_index(_docs(spark, sf_dir), path)
+    return phrase_search(spark, path, PHRASE).orderBy("doc_id")
+
+
+SQL_PHRASE_SEARCH = rf"""
+WITH p AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+         unnest(generate_series(0, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id, term, list_sort(list(pos)) AS positions
+  FROM p WHERE term <> '' GROUP BY doc_id, term
+),
+j AS (
+  SELECT a.doc_id,
+         list_filter(a.positions, x -> list_contains(b.positions, x + 1)) AS starts
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.term = '{PHRASE[1]}'
+  WHERE a.term = '{PHRASE[0]}'
+)
+SELECT doc_id, len(starts)::BIGINT AS n_matches, list_min(starts)::BIGINT AS first_pos
+FROM j WHERE len(starts) > 0
+ORDER BY doc_id
+"""
+
+
 # --- Deterministic corpus shuffle (operator: sampling.deterministic_shuffle) --
 
 
@@ -2081,4 +2123,5 @@ QUERIES = {
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "index_search": (q_index_search, SQL_INDEX_SEARCH),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
 }

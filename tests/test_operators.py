@@ -731,3 +731,30 @@ def test_remove_common_lines(spark):
     assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 1
     assert got[4]["clean_text"] == "totally unique document"
     assert got[4]["n_removed"] == 0
+
+
+def test_phrase_search_three_terms(spark, tmp_path):
+    """k=3 adjacency chain on a crafted corpus: overlapping occurrences,
+    repeated words, and a decoy doc containing all three terms
+    NON-adjacently (the conjunctive-but-not-phrase case) must resolve
+    exactly."""
+    from demo_bigdata_spark.operators.index import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = [
+        (1, "a b c x a b c"),          # two matches at 0 and 4
+        (2, "a b x b c a"),            # has a,b,c but never "a b c"
+        (3, "x x a b c"),              # one match at 2
+        (4, "a a b c"),                # match at 1 (repeated first term)
+        (5, "c b a"),                  # reversed — no match
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "pidx")
+    build_positional_index(df, path)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, path, ["a", "b", "c"]).collect()
+    }
+    assert got == {1: (2, 0), 3: (1, 2), 4: (1, 1)}
