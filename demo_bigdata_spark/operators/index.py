@@ -136,22 +136,88 @@ def phrase_search(
     )
 
 
+def append_postings(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    epoch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> None:
+    """Exactly-once incremental index maintenance: append one micro-batch's
+    postings (tagged with ``epoch_id``) to the bucket layout, then commit
+    the epoch to the ledger — the committed-view pattern shared with
+    combine_pack_partial (streaming/pipeline.py). An already-committed
+    epoch is a no-op; a crash between the data append and the ledger
+    append leaves only uncommitted rows, and the replay appends identical
+    rows (postings are a pure function of the batch), so
+    ``read_postings``'s (doc, term, epoch) dedup is exact. Work per epoch
+    is O(batch) — history is never re-tokenized.
+
+    Assumes an append-only document stream (each doc_id ingested in exactly
+    one epoch) — the same contract as the continuous packer; a re-ingested
+    doc would contribute a second (doc, term) posting row and over-count
+    conjunctive matches."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    epochs_path = path + "_epochs"
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    if ledger is not None and ledger.filter(
+        F.col("epoch_id") == int(epoch_id)
+    ).head(1):
+        return
+    tf = term_frequencies(batch_df, text_col, id_col)
+    (
+        tf.withColumn("term_bucket", hash_bucket("term", n_buckets))
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(path + "/postings")
+    )
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
+        "append"
+    ).parquet(epochs_path)
+
+
+def read_postings(spark: SparkSession, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Committed view of an incrementally-maintained postings table:
+    rows semi-joined to the epoch ledger (crash leftovers excluded),
+    deduplicated on (doc, term, epoch) — replays write identical rows, so
+    the dedup is exact. Term/bucket predicates applied by callers push
+    below the (broadcast-sized) ledger join to the partitioned scan."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    ledger = _read_parquet_if_exists(spark, path + "_epochs")
+    rows = _read_parquet_if_exists(spark, path + "/postings")
+    if rows is None or ledger is None:
+        return spark.createDataFrame(
+            [], f"{id_col} long, term string, tf long, term_bucket int, epoch_id long"
+        )
+    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
+        [id_col, "term", "epoch_id"]
+    )
+
+
 def conjunctive_search(
     spark: SparkSession,
     path: str,
     terms: list[str],
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Docs containing ALL ``terms``, with match stats, straight off the
     index: the term_bucket values are computed driver-side from the query
     string alone, so the parquet scan partition-prunes to at most
     len(terms) buckets (plan-pinned); the HAVING count = k conjunction
-    runs on postings rows only."""
+    runs on postings rows only. Pass ``postings=read_postings(...)`` to
+    query an incrementally-maintained index instead of a batch build."""
     uniq = sorted(set(terms))
     buckets = sorted({python_term_bucket(t, n_buckets) for t in uniq})
     postings = (
-        spark.read.parquet(path)
+        (spark.read.parquet(path) if postings is None else postings)
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(uniq))
     )

@@ -787,3 +787,33 @@ def incremental_sequence_packing(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def incremental_index_maintenance(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous inverted-index maintenance: every micro-batch of
+    ingested documents appends its postings to the bucket-partitioned
+    layout exactly once (operators.index.append_postings — committed-view
+    epoch ledger, O(batch) per trigger, no history re-tokenization).
+    Query the live index with operators.index.read_postings +
+    conjunctive_search(postings=...)."""
+    from demo_bigdata_spark.operators.index import append_postings
+
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_postings(spark, batch_df, path, epoch_id, text_col, id_col)
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -548,3 +548,68 @@ def test_incremental_sequence_packing_matches_batch(spark, sf_dir, tmp_path):
     combine_pack_partial(spark, out, extra, epoch_id=99, seq_len=128)  # replay
     final = {tuple(r) for r in read_pack_assignments(spark, out).collect()}
     assert final == committed_after
+
+
+def test_incremental_index_matches_batch(spark, sf_dir, tmp_path):
+    """A continuously-maintained inverted index must answer conjunctive
+    queries identically to a batch build over the same corpus; epoch replay
+    is a no-op and a lost ledger commit (crash window) stays invisible
+    until the replay, after which the dedup collapses the stale copy."""
+    import shutil
+
+    from demo_bigdata_spark.operators.index import (
+        append_postings,
+        build_inverted_index,
+        conjunctive_search,
+        read_postings,
+    )
+    from demo_bigdata_spark.streaming.pipeline import incremental_index_maintenance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docsrc")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    docs.filter(F.col("doc_id") <= cut).repartition(1).write.mode("overwrite").parquet(src)
+    docs.filter(F.col("doc_id") > cut).repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "idx"), str(tmp_path / "ickpt")
+    q = incremental_index_maintenance(stream, out, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    terms = ["spark", "join"]
+    live = conjunctive_search(
+        spark, out, terms, postings=read_postings(spark, out)
+    )
+    bpath = str(tmp_path / "bidx")
+    build_inverted_index(docs, bpath)
+    batch = conjunctive_search(spark, bpath, terms)
+    lg = {tuple(r) for r in live.collect()}
+    bg = {tuple(r) for r in batch.collect()}
+    assert lg == bg and lg
+
+    # replaying an applied epoch is a no-op
+    before = read_postings(spark, out).count()
+    append_postings(spark, docs.limit(5), out, epoch_id=0)
+    assert read_postings(spark, out).count() == before
+
+    # crash window: postings appended, ledger commit lost -> invisible;
+    # replay re-appends identical rows + commits; dedup keeps one copy
+    extra = docs.filter(F.col("doc_id") > cut).limit(3)
+    ledger_path = out + "_epochs"
+    backup = str(tmp_path / "lbackup")
+    shutil.copytree(ledger_path, backup)
+    append_postings(spark, extra, out, epoch_id=99)
+    committed_after = {tuple(r) for r in read_postings(spark, out).collect()}
+    shutil.rmtree(ledger_path)
+    shutil.copytree(backup, ledger_path)
+    assert read_postings(spark, out).count() == before
+    append_postings(spark, extra, out, epoch_id=99)
+    final = {tuple(r) for r in read_postings(spark, out).collect()}
+    assert final == committed_after
