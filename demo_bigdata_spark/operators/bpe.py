@@ -1,0 +1,166 @@
+"""BPE tokenizer induction over the corpus — learn merges, apply them.
+
+[EXT] The vocabulary-training step of a pre-training pipeline (Sennrich et
+al. 2016 byte-pair encoding, the word-type formulation): words become
+space-separated symbol strings, and each round merges the globally most
+frequent adjacent symbol pair. The reference has no tokenizer surface;
+this rounds out the corpus tier (token counting / packing / mixtures all
+consume tokenizations).
+
+Scale shape — the loop runs on the WORD-TYPE table, not the corpus:
+- One corpus pass builds (word, freq) — explode + groupBy, the only
+  corpus-sized shuffle. Everything after runs on distinct words
+  (vocabulary-sized: ~100M rows at 100 TB, thousands of times smaller
+  than the corpus).
+- Each merge round is one aggregate over the vocab (pair counts, partial
+  map-side combine) + one narrow projection (the merge rewrite). The
+  1-row argmax collect per round is a bounded driver action (the k-means
+  centroid precedent, similarity.py) — 10 rounds = 10 tiny jobs.
+- Applying learned merges to anything (bpe_apply) is a chain of N
+  boundary-aware folds in one narrow projection — shuffle-free; segment
+  the word-TYPE table once and broadcast-join pieces back to the corpus
+  rather than folding per corpus row.
+
+Determinism: pair argmax ties break on (count DESC, pair ASC); the merge
+rewrite is a LEFT-TO-RIGHT FOLD over the symbol array, merging an
+occurrence only when the accumulator's final full symbol equals the
+rule's left element (checked against the space delimiter — a literal
+string replace would corrupt across symbol boundaries: after (z,a)->za,
+the string "za b" contains "a b" but the pair (a,b) does not occur).
+A freshly merged symbol never re-merges in the same pass ("a a a" with
+rule (a,a) -> "aa a"), exactly BPE's greedy semantics. The SQL oracle
+replays the identical fold with list_reduce, round for round (the
+dup_clusters unrolling precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from demo_bigdata_spark.operators.text import tokens
+
+END_MARK = "</w>"
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-sized aggregate."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """'table' -> 't a b l e </w>' (space-separated symbols + end marker)."""
+    return F.concat(
+        F.trim(F.regexp_replace(word, "(.)", "$1 ")), F.lit(" " + END_MARK)
+    )
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """All adjacent symbol pairs of a symbol string, as 'a b' strings.
+    Guarded: F.sequence(1, 0) would generate a DESCENDING sequence, not an
+    empty one, so single-symbol rows must short-circuit to []."""
+    a = F.split(sym, " ")
+    return F.when(
+        F.size(a) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - 1),
+            lambda i: F.concat(
+                F.element_at(a, i), F.lit(" "), F.element_at(a, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _merge_pair(sym: Column, pair: str, merged: str) -> Column:
+    """Apply one merge rule to a symbol string with a left-to-right fold:
+    append each symbol unless it is the rule's RIGHT element and the
+    accumulator currently ends in the rule's LEFT element as a whole
+    symbol — then rewrite the tail to the merged symbol. Symbols contain
+    no spaces by construction (whitespace-tokenized words + the end
+    marker), so the delimiter test is exact.
+
+    Interpreted-HOF cost is per VOCAB row (distinct words), not per
+    corpus row; a production path for huge vocabularies would swap this
+    one projection for an Arrow-batched mapInPandas without touching the
+    surrounding algorithm."""
+    a, b = pair.split(" ")
+
+    def _step(acc: Column, x: Column) -> Column:
+        is_merge = (x == F.lit(b)) & (
+            (acc == F.lit(a)) | acc.endswith(F.lit(" " + a))
+        )
+        return (
+            F.when(acc == "", x)
+            .when(
+                is_merge,
+                F.concat(
+                    F.substr(acc, F.lit(1), F.length(acc) - len(a)),
+                    F.lit(merged),
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), x))
+        )
+
+    return F.aggregate(F.split(sym, " "), F.lit(""), _step)
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merge rules. Returns (rules, merges_df) where
+    rules = [(round, pair, merged, pair_count)] in learning order and
+    merges_df is the same as a DataFrame (round int, pair/merged string,
+    pair_count bigint)."""
+    spark = df.sparkSession
+    syms = word_frequencies(df, text_col).select(
+        _initial_symbols(F.col("word")).alias("sym"), "freq"
+    )
+    # the vocab table feeds every round; pin it once so round i doesn't
+    # re-run the corpus explode i times (lineage truncation, executor-side)
+    syms = syms.localCheckpoint(eager=False)
+    rules: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        best = (
+            syms.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("pr"), "freq")
+            .groupBy("pr")
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pr"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pr"], int(best[0]["c"])
+        merged = pair.replace(" ", "")
+        rules.append((r, pair, merged, cnt))
+        # pin each round: without the checkpoint, round i's plan nests i
+        # interpreted folds and recomputes every prior round per action
+        syms = syms.select(
+            _merge_pair(F.col("sym"), pair, merged).alias("sym"), "freq"
+        ).localCheckpoint(eager=False)
+    merges_df = spark.createDataFrame(
+        rules, "round int, pair string, merged string, pair_count bigint"
+    )
+    return rules, merges_df
+
+
+def bpe_apply(
+    df: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    word_col: str = "word",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Segment words with learned rules: the N merge folds compose into
+    one narrow projection (no shuffle) and the final symbol string splits
+    into the piece array."""
+    sym = _initial_symbols(F.col(word_col))
+    for _, pair, merged, _ in rules:
+        sym = _merge_pair(sym, pair, merged)
+    return df.withColumn(out_col, F.split(sym, " "))

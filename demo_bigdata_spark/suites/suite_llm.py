@@ -2002,6 +2002,113 @@ ORDER BY doc_id
 """
 
 
+# --- BPE tokenizer induction (operators/bpe.py) -------------------------------
+
+BPE_ROUNDS = 10
+
+# rules are data-dependent (learned per sf_dir) and feed two queries; cache
+# per session like _CANDS_CACHE so bpe_segmentation doesn't retrain
+_BPE_CACHE: dict = {}
+
+
+def _bpe_rules(spark, sf_dir):
+    from demo_bigdata_spark.operators.bpe import bpe_train
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _BPE_CACHE if k[0] != app_id]:
+        del _BPE_CACHE[k]
+    key = (app_id, sf_dir)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_train(_docs(spark, sf_dir), n_merges=BPE_ROUNDS)
+    return _BPE_CACHE[key]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """The learned BPE merge table (operator: bpe.bpe_train): 10 rounds of
+    global argmax over adjacent-symbol pair counts on the word-type table,
+    ties on (count DESC, pair ASC), boundary-aware left-to-right merge
+    rewrite. The oracle unrolls the identical 10 rounds as chained CTEs
+    with a list_reduce fold (dup_clusters precedent)."""
+    _rules, mdf = _bpe_rules(spark, sf_dir)
+    return mdf.orderBy("round")
+
+
+def _bpe_sql_rounds() -> str:
+    ctes = [
+        r"""words AS (
+  SELECT tok AS word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+)""",
+        r"""r0 AS (
+  SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>' AS sym, freq
+  FROM words
+)""",
+    ]
+    for i in range(1, BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pr, sum(freq)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                 j -> l[j] || ' ' || l[j + 1])) AS pr, freq
+    FROM (SELECT string_split(sym, ' ') AS l, freq FROM r{i - 1})
+  ) GROUP BY pr
+),
+m{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr ASC LIMIT 1),
+mm{i} AS (SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b,
+                 replace(pr, ' ', '') AS mg FROM m{i}),
+r{i} AS (
+  SELECT word,
+         list_reduce(list_prepend('', string_split(sym, ' ')),
+           (acc, x) -> CASE WHEN acc = '' THEN x
+                            WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+                            THEN substr(acc, 1, len(acc) - len(m.a)) || m.mg
+                            ELSE acc || ' ' || x END) AS sym,
+         freq
+  FROM r{i - 1} CROSS JOIN mm{i} m
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+SQL_BPE_MERGES = (
+    "WITH "
+    + _bpe_sql_rounds()
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i}::INT AS round, pr AS pair, replace(pr, ' ', '') AS merged,"
+        f" c AS pair_count FROM m{i}"
+        for i in range(1, BPE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+
+
+def q_bpe_segmentation(spark, sf_dir):
+    """Top-20 corpus words (by frequency, then word) segmented with the
+    learned merges (operator: bpe.bpe_apply — the N folds compose into one
+    narrow projection over the word-type table; corpus application is a
+    broadcast join of these pieces, never per-row refolding)."""
+    from demo_bigdata_spark.operators.bpe import bpe_apply, word_frequencies
+
+    rules, _mdf = _bpe_rules(spark, sf_dir)
+    wf = word_frequencies(_docs(spark, sf_dir))
+    return (
+        bpe_apply(wf, rules)
+        .select("word", "freq", F.array_join("pieces", " ").alias("pieces"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(20)
+    )
+
+
+SQL_BPE_SEGMENTATION = (
+    "WITH "
+    + _bpe_sql_rounds()
+    + f"\nSELECT word, freq, sym AS pieces FROM r{BPE_ROUNDS}"
+    + "\nORDER BY freq DESC, word LIMIT 20"
+)
+
+
 PHRASE = ["table", "hash"]
 
 
@@ -2124,4 +2231,6 @@ QUERIES = {
     "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "index_search": (q_index_search, SQL_INDEX_SEARCH),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_segmentation": (q_bpe_segmentation, SQL_BPE_SEGMENTATION),
 }

@@ -758,3 +758,19 @@ def test_phrase_search_three_terms(spark, tmp_path):
         for r in phrase_search(spark, path, ["a", "b", "c"]).collect()
     }
     assert got == {1: (2, 0), 3: (1, 2), 4: (1, 1)}
+
+
+def test_bpe_merge_fold_semantics(spark):
+    """The merge rewrite must be boundary-aware and greedy left-to-right:
+    (za, b) does NOT match rule (a, b); "a a a" with rule (a, a) merges
+    only the first pair; "a b a b" merges both occurrences."""
+    from demo_bigdata_spark.operators.bpe import _merge_pair
+
+    df = spark.createDataFrame(
+        [("z a b </w>",), ("za b </w>",), ("a a a </w>",), ("a b a b </w>",)],
+        "sym string",
+    )
+    got = [r.m for r in df.select(_merge_pair(F.col("sym"), "a b", "ab").alias("m")).collect()]
+    assert got == ["z ab </w>", "za b </w>", "a a a </w>", "ab ab </w>"]
+    got2 = [r.m for r in df.select(_merge_pair(F.col("sym"), "a a", "aa").alias("m")).collect()]
+    assert got2 == ["z a b </w>", "za b </w>", "aa a </w>", "a b a b </w>"]
