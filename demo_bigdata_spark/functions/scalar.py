@@ -100,3 +100,23 @@ def pin(expr: Column) -> Column:
     downstream filters would otherwise re-evaluate them (measured 2x on
     ingest, 6x on n-gram jaccard)."""
     return F.when(F.randn() > -1e9, expr)
+
+
+def spread_for_cpu(df):
+    """Repartition a byte-thin input to core count before a CPU-heavy
+    per-row stage (hashing, gram construction, regex batteries).
+
+    File scans split by BYTES (maxPartitionBytes) and AQE coalesces
+    shuffles by BYTES, so a small-on-disk/expensive-per-row stage can land
+    on one thread while 31 idle — measured 8.5 -> 3.4 s on the n-gram
+    verify at sf0.1. Guarded: on a real many-split table (anything at
+    production scale) this is a no-op, because there the repartition
+    would be a full-input shuffle bought for nothing. Streaming plans
+    can't inspect partitioning (no .rdd) and micro-batches are already
+    planned per-trigger — returned untouched."""
+    if df.isStreaming:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from demo_bigdata_spark.functions.scalar import spread_for_cpu
 from demo_bigdata_spark.operators.text import tokens
 
 # 28-bit token hash: first 7 hex chars of md5. Keeps a_i*h + b_i < 2^63
@@ -118,8 +119,11 @@ def minhash_signature(
     shingle->minhash->band pipeline).
 
     minhash_i = min over units u of (a_i * h(u) + b_i) mod P. Linear scan,
-    no shuffle; k folds over the token array, all inside codegen.
+    no shuffle; k folds over the token array, all inside codegen. The
+    hashing is spread to core count when the scan is byte-thin
+    (scalar.spread_for_cpu — no-op on many-split production tables).
     """
+    df = spread_for_cpu(df)
     src = df
     tk_col = None
     if shingle_n is not None:
@@ -696,17 +700,23 @@ def char_ngram_jaccard_pairs(
     the doc; any collision merges the same grams on both sides of an
     engine comparison because the DuckDB twin hashes identically.
     """
-    # CPU-heavy, byte-cheap stages must be sized by CORES, not input bytes:
-    # the doc scan is one thin parquet split and AQE coalesces the candidate
-    # shuffle to a handful of partitions (it targets 64 MB of 16-byte pair
-    # rows — blind to the per-row intersect cost downstream), so without
-    # explicit repartitioning the gram build and the 100k+-pair verify run
-    # on 1 and ~5 threads respectively (measured 8.5 -> 3.4 s at sf0.1 on
-    # local[32]). The reshuffles move ~MBs; the verify moves minutes.
+    # CPU-heavy, byte-cheap stages must be sized by CORES, not input bytes
+    # (scalar.spread_for_cpu): the doc scan is one thin parquet split and
+    # AQE coalesces the candidate shuffle to a handful of partitions (it
+    # targets 64 MB of 16-byte pair rows — blind to the per-row intersect
+    # cost downstream), so without explicit repartitioning the gram build
+    # and the 100k+-pair verify run on 1 and ~5 threads respectively
+    # (measured 8.5 -> 3.4 s at sf0.1 on local[32]). The candidate
+    # repartition below stays unconditional — it moves 16-byte pairs and
+    # also breaks the one-giant-LSH-bucket skew a dup farm produces.
+    from demo_bigdata_spark.functions.scalar import spread_for_cpu
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    norm = df.select(
-        F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_norm")
-    ).repartition(par)
+    norm = spread_for_cpu(
+        df.select(
+            F.col(id_col).alias("_id"), F.lower(F.trim(F.col(text_col))).alias("_norm")
+        )
+    )
     # distinct the gram STRINGS before hashing: repetitive text makes many
     # positions carry the same n-gram, so md5 runs once per distinct gram
     # instead of once per position (~1.2x on the gram stage at sf0.1). The
@@ -807,8 +817,8 @@ def winnow_fingerprints(
     """
     from demo_bigdata_spark.functions.scalar import pin
 
-    norm = df.select(
-        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_norm")
+    norm = spread_for_cpu(
+        df.select(F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_norm"))
     )
     grams_expr = F.when(
         F.length("_norm") >= k,

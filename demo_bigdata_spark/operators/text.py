@@ -315,9 +315,17 @@ def _top_bigram_frac(
     negligible, but the oracle-checked default stays on raw strings
     (exact, and an md5-bigint middle ground measured SLOWER than the
     string shuffle — the digest costs more than it saves)."""
+    from demo_bigdata_spark.functions.scalar import spread_for_cpu
+
     c = F.col(text_col)
-    base = df.select(
-        F.col(id_col), tokens(c).alias("_toks"), token_count(c).alias("_n_toks")
+    # spread BEFORE tokenizing: repartitioning the projected frame would
+    # both tokenize on the thin partitions and shuffle the (larger) token
+    # arrays; this way the exchange moves raw text and the explode below
+    # runs on all cores
+    base = spread_for_cpu(df.select(F.col(id_col), c.alias("_t"))).select(
+        F.col(id_col),
+        tokens(F.col("_t")).alias("_toks"),
+        token_count(F.col("_t")).alias("_n_toks"),
     )
 
     def _bg(i):
@@ -360,7 +368,12 @@ def gopher_features(
     required-stopword hits. One projection — no shuffle; every expression is
     a Catalyst built-in shared verbatim with the DuckDB oracle.
     ``_include_dup_line`` additionally emits dup_line_frac in the SAME
-    projection (used by gopher_filter to fuse scans)."""
+    projection (used by gopher_filter to fuse scans). The regex/HOF-heavy
+    projection is spread to core count on byte-thin scans
+    (scalar.spread_for_cpu; no-op on many-split production tables)."""
+    from demo_bigdata_spark.functions.scalar import spread_for_cpu
+
+    df = spread_for_cpu(df)
     c = F.col(text_col)
     toks = tokens(c)
     n = token_count(c)
