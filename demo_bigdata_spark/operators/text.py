@@ -142,6 +142,110 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", F.md5(normalized))
 
 
+def kwic_snippets(
+    df: DataFrame,
+    term: str,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] keyword-in-context snippets: for documents containing ``term``,
+    the ±``window`` tokens around its FIRST occurrence — the search-result
+    presentation step over retrieval output (ranking/index tiers). Pure
+    narrow projection + filter: no shuffle, no UDF; token array pinned so
+    the filter can't re-tokenize (functions.scalar.pin)."""
+    from demo_bigdata_spark.functions.scalar import pin
+
+    toked = df.select(
+        F.col(id_col), pin(tokens(F.col(text_col))).alias("_tk")
+    )
+    pos = F.array_position(F.col("_tk"), term)  # 1-based, 0 when absent
+    start = F.greatest(pos - window, F.lit(1))
+    end = F.least(pos + window, F.size("_tk"))
+    return (
+        toked.withColumn("pos", pos.cast("bigint"))
+        .filter(F.col("pos") > 0)
+        .select(
+            id_col,
+            "pos",
+            F.array_join(
+                F.slice("_tk", start, end - start + 1), " "
+            ).alias("snippet"),
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    gram: int = 8,
+    modulus: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """[EXT] content-defined chunking (Rabin-style, the LBFS/dedup-storage
+    technique): cut after position i whenever the hash of the trailing
+    ``gram`` chars satisfies ``h % modulus == 0`` — expected chunk length
+    ``modulus``. Boundaries move WITH the content, so an edit only
+    reshapes its neighboring chunks; under fixed-size chunking
+    (chunk_documents) one insertion shifts every later boundary and
+    defeats chunk-level dedup. Joining chunk_md5 across docs/corpus
+    versions finds shared spans cheaply.
+
+    Emits (doc, chunk_idx, start, length, chunk_md5) — 1-based char
+    offsets into the normalized text. Narrow projection + explode: the
+    gram hashing is per-position but each position hashed ONCE (array
+    pinned, no HOF re-inlining); no shuffle.
+    """
+    from demo_bigdata_spark.functions.scalar import pin, spread_for_cpu
+    from demo_bigdata_spark.operators.dedup import _hasher
+
+    hasher = _hasher(portable)
+    norm = spread_for_cpu(
+        df.select(
+            F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_norm")
+        )
+    ).filter(F.length("_norm") > 0)
+    n = F.length("_norm")
+    bounds = F.when(
+        n >= gram,
+        F.filter(
+            F.sequence(F.lit(gram), n),
+            lambda i: hasher(F.col("_norm").substr(i - (gram - 1), F.lit(gram)))
+            % modulus
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # close the final chunk at the end of the doc (unless it already is
+    # one); try_element_at: plain element_at(-1) THROWS on the empty
+    # bounds array under ANSI mode
+    ends = F.when(
+        F.try_element_at(bounds, F.lit(-1)) == n, bounds
+    ).otherwise(F.concat(bounds, F.array(n)))
+    rows = norm.select(
+        F.col(id_col),
+        F.col("_norm"),
+        pin(ends).alias("_ends"),
+    ).select(
+        id_col,
+        "_norm",
+        "_ends",
+        F.posexplode("_ends").alias("chunk_idx", "_end"),
+    )
+    start = F.when(F.col("chunk_idx") == 0, F.lit(1)).otherwise(
+        F.element_at("_ends", F.col("chunk_idx")) + 1
+    )
+    return rows.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start"),
+        (F.col("_end") - start + 1).cast("bigint").alias("length"),
+        F.md5(
+            F.col("_norm").substr(start, F.col("_end") - start + 1)
+        ).alias("chunk_md5"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int = 64,

@@ -2109,6 +2109,81 @@ SQL_BPE_SEGMENTATION = (
 )
 
 
+# --- Content-defined chunking (operator: text.cdc_chunks) ---------------------
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Rabin-style content-defined chunks: boundary after position i when
+    the trailing 8-gram's hash ≡ 0 (mod 64) — boundaries move with content
+    so edits only reshape neighboring chunks (what fixed-size chunking
+    can't do for chunk-level dedup). Per chunk: 1-based start/length and
+    the chunk md5; the oracle replays the identical boundary arithmetic."""
+    return X.cdc_chunks(_docs(spark, sf_dir)).orderBy("doc_id", "chunk_idx")
+
+
+SQL_CDC_CHUNKS = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(text)) AS s FROM documents
+  WHERE len(lower(trim(text))) > 0
+),
+b AS (
+  SELECT doc_id, s, len(s) AS n,
+         CASE WHEN len(s) >= 8
+              THEN list_filter(generate_series(8, len(s)),
+                     i -> ('0x' || substr(md5(substr(s, i - 7, 8)), 1, 7))::BIGINT % 64 = 0)
+              ELSE [] END AS bounds
+  FROM norm
+),
+e AS (
+  SELECT doc_id, s,
+         CASE WHEN len(bounds) > 0 AND bounds[-1] = n THEN bounds
+              ELSE list_append(bounds, n) END AS ends
+  FROM b
+),
+x AS (
+  SELECT doc_id, s, ends,
+         unnest(generate_series(1, len(ends))) AS k,
+         unnest(ends) AS e_end
+  FROM e
+)
+SELECT doc_id, (k - 1)::BIGINT AS chunk_idx,
+       (CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END)::BIGINT AS start,
+       (e_end - (CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END) + 1)::BIGINT AS length,
+       md5(substr(s, (CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END)::INT,
+                  (e_end - (CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END) + 1)::INT)) AS chunk_md5
+FROM x
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- KWIC snippets (operator: text.kwic_snippets) -----------------------------
+
+KWIC_TERM = "spark"
+
+
+def q_kwic_snippets(spark, sf_dir):
+    """±3-token context around the first occurrence of a query term —
+    the search-result snippet step over the retrieval tier. Narrow
+    projection, no shuffle; the oracle replays list_position/list_slice."""
+    return X.kwic_snippets(_docs(spark, sf_dir), KWIC_TERM, window=3).orderBy(
+        "doc_id"
+    )
+
+
+SQL_KWIC_SNIPPETS = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+),
+p AS (SELECT doc_id, tk, list_position(tk, '{KWIC_TERM}')::BIGINT AS pos FROM t)
+SELECT doc_id, pos,
+       array_to_string(
+         list_slice(tk, greatest(pos - 3, 1), least(pos + 3, len(tk))), ' '
+       ) AS snippet
+FROM p WHERE pos IS NOT NULL AND pos > 0
+ORDER BY doc_id
+"""
+
+
 PHRASE = ["table", "hash"]
 
 
@@ -2233,4 +2308,6 @@ QUERIES = {
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_segmentation": (q_bpe_segmentation, SQL_BPE_SEGMENTATION),
+    "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
 }

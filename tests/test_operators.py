@@ -774,3 +774,28 @@ def test_bpe_merge_fold_semantics(spark):
     assert got == ["z ab </w>", "za b </w>", "a a a </w>", "ab ab </w>"]
     got2 = [r.m for r in df.select(_merge_pair(F.col("sym"), "a a", "aa").alias("m")).collect()]
     assert got2 == ["z a b </w>", "za b </w>", "aa a </w>", "a b a b </w>"]
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC property: prepending text must leave every chunk after the
+    first original boundary byte-identical (boundaries depend only on the
+    trailing gram), so chunk-level dedup still matches the shared suffix —
+    exactly what fixed-size chunking loses on any insertion."""
+    import hashlib
+
+    from demo_bigdata_spark.operators.text import cdc_chunks
+
+    s = "".join(
+        chr(ord("a") + b % 26)
+        for i in range(0, 600, 32)
+        for b in hashlib.md5(str(i).encode()).digest()[:16]
+    )[:600]
+    docs = spark.createDataFrame(
+        [(1, s), (2, "inserted prefix text " + s)], "doc_id long, text string"
+    )
+    got = cdc_chunks(docs).collect()
+    h1 = [r.chunk_md5 for r in sorted((r for r in got if r.doc_id == 1), key=lambda r: r.chunk_idx)]
+    h2 = {r.chunk_md5 for r in got if r.doc_id == 2}
+    assert len(h1) >= 3, "test string produced too few chunks to be meaningful"
+    missing = [h for h in h1[1:] if h not in h2]
+    assert not missing, f"{len(missing)}/{len(h1) - 1} suffix chunks lost"
