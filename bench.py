@@ -81,6 +81,8 @@ HEADLINE = [
     # r5 ranking tier
     "tfidf_terms",
     "bm25_rank",
+    "corpus_shuffle",
+    "cdc_chunks",
 ]
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from demo_bigdata_spark import serving
@@ -249,3 +251,45 @@ def test_xml_source_roundtrip(spark, sf_dir, tmp_path):
     write_xml(df, out)
     back = read_xml(spark, out, df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """compact_parquet must shrink the file count to the byte-derived
+    target without changing a single row, and small_file_report must see
+    the improvement. Compaction writes BESIDE the source (commit-then-
+    swap), never in place."""
+    from demo_bigdata_spark.sources.catalog import load_table
+    from demo_bigdata_spark.sources.maintenance import (
+        compact_parquet,
+        small_file_report,
+    )
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(src)  # fragment it
+    rep = small_file_report(spark, src)
+    assert rep["n_files"] >= 40 and rep["n_small"] == rep["n_files"]
+
+    out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert out["after"]["n_files"] == 1
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b
+    assert os.path.exists(src)  # source untouched until the caller swaps
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appends with a widened schema must stay readable: mergeSchema
+    yields the superset schema with nulls for pre-evolution rows — the
+    contract a long-lived table relies on when new feature columns land."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].score is None and rows[2].score == 0.5
