@@ -40,7 +40,13 @@ def raw_github_json(spark, sf_dir):
 
     Rows with event_id % 10 == 0 omit created_at (to be dropped by the P9
     quality filter); 5 malformed lines are appended (dropped by P3)."""
-    ev = load_table(spark, sf_dir, "events")
+    from demo_bigdata_spark.functions.scalar import spread_for_cpu
+
+    # the events scan is one thin split at bench SFs; without the spread
+    # the whole serialize->parse->flatten ingest chain downstream runs on
+    # one thread (a production ingest source — Kafka/files — arrives
+    # already partitioned, which is what the guard models)
+    ev = spread_for_cpu(load_table(spark, sf_dir, "events"))
     gh_type = F.col("event_type")
     for k, v in TYPE_TO_GITHUB.items():
         gh_type = F.when(F.col("event_type") == k, F.lit(v)).otherwise(gh_type)
