@@ -218,6 +218,8 @@ def main() -> None:
     t0 = time.perf_counter()
     B.bpe_train(bdocs, n_merges=10)
     rank_results.append(("bpe_train_10_rounds", round(time.perf_counter() - t0, 2)))
+    rank_results.append(timed("cdc_chunks", X.cdc_chunks(bdocs)))
+    rank_results.append(timed("kwic_snippets", X.kwic_snippets(bdocs, "spark")))
     # relational tier: replicate the FACT tables (lineitem + orders) with
     # shifted order keys; dims (customer/part/supplier/nation/region) keep
     # their real size — exactly how a production scale-up looks (facts grow,

@@ -799,3 +799,27 @@ def test_cdc_chunks_edit_locality(spark):
     assert len(h1) >= 3, "test string produced too few chunks to be meaningful"
     missing = [h for h in h1[1:] if h not in h2]
     assert not missing, f"{len(missing)}/{len(h1) - 1} suffix chunks lost"
+
+
+def test_spread_for_cpu_guards(spark, sf_dir):
+    """spread_for_cpu must widen thin inputs to core count, leave
+    already-wide inputs untouched (no gratuitous corpus shuffle on real
+    many-split tables), and pass streaming frames through unmodified."""
+    from demo_bigdata_spark.functions.scalar import spread_for_cpu
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    thin = load_table(spark, sf_dir, "documents")
+    assert thin.rdd.getNumPartitions() < par  # precondition of the probe
+    assert spread_for_cpu(thin).rdd.getNumPartitions() == par
+
+    wide = thin.repartition(par + 7)
+    spread = spread_for_cpu(wide)
+    assert spread is wide  # untouched, not merely same count
+
+    stream = (
+        spark.readStream.schema(thin.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    assert spread_for_cpu(stream) is stream
