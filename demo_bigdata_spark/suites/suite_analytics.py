@@ -706,16 +706,21 @@ def q_geometric_mean(spark, sf_dir):
     udaf = ev.groupBy("event_type").agg(
         F.round(geometric_mean("value"), 4).alias("gmean_udaf")
     )
+    # positive-values contract made EXPLICIT in all three forms: the UDAF
+    # filters v > 0, Spark's log() happens to NULL non-positives, but
+    # DuckDB's ln() THROWS on zero — surfaced by the sf0.1 twin replay
+    # (testdata has value = 0.0 rows only at that scale)
+    pos = F.when(F.col("value") > 0, F.col("value"))
     builtin = ev.groupBy("event_type").agg(
-        F.round(F.exp(F.avg(F.log("value"))), 4).alias("gmean_builtin")
+        F.round(F.exp(F.avg(F.log(pos))), 4).alias("gmean_builtin")
     )
     return udaf.join(builtin, "event_type").orderBy("event_type")
 
 
 SQL_GEOMETRIC_MEAN = """
 SELECT event_type,
-       round(exp(avg(ln(value))), 4) AS gmean_udaf,
-       round(exp(avg(ln(value))), 4) AS gmean_builtin
+       round(exp(avg(CASE WHEN value > 0 THEN ln(value) END)), 4) AS gmean_udaf,
+       round(exp(avg(CASE WHEN value > 0 THEN ln(value) END)), 4) AS gmean_builtin
 FROM events
 GROUP BY event_type
 ORDER BY event_type
