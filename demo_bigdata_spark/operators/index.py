@@ -46,14 +46,25 @@ def build_inverted_index(
     """Materialize the postings table partitioned by term_bucket. Build cost
     is one explode + (doc, term) groupBy + one shuffle into the bucket
     layout; incremental corpora append new batches' postings to the same
-    layout (same bucket function => same directories)."""
-    tf = term_frequencies(df, text_col, id_col)
+    layout (same bucket function => same directories).
+
+    A ``doclens`` side table ((doc, dl) with dl = total token count) is
+    written beside the postings — the document-length normalization input
+    BM25 needs, derived from the same tf pass (dl = per-doc sum of tf, so
+    the index is self-contained: ranked retrieval never re-reads text)."""
+    tf = term_frequencies(df, text_col, id_col).localCheckpoint(eager=False)
     (
         tf.withColumn("term_bucket", hash_bucket("term", n_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(path)
+        .parquet(path + "/postings")
+    )
+    (
+        tf.groupBy(id_col)
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(path + "/doclens")
     )
 
 
@@ -217,7 +228,7 @@ def conjunctive_search(
     uniq = sorted(set(terms))
     buckets = sorted({python_term_bucket(t, n_buckets) for t in uniq})
     postings = (
-        (spark.read.parquet(path) if postings is None else postings)
+        (spark.read.parquet(path + "/postings") if postings is None else postings)
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(uniq))
     )
@@ -228,4 +239,79 @@ def conjunctive_search(
             F.sum("tf").cast("bigint").alias("total_tf"),
         )
         .filter(F.col("n_terms") == len(uniq))
+    )
+
+
+def bm25_rank_indexed(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """BM25 straight off the inverted index — the production retrieval
+    flow: the corpus text is never touched. Identical scoring to
+    ranking.bm25_rank (same idf, same fixed-order fold — dl from the
+    doclens side table equals the scan-side token count for whitespace
+    tokenization, so the two paths are value-identical and share one
+    oracle). Scan cost: the query terms' pruned buckets + one broadcast
+    aggregate over doclens; the doclens join touches only matching docs."""
+    uniq = sorted(set(terms))
+    buckets = sorted({python_term_bucket(t, n_buckets) for t in uniq})
+    postings = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(uniq))
+        .select(id_col, "term", "tf")
+    )
+    doclens = spark.read.parquet(path + "/doclens")
+    stats = doclens.agg(
+        F.count("*").cast("bigint").alias("_n_docs"),
+        (F.sum("dl") / F.count("*")).alias("_avgdl"),
+    )
+    idf = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df_t"))
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "_avgdl",
+            "_n_docs",
+            F.log(
+                1 + (F.col("_n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    per_term = (
+        postings.join(doclens, id_col)
+        .join(F.broadcast(idf), "term")
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * (F.col("dl") / F.col("_avgdl")))
+                )
+            ).alias("term_score"),
+        )
+    )
+    per_term_cols = [
+        F.sum(F.when(F.col("term") == t, F.col("term_score"))).alias(f"_s{i}")
+        for i, t in enumerate(uniq)
+    ]
+    total = F.lit(0.0)
+    for i in range(len(uniq)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return (
+        per_term.groupBy(id_col)
+        .agg(*per_term_cols, F.count("*").alias("n_hits"))
+        .select(id_col, total.alias("bm25"), "n_hits")
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(limit)
     )

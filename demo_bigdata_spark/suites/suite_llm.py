@@ -2109,6 +2109,25 @@ SQL_BPE_SEGMENTATION = (
 )
 
 
+def q_bm25_indexed(spark, sf_dir):
+    """BM25 answered from the inverted index alone (operator:
+    index.bm25_rank_indexed) — the corpus text is never read at query
+    time: postings prune to the query terms' buckets, dl comes from the
+    doclens side table, N/avgdl from one broadcast aggregate. Scoring is
+    value-identical to the scan-side bm25_rank, so this query shares its
+    oracle verbatim — two execution paths, one ground truth."""
+    from demo_bigdata_spark.operators.index import (
+        bm25_rank_indexed,
+        build_inverted_index,
+    )
+
+    path = "/tmp/spark_graft_bm25idx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    build_inverted_index(_docs(spark, sf_dir), path)
+    return bm25_rank_indexed(
+        spark, path, BM25_TERMS, k1=BM25_K1, b=BM25_B, limit=20
+    )
+
+
 # --- Content-defined chunking (operator: text.cdc_chunks) ---------------------
 
 
@@ -2310,4 +2329,5 @@ QUERIES = {
     "bpe_segmentation": (q_bpe_segmentation, SQL_BPE_SEGMENTATION),
     "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "bm25_indexed": (q_bm25_indexed, SQL_BM25_RANK),
 }
