@@ -60,7 +60,10 @@ def tfidf_top_terms(
     ``tf * (ln((N + 1) / (df + 1)) + 1)`` — the add-one form keeps idf
     finite and positive for corpus-universal terms. Ties break on term
     asc; ``rank`` is the per-doc position (1-based)."""
-    tf = term_frequencies(df, text_col, id_col)
+    # tf feeds both the idf aggregate and the scoring join — pin it so the
+    # corpus explode+aggregate runs once ("persist the feature table", the
+    # standard two-consumer shape)
+    tf = term_frequencies(df, text_col, id_col).localCheckpoint(eager=False)
     n_docs = df.select(F.count("*").cast("bigint").alias("_n_docs"))
     idf = (
         tf.groupBy("term")
@@ -110,6 +113,10 @@ def bm25_rank(
         .filter(F.col("term").isin(query_terms))
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        # feeds BOTH the scoring join and the df_t aggregate — pin so the
+        # corpus explode runs once, not once per consumer (the shared-
+        # subtree pattern of char_ngram_jaccard_pairs)
+        .localCheckpoint(eager=False)
     )
     n_docs = df.select(F.count("*").cast("bigint").alias("_n_docs"))
     avgdl = df.select(
