@@ -719,3 +719,95 @@ def materialize_packs(
             ).alias("checksum"),
         )
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] skip-gram co-occurrence counts — the (word, context) pair
+    table embedding trainers (word2vec/GloVe) consume: every ordered pair
+    of tokens at distance <= ``window`` within a document, counted over
+    the corpus.
+
+    Join-free construction: for each offset o in 1..window, zip the token
+    array against itself shifted by o and emit BOTH directions — one
+    narrow pass per document, pair volume bounded by 2*window*doc_len,
+    then a single (term, context) aggregate (map-side combined). A
+    positions self-join would shuffle the corpus twice for the same
+    answer."""
+    from demo_bigdata_spark.functions.scalar import pin, spread_for_cpu
+
+    toked = spread_for_cpu(
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    ).select(F.col(id_col), pin(tokens(F.col("_t"))).alias("_tk"))
+    n = F.size("_tk")
+
+    # closure FACTORY, not a default arg: Spark infers lambda arity from
+    # the Python signature, so `lambda j, _o=o:` becomes a TWO-argument
+    # (element, index) lambda and _o silently receives the array index
+    # (ROUND_NOTES fact 6)
+    def _pair_at(offset: int):
+        def _f(j):
+            return F.struct(
+                F.element_at(F.col("_tk"), j).alias("a"),
+                F.element_at(F.col("_tk"), j + offset).alias("b"),
+            )
+
+        return _f
+
+    per_offset = []
+    for o in range(1, window + 1):
+        pair = F.when(
+            n > o,
+            F.transform(F.sequence(F.lit(1), n - o), _pair_at(o)),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        per_offset.append(pair)
+    pairs = F.flatten(F.array(*per_offset))
+    fwd = toked.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("term"), F.col("p.b").alias("context")
+    )
+    both = fwd.unionByName(
+        fwd.select(F.col("context").alias("term"), F.col("term").alias("context"))
+    )
+    return (
+        both.filter((F.col("term") != "") & (F.col("context") != ""))
+        .groupBy("term", "context")
+        .agg(F.count("*").cast("bigint").alias("n_cooc"))
+    )
+
+
+def pmi_scores(
+    cooc: DataFrame,
+    min_count: int = 5,
+) -> DataFrame:
+    """[EXT] pointwise mutual information over a co-occurrence table:
+    ``ln(n_cooc * total / (marginal(term) * marginal(context)))`` — the
+    association score used to pick collocations and build count-based
+    embeddings. Marginals are vocabulary-sized aggregates of the pair
+    table, joined back (broadcast while they fit); ``total`` is one
+    broadcast 1-row aggregate. All inputs are exact bigints, one ln at
+    the end (the accepted cross-engine transcendental pattern)."""
+    cooc = cooc.localCheckpoint(eager=False)  # feeds 3 aggregates + the join
+    total = cooc.agg(F.sum("n_cooc").cast("bigint").alias("_total"))
+    mt = cooc.groupBy("term").agg(F.sum("n_cooc").cast("bigint").alias("_mt"))
+    mc = cooc.groupBy("context").agg(
+        F.sum("n_cooc").cast("bigint").alias("_mc")
+    )
+    return (
+        cooc.filter(F.col("n_cooc") >= min_count)
+        .join(mt, "term")
+        .join(mc, "context")
+        .join(F.broadcast(total))
+        .select(
+            "term",
+            "context",
+            "n_cooc",
+            F.log(
+                (F.col("n_cooc") * F.col("_total"))
+                / (F.col("_mt") * F.col("_mc"))
+            ).alias("pmi"),
+        )
+    )

@@ -2128,6 +2128,69 @@ def q_bm25_indexed(spark, sf_dir):
     )
 
 
+# --- Skip-gram co-occurrence + PMI (operators: text.cooccurrence_counts) ------
+
+COOC_WINDOW = 2
+PMI_MIN_COUNT = 5
+
+
+def _sql_cooc_both(window: int) -> str:
+    offs = []
+    for o in range(1, window + 1):
+        offs.append(
+            f"""SELECT unnest(list_transform(generate_series(1, len(tk) - {o}),
+                         j -> struct_pack(a := tk[j], b := tk[j + {o}]))) AS pr
+  FROM t WHERE len(tk) > {o}"""
+        )
+    return (
+        "t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),\n"
+        "p AS (\n  " + "\n  UNION ALL\n  ".join(offs) + "\n),\n"
+        "fwd AS (SELECT pr.a AS term, pr.b AS context FROM p),\n"
+        "both_dir AS (SELECT term, context FROM fwd\n"
+        "             UNION ALL SELECT context AS term, term AS context FROM fwd),\n"
+        "cooc AS (SELECT term, context, count(*)::BIGINT AS n_cooc FROM both_dir\n"
+        "         WHERE term <> '' AND context <> '' GROUP BY term, context)"
+    )
+
+
+def q_cooccurrence(spark, sf_dir):
+    """Skip-gram (word, context) pair counts within a ±2 window — the
+    embedding-training pair table, built join-free (per-offset array zips,
+    one aggregate). The oracle replays the same zips with list_transform."""
+    return X.cooccurrence_counts(_docs(spark, sf_dir), window=COOC_WINDOW).orderBy(
+        "term", "context"
+    )
+
+
+SQL_COOCCURRENCE = (
+    "WITH " + _sql_cooc_both(COOC_WINDOW)
+    + "\nSELECT term, context, n_cooc FROM cooc ORDER BY term, context"
+)
+
+
+def q_pmi_scores(spark, sf_dir):
+    """Pointwise mutual information over the co-occurrence table (count
+    floor 5): marginals joined back, one broadcast total, raw ln double
+    (compare layer owns rounding). The collocation/association score
+    count-based embeddings start from."""
+    cooc = X.cooccurrence_counts(_docs(spark, sf_dir), window=COOC_WINDOW)
+    return X.pmi_scores(cooc, min_count=PMI_MIN_COUNT).orderBy("term", "context")
+
+
+SQL_PMI_SCORES = (
+    "WITH " + _sql_cooc_both(COOC_WINDOW)
+    + f""",
+tot AS (SELECT sum(n_cooc)::BIGINT AS total FROM cooc),
+mt AS (SELECT term, sum(n_cooc)::BIGINT AS m FROM cooc GROUP BY term),
+mc AS (SELECT context, sum(n_cooc)::BIGINT AS m FROM cooc GROUP BY context)
+SELECT c.term, c.context, c.n_cooc,
+       ln((c.n_cooc * tot.total) / (mt.m * mc.m)) AS pmi
+FROM cooc c JOIN mt USING (term) JOIN mc ON c.context = mc.context CROSS JOIN tot
+WHERE c.n_cooc >= {PMI_MIN_COUNT}
+ORDER BY c.term, c.context"""
+)
+
+
 # --- Content-defined chunking (operator: text.cdc_chunks) ---------------------
 
 
@@ -2330,4 +2393,6 @@ QUERIES = {
     "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "bm25_indexed": (q_bm25_indexed, SQL_BM25_RANK),
+    "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
+    "pmi_scores": (q_pmi_scores, SQL_PMI_SCORES),
 }
