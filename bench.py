@@ -83,6 +83,8 @@ HEADLINE = [
     "bm25_rank",
     "corpus_shuffle",
     "cdc_chunks",
+    "cooccurrence",
+    "pmi_scores",
 ]
 
 
