@@ -293,3 +293,27 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "score"}
     rows = {r.id: r for r in got.collect()}
     assert rows[1].score is None and rows[2].score == 0.5
+
+
+def test_range_layout_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """sort_for_skipping must produce row-group stats tight enough that
+    point probes touch ~one row group, where the same data written
+    round-robin is unprunable (every row group spans the whole key
+    range); rows must survive the rewrite untouched."""
+    from demo_bigdata_spark.sources.layout import skipping_report, sort_for_skipping
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    shuffled, sorted_p = str(tmp_path / "rr"), str(tmp_path / "ranged")
+    ev.repartition(8).write.mode("overwrite").parquet(shuffled)
+    sort_for_skipping(ev, sorted_p, ["event_id"], n_files=8)
+
+    probes = [r.event_id for r in ev.orderBy("event_id").limit(40).collect()][::5]
+    bad = skipping_report(spark, shuffled, "event_id", probes)
+    good = skipping_report(spark, sorted_p, "event_id", probes)
+    assert good["n_row_groups"] >= 8
+    assert bad["skipped_frac"] <= 0.2, bad  # round-robin: nothing prunable
+    assert good["skipped_frac"] >= 0.8, good  # ranged: almost everything skipped
+
+    a = {tuple(r) for r in spark.read.parquet(sorted_p).collect()}
+    b = {tuple(r) for r in ev.collect()}
+    assert a == b
