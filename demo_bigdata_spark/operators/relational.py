@@ -253,3 +253,89 @@ def bucketed_range_join(
         (F.col(left_ts) >= F.col(lo_col)) & (F.col(left_ts) <= F.col(hi_col))
     )
     return joined.drop("_bucket")
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """[EXT] slowly-changing-dimension type 2 maintenance: apply a batch of
+    attribute updates to a versioned dimension — changed keys get their
+    open row CLOSED (``valid_to`` = update ts) plus a new open row; no-op
+    updates (same attributes) and untouched keys pass through; history
+    rows are never modified.
+
+    One shuffle: the full-outer join of open rows to the latest update per
+    key (both sides keyed by ``key_col``); closed history unions through
+    untouched. Attribute comparison is null-safe per column. Latest-
+    update-wins within a batch via a per-key row_number (deterministic
+    tie-break on the attribute values).
+
+    The standard warehouse dimension flow at scale: dim is millions of
+    rows (broadcastable or co-partitioned), updates are the day's deltas —
+    cost is proportional to the delta plus one pass over open rows.
+    """
+    extra = [
+        c
+        for c in dim.columns
+        if c not in {key_col, from_col, to_col} and c not in attr_cols
+    ]
+    if extra:
+        raise ValueError(
+            f"dim columns {extra} are neither key/validity nor in attr_cols — "
+            "every versioned attribute must be listed so new rows are complete"
+        )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(ts_col), *[F.asc(c) for c in attr_cols]
+    )
+    latest = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias("_uts"),
+            *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
+        )
+    )
+    open_rows = dim.filter(F.col(to_col).isNull())
+    history = dim.filter(F.col(to_col).isNotNull())
+
+    j = open_rows.join(latest, open_rows[key_col] == F.col("_k"), "full_outer")
+    same = F.lit(True)
+    for c in attr_cols:
+        same = same & open_rows[c].eqNullSafe(F.col(f"_u_{c}"))
+
+    dim_cols = dim.columns
+    kept_open = j.filter(F.col("_k").isNull() | same).select(
+        *[open_rows[c] for c in dim_cols]
+    )
+    closed_now = j.filter(
+        F.col("_k").isNotNull() & open_rows[key_col].isNotNull() & ~same
+    ).select(
+        *[
+            F.col("_uts").alias(to_col) if c == to_col else open_rows[c]
+            for c in dim_cols
+        ]
+    )
+    new_open = j.filter(
+        F.col("_k").isNotNull() & (open_rows[key_col].isNull() | ~same)
+    ).select(
+        *[
+            F.col("_k").alias(key_col)
+            if c == key_col
+            else F.col("_uts").alias(from_col)
+            if c == from_col
+            else F.lit(None).cast(dim.schema[c].dataType).alias(to_col)
+            if c == to_col
+            else F.col(f"_u_{c}").alias(c)
+            for c in dim_cols
+        ]
+    )
+    return history.unionByName(kept_open).unionByName(closed_now).unionByName(
+        new_open
+    )

@@ -68,3 +68,37 @@ def compact_parquet(
     df.coalesce(n_files).write.mode("overwrite").parquet(dst)
     after = small_file_report(spark, dst)
     return {"before": before, "after": after, "target_files": n_files}
+
+
+def backfill_partitions(
+    df: "DataFrame",
+    path: str,
+    dates: list[str],
+    ts_col: str = "ts",
+) -> None:
+    """Recompute ONLY the named event_date partitions of a date/hour
+    partitioned table (sources.catalog.write_events_partitioned layout):
+    dynamic partition overwrite replaces exactly the partitions present
+    in the written frame and leaves every other directory byte-untouched
+    — the reprocessing primitive for a 100 TB table, where a full-table
+    overwrite per correction is a non-starter.
+
+    The date filter is applied to the INPUT (pushed to its scan), so the
+    backfill reads and shuffles only the corrected slice."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = (
+            df.withColumn("event_date", F.date_format(ts_col, "yyyy-MM-dd"))
+            .filter(F.col("event_date").isin(list(dates)))
+            .withColumn("event_hour", F.hour(ts_col))
+            .sortWithinPartitions(ts_col)
+        )
+        out.write.mode("overwrite").partitionBy("event_date", "event_hour").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1550,6 +1550,56 @@ ORDER BY c_nationkey
 """
 
 
+# --- SCD2 dimension maintenance (operator: relational.scd2_merge) -------------
+
+
+def q_scd2_merge(spark, sf_dir):
+    """Type-2 slowly-changing dimension update: a deltas batch moves every
+    10th customer to the MACHINERY segment as of 2024-01-01 — changed keys
+    get their open row closed + a new open row, customers already in
+    MACHINERY are exercised as the no-op path, everyone else passes
+    through. The oracle replays close/insert/no-op set algebra directly."""
+    from demo_bigdata_spark.operators.relational import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("2024-01-01").alias("ts"),
+    )
+    return scd2_merge(
+        dim, updates, "c_custkey", ["c_mktsegment"], "ts"
+    ).orderBy("c_custkey", "valid_from")
+
+
+SQL_SCD2_MERGE = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         '1990-01-01' AS valid_from, NULL::VARCHAR AS valid_to
+  FROM customer
+),
+changed AS (
+  SELECT c_custkey FROM dim
+  WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'
+)
+SELECT c_custkey, c_mktsegment, valid_from, valid_to
+FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from, '2024-01-01'
+FROM dim d JOIN changed USING (c_custkey)
+UNION ALL
+SELECT c_custkey, 'MACHINERY', '2024-01-01', NULL::VARCHAR
+FROM changed
+ORDER BY c_custkey, valid_from
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
@@ -1599,4 +1649,5 @@ QUERIES = {
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
     "min_price_supplier": (q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
+    "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
 }

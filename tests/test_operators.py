@@ -823,3 +823,41 @@ def test_spread_for_cpu_guards(spark, sf_dir):
         .parquet(sf_dir)
     )
     assert spread_for_cpu(stream) is stream
+
+
+def test_scd2_merge_versioning_chain(spark):
+    """Multi-batch SCD2: latest-update-wins within a batch, no-op updates
+    leave the version chain untouched, real changes close the open row
+    and append — history is never rewritten."""
+    from demo_bigdata_spark.operators.relational import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", "d0", None), (2, "X", "d0", None)],
+        "k long, seg string, valid_from string, valid_to string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "C", "d1"), (1, "B", "d2")], "k long, seg string, ts string"
+    )  # two updates for key 1: d2 (B) is latest and must win
+    v1 = scd2_merge(dim, b1, "k", ["seg"], "ts")
+    got1 = {tuple(r) for r in v1.collect()}
+    assert got1 == {
+        (1, "A", "d0", "d2"),
+        (1, "B", "d2", None),
+        (2, "X", "d0", None),
+    }
+
+    b2 = spark.createDataFrame([(1, "B", "d3")], "k long, seg string, ts string")
+    v2 = scd2_merge(v1, b2, "k", ["seg"], "ts")  # no-op: same attrs
+    assert {tuple(r) for r in v2.collect()} == got1
+
+    b3 = spark.createDataFrame(
+        [(1, "D", "d4"), (3, "N", "d4")], "k long, seg string, ts string"
+    )  # change + brand-new key
+    v3 = scd2_merge(v2, b3, "k", ["seg"], "ts")
+    assert {tuple(r) for r in v3.collect()} == {
+        (1, "A", "d0", "d2"),
+        (1, "B", "d2", "d4"),
+        (1, "D", "d4", None),
+        (2, "X", "d0", None),
+        (3, "N", "d4", None),
+    }

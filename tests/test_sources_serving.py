@@ -317,3 +317,49 @@ def test_range_layout_enables_row_group_skipping(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(sorted_p).collect()}
     b = {tuple(r) for r in ev.collect()}
     assert a == b
+
+
+def test_backfill_overwrites_only_named_partitions(spark, sf_dir, tmp_path):
+    """Dynamic-partition backfill must replace exactly the corrected
+    event_date partitions (here: doubled values for one date) and leave
+    every other partition's files byte-identical on disk."""
+    import glob
+    import hashlib
+
+    from demo_bigdata_spark.sources.catalog import load_table, write_partitioned
+    from demo_bigdata_spark.sources.maintenance import backfill_partitions
+
+    path = str(tmp_path / "events_part")
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(ev, path)
+
+    def digests():
+        out = {}
+        for f in glob.glob(path + "/event_date=*/**/*.parquet", recursive=True):
+            rel = f[len(path) :]
+            out[rel] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    before = digests()
+    target = sorted({r.event_date for r in spark.read.parquet(path).select("event_date").distinct().collect()})[1]
+
+    corrected = ev.withColumn(
+        "value",
+        F.when(F.date_format("ts", "yyyy-MM-dd") == target, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    backfill_partitions(corrected, path, [target])
+
+    after = digests()
+    changed = {k for k in set(before) | set(after) if before.get(k) != after.get(k)}
+    assert changed, "backfill wrote nothing"
+    assert all(f"/event_date={target}/" in k for k in changed), changed
+
+    got = spark.read.parquet(path)
+    exp_sum = ev.withColumn("d", F.date_format("ts", "yyyy-MM-dd")).filter(
+        F.col("d") == target
+    ).agg(F.sum(F.col("value") * 2)).first()[0]
+    got_sum = got.filter(F.col("event_date") == target).agg(F.sum("value")).first()[0]
+    assert abs(got_sum - exp_sum) < 1e-6
+    assert got.count() == ev.count()
