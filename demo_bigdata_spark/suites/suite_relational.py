@@ -1600,6 +1600,85 @@ ORDER BY c_custkey, valid_from
 """
 
 
+
+def q_scd2_point_lookup(spark, sf_dir):
+    """Point-in-time join against the versioned dimension: each order picks
+    the customer segment VALID AT its order date (valid_from <= d <
+    valid_to, open row = infinity), then revenue rolls up by that
+    historical segment. Versions per key are bounded (2 here), so the
+    temporal lookup is a plain equi-join on the key plus a validity
+    filter — no range-join machinery, no row explosion. The canonical
+    'report as of the facts' warehouse query over scd2_merge output."""
+    from demo_bigdata_spark.operators.relational import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("1996-01-01").alias("ts"),
+    )
+    versioned = scd2_merge(dim, updates, "c_custkey", ["c_mktsegment"], "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("_d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_cents"),
+    )
+    joined = orders.join(
+        versioned, orders.o_custkey == versioned.c_custkey
+    ).filter(
+        (F.col("_d") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("_d") < F.col("valid_to")))
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("_cents").alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SCD2_POINT_LOOKUP = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         '1990-01-01' AS valid_from, NULL::VARCHAR AS valid_to
+  FROM customer
+),
+changed AS (
+  SELECT c_custkey FROM dim
+  WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'
+),
+versioned AS (
+  SELECT c_custkey, c_mktsegment, valid_from, valid_to
+  FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, '1996-01-01'
+  FROM dim d JOIN changed USING (c_custkey)
+  UNION ALL
+  SELECT c_custkey, 'MACHINERY', '1996-01-01', NULL::VARCHAR FROM changed
+),
+o AS (
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+)
+SELECT v.c_mktsegment,
+       count(*) AS n_orders,
+       sum(cents)::BIGINT AS revenue_cents
+FROM o JOIN versioned v ON o.o_custkey = v.c_custkey
+WHERE o.d >= v.valid_from AND (v.valid_to IS NULL OR o.d < v.valid_to)
+GROUP BY v.c_mktsegment
+ORDER BY v.c_mktsegment
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
@@ -1650,4 +1729,5 @@ QUERIES = {
     "min_price_supplier": (q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
     "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
+    "scd2_point_lookup": (q_scd2_point_lookup, SQL_SCD2_POINT_LOOKUP),
 }
