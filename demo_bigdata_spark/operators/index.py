@@ -51,7 +51,11 @@ def build_inverted_index(
     A ``doclens`` side table ((doc, dl) with dl = total token count) is
     written beside the postings — the document-length normalization input
     BM25 needs, derived from the same tf pass (dl = per-doc sum of tf, so
-    the index is self-contained: ranked retrieval never re-reads text)."""
+    the index is self-contained: ranked retrieval never re-reads text).
+
+    A batch build and incremental maintenance (append_postings) are
+    ALTERNATIVE lifecycles for an index directory — a build overwrites
+    and carries no epoch ledger; don't mix the two on one path."""
     tf = term_frequencies(df, text_col, id_col).localCheckpoint(eager=False)
     (
         tf.withColumn("term_bucket", hash_bucket("term", n_buckets))
@@ -63,6 +67,7 @@ def build_inverted_index(
     (
         tf.groupBy(id_col)
         .agg(F.sum("tf").cast("bigint").alias("dl"))
+        .withColumn("epoch_id", F.lit(0))  # schema-shared with append path
         .write.mode("overwrite")
         .parquet(path + "/doclens")
     )
@@ -178,7 +183,7 @@ def append_postings(
         F.col("epoch_id") == int(epoch_id)
     ).head(1):
         return
-    tf = term_frequencies(batch_df, text_col, id_col)
+    tf = term_frequencies(batch_df, text_col, id_col).localCheckpoint(eager=False)
     (
         tf.withColumn("term_bucket", hash_bucket("term", n_buckets))
         .withColumn("epoch_id", F.lit(int(epoch_id)))
@@ -186,6 +191,16 @@ def append_postings(
         .write.mode("append")
         .partitionBy("term_bucket")
         .parquet(path + "/postings")
+    )
+    # the doclens side table rides the same epoch: appended before the
+    # ledger commit, deduped on read — so ranked retrieval
+    # (bm25_rank_indexed) works off a continuously-maintained index too
+    (
+        tf.groupBy(id_col)
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .parquet(path + "/doclens")
     )
     spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
         "append"
@@ -208,6 +223,20 @@ def read_postings(spark: SparkSession, path: str, id_col: str = "doc_id") -> Dat
         )
     return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
         [id_col, "term", "epoch_id"]
+    )
+
+
+def read_doclens(spark: SparkSession, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Committed view of the doclens side table: same ledger semantics as
+    read_postings (no ledger = batch-built index, read as-is)."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    rows = spark.read.parquet(path + "/doclens")
+    ledger = _read_parquet_if_exists(spark, path + "_epochs")
+    if ledger is None:
+        return rows
+    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
+        [id_col, "epoch_id"]
     )
 
 
@@ -267,7 +296,7 @@ def bm25_rank_indexed(
         .filter(F.col("term").isin(uniq))
         .select(id_col, "term", "tf")
     )
-    doclens = spark.read.parquet(path + "/doclens")
+    doclens = read_doclens(spark, path, id_col).select(id_col, "dl")
     stats = doclens.agg(
         F.count("*").cast("bigint").alias("_n_docs"),
         (F.sum("dl") / F.count("*")).alias("_avgdl"),

@@ -594,6 +594,14 @@ def test_incremental_index_matches_batch(spark, sf_dir, tmp_path):
     bg = {tuple(r) for r in batch.collect()}
     assert lg == bg and lg
 
+    # ranked retrieval works off the live index too: doclens rides the
+    # same epochs, so indexed BM25 on the streamed index equals the batch
+    from demo_bigdata_spark.operators.index import bm25_rank_indexed
+
+    lb = {tuple(r) for r in bm25_rank_indexed(spark, out, terms).collect()}
+    bb = {tuple(r) for r in bm25_rank_indexed(spark, bpath, terms).collect()}
+    assert lb == bb and lb
+
     # replaying an applied epoch is a no-op
     before = read_postings(spark, out).count()
     append_postings(spark, docs.limit(5), out, epoch_id=0)
