@@ -54,6 +54,7 @@ HEADLINE = [
     "local_supplier_volume",
     "returned_item_losses",
     "large_volume_orders",
+    "scd2_point_lookup",
     # streaming twins
     "tumbling_window",
     "session_windows",
