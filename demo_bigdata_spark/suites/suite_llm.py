@@ -2266,6 +2266,51 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Learned-BPE corpus tokenization the scale-correct way: segment the
+    WORD-TYPE table once (bpe_apply — vocabulary-sized), broadcast-join
+    piece counts back to the corpus token stream, and aggregate per doc —
+    the merge folds never run per corpus row. Emits per doc: whitespace
+    word count and the BPE token count under the learned merges (the
+    sequence-length input packing/budgeting actually needs)."""
+    from demo_bigdata_spark.operators.bpe import bpe_apply, word_frequencies
+
+    rules, _mdf = _bpe_rules(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    pieces = bpe_apply(
+        word_frequencies(docs, "text").select("word"), rules
+    ).select("word", F.size("pieces").cast("bigint").alias("n_pieces"))
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(F.broadcast(pieces), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = (
+    "WITH "
+    + _bpe_sql_rounds()
+    + f""",
+np AS (SELECT word, len(string_split(sym, ' '))::BIGINT AS n_pieces FROM r{BPE_ROUNDS}),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+)
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(np.n_pieces)::BIGINT AS n_bpe_tokens
+FROM tok JOIN np USING (word)
+WHERE word <> ''
+GROUP BY doc_id
+ORDER BY doc_id"""
+)
+
+
 PHRASE = ["table", "hash"]
 
 
@@ -2390,6 +2435,7 @@ QUERIES = {
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_segmentation": (q_bpe_segmentation, SQL_BPE_SEGMENTATION),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "bm25_indexed": (q_bm25_indexed, SQL_BM25_RANK),
