@@ -246,3 +246,35 @@ def test_index_probe_partition_prunes(spark, sf_dir, tmp_path):
     assert "term_bucket" in plan, plan
     scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "PartitionFilters" in ln]
     assert any("term_bucket" in ln for ln in scan_lines), plan
+
+
+def test_scd2_and_indexed_bm25_plan_shapes(spark, sf_dir, tmp_path):
+    """scd2_merge must stay a hash full-outer join (never a cartesian),
+    and indexed BM25 must partition-prune the postings scan and cut with
+    TakeOrderedAndProject, never a global sort."""
+    from demo_bigdata_spark.operators.index import (
+        bm25_rank_indexed,
+        build_inverted_index,
+    )
+    from demo_bigdata_spark.operators.relational import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd = cust.limit(50).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("2024-01-01").alias("ts"),
+    )
+    merged = scd2_merge(dim, upd, "c_custkey", ["c_mktsegment"], "ts")
+    assert not has_cartesian(merged), executed_plan(merged)
+
+    path = str(tmp_path / "bmidx")
+    build_inverted_index(load_table(spark, sf_dir, "documents"), path)
+    plan = executed_plan(bm25_rank_indexed(spark, path, ["spark", "join"]))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "term_bucket" in plan, plan
