@@ -52,6 +52,10 @@ def build_inverted_index(
     written beside the postings — the document-length normalization input
     BM25 needs, derived from the same tf pass (dl = per-doc sum of tf, so
     the index is self-contained: ranked retrieval never re-reads text).
+    Docs with ZERO tokens (empty/whitespace-only text) get an explicit
+    dl=0 row — they carry no postings, but they must count toward the
+    corpus N and avgdl so indexed BM25 stays value-identical to the
+    scan-side bm25_rank, whose N/avgdl come from the documents table.
 
     A batch build and incremental maintenance (append_postings) are
     ALTERNATIVE lifecycles for an index directory — a build overwrites
@@ -64,12 +68,20 @@ def build_inverted_index(
         .partitionBy("term_bucket")
         .parquet(path + "/postings")
     )
-    (
-        tf.groupBy(id_col)
-        .agg(F.sum("tf").cast("bigint").alias("dl"))
-        .withColumn("epoch_id", F.lit(0))  # schema-shared with append path
-        .write.mode("overwrite")
-        .parquet(path + "/doclens")
+    _doclens_with_empty_docs(df, tf, id_col).withColumn(
+        "epoch_id", F.lit(0)  # schema-shared with append path
+    ).write.mode("overwrite").parquet(path + "/doclens")
+
+
+def _doclens_with_empty_docs(df: DataFrame, tf: DataFrame, id_col: str) -> DataFrame:
+    """(doc, dl) for EVERY source doc: per-doc tf sum left-joined back to
+    the doc-id list so zero-token docs appear with dl=0 instead of being
+    silently dropped from the BM25 N/avgdl statistics."""
+    sums = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("_dl"))
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .select(id_col, F.coalesce(F.col("_dl"), F.lit(0).cast("bigint")).alias("dl"))
     )
 
 
@@ -194,14 +206,11 @@ def append_postings(
     )
     # the doclens side table rides the same epoch: appended before the
     # ledger commit, deduped on read — so ranked retrieval
-    # (bm25_rank_indexed) works off a continuously-maintained index too
-    (
-        tf.groupBy(id_col)
-        .agg(F.sum("tf").cast("bigint").alias("dl"))
-        .withColumn("epoch_id", F.lit(int(epoch_id)))
-        .write.mode("append")
-        .parquet(path + "/doclens")
-    )
+    # (bm25_rank_indexed) works off a continuously-maintained index too.
+    # Empty docs get dl=0 rows here too (same N/avgdl contract as a build).
+    _doclens_with_empty_docs(batch_df, tf, id_col).withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    ).write.mode("append").parquet(path + "/doclens")
     spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
         "append"
     ).parquet(epochs_path)
@@ -280,19 +289,34 @@ def bm25_rank_indexed(
     limit: int = 20,
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 straight off the inverted index — the production retrieval
     flow: the corpus text is never touched. Identical scoring to
     ranking.bm25_rank (same idf, same fixed-order fold — dl from the
     doclens side table equals the scan-side token count for whitespace
-    tokenization, so the two paths are value-identical and share one
-    oracle). Scan cost: the query terms' pruned buckets + one broadcast
-    aggregate over doclens; the doclens join touches only matching docs."""
+    tokenization, and the build writes dl=0 rows for zero-token docs, so
+    the two paths are value-identical and share one oracle). Scan cost:
+    the query terms' pruned buckets + one broadcast aggregate over
+    doclens; the doclens join touches only matching docs.
+
+    On an incrementally-maintained index (an ``_epochs`` ledger exists)
+    the postings are read through ``read_postings``'s committed view —
+    crash leftovers between a data append and its ledger commit would
+    otherwise double-count df_t / n_hits / term scores. A batch-built
+    index (no ledger) reads the files directly. Pass ``postings=`` to
+    override either way (conjunctive_search's contract)."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
     uniq = sorted(set(terms))
     buckets = sorted({python_term_bucket(t, n_buckets) for t in uniq})
+    if postings is None:
+        if _read_parquet_if_exists(spark, path + "_epochs") is not None:
+            postings = read_postings(spark, path, id_col)
+        else:
+            postings = spark.read.parquet(path + "/postings")
     postings = (
-        spark.read.parquet(path + "/postings")
-        .filter(F.col("term_bucket").isin(buckets))
+        postings.filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(uniq))
         .select(id_col, "term", "tf")
     )

@@ -311,9 +311,13 @@ def scd2_merge(
         same = same & open_rows[c].eqNullSafe(F.col(f"_u_{c}"))
 
     dim_cols = dim.columns
-    kept_open = j.filter(F.col("_k").isNull() | same).select(
-        *[open_rows[c] for c in dim_cols]
-    )
+    # the `same` branch must also require an open row to exist: for a
+    # brand-new key whose update attrs are all NULL, eqNullSafe against
+    # the absent open row's NULLs is true, and without the isNotNull
+    # guard kept_open would emit a spurious all-NULL row
+    kept_open = j.filter(
+        F.col("_k").isNull() | (open_rows[key_col].isNotNull() & same)
+    ).select(*[open_rows[c] for c in dim_cols])
     closed_now = j.filter(
         F.col("_k").isNotNull() & open_rows[key_col].isNotNull() & ~same
     ).select(

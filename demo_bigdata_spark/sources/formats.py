@@ -102,16 +102,20 @@ def table_count(spark: SparkSession, table: str) -> int:
     return spark.sql(f"SELECT count(*) AS n FROM {table}").head()["n"]
 
 
-def compact_parquet(
+def compact_parquet_inplace(
     spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
 ) -> dict:
-    """[EXT] small-file compaction: rewrite a parquet dataset into
+    """[EXT] IN-PLACE small-file compaction (row-count-targeted): rewrite
+    a parquet dataset into
     ``ceil(rows / target_rows_per_file)`` files. Streaming append sinks
     (micro-batch x partitions) and over-parallel writes accumulate small
     files that poison scan planning at scale (one task per tiny file,
     metadata-bound listing); periodic compaction is the operational fix —
     table formats automate this (Iceberg rewrite_data_files), raw parquet
-    needs it done explicitly.
+    needs it done explicitly. The canonical beside-write, byte-targeted,
+    partition-preserving compactor is sources.maintenance.compact_parquet —
+    prefer it; this in-place variant exists for read-path-owned tables
+    where a path swap is impossible.
 
     Uses ``localCheckpoint`` to cut lineage before overwriting the path
     being read. Returns {files_before, files_after, rows}.

@@ -55,18 +55,24 @@ def skipping_report(spark, path: str, column: str, probes: list) -> dict:
         _local(f) for f in spark.read.parquet(path).inputFiles()
     ]
     ranges = []
+    unprunable = 0  # row groups without min/max stats: a pruning reader must read them
     for f in files:
         md = pq.ParquetFile(f).metadata
         idx = md.schema.to_arrow_schema().get_field_index(column)
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            ranges.append((st.min, st.max))
+            if st is None or not st.has_min_max:
+                unprunable += 1
+            else:
+                ranges.append((st.min, st.max))
+    n_groups = len(ranges) + unprunable
     reads = sum(
         1 for p in probes for lo, hi in ranges if lo <= p <= hi
-    )
-    total = len(probes) * len(ranges)
+    ) + len(probes) * unprunable
+    total = len(probes) * n_groups
     return {
-        "n_row_groups": len(ranges),
+        "n_row_groups": n_groups,
+        "n_unprunable": unprunable,
         "n_probes": len(probes),
         "row_groups_read": reads,
         "skipped_frac": (1 - reads / total) if total else 0.0,

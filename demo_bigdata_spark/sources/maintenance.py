@@ -17,7 +17,14 @@ Spark-idiomatic:
   overwrite that fails mid-write destroys the only copy; the caller swaps
   paths after the write commits (the same commit-then-swap discipline as
   the epoch ledgers in streaming/pipeline.py). Partition columns are
-  preserved by compacting per partition directory when present.
+  detected from the source directory layout (``key=value`` path
+  segments) and the rewrite re-applies ``partitionBy`` on them, so
+  partition pruning and dynamic-partition-overwrite keep working after
+  the caller swaps paths.
+
+This module is the canonical compactor; ``formats.compact_parquet_inplace``
+is the separate in-place, row-count-targeted variant kept for
+read-path-owned tables where a beside-write is impossible.
 """
 
 from __future__ import annotations
@@ -50,6 +57,21 @@ def small_file_report(
     }
 
 
+def _partition_cols(spark: SparkSession, path: str) -> list[str]:
+    """Partition columns of a parquet table, in directory-nesting order,
+    detected from ``key=value`` segments of its file paths relative to the
+    table root. Metadata-only (inputFiles), no data read."""
+    root = _local_path(path).rstrip("/")
+    cols: list[str] = []
+    for f in spark.read.parquet(path).inputFiles():
+        rel = _local_path(f)
+        rel = rel[len(root) :].lstrip("/") if rel.startswith(root) else rel
+        segs = [s.split("=", 1)[0] for s in rel.split("/")[:-1] if "=" in s]
+        if len(segs) > len(cols):
+            cols = segs
+    return cols
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
@@ -57,17 +79,34 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Rewrite ``src`` into ``dst`` with ~``target_file_bytes`` files:
-    file count = ceil(total_bytes / target). Uses coalesce — a pure
-    task-merge, no shuffle, no data movement beyond the rewrite itself.
-    Returns {before, after} file counts. Row content is preserved
-    byte-for-byte (pinned by tests); the caller swaps dst into place
-    once the write has committed."""
+    file count = ceil(total_bytes / target). For an unpartitioned table
+    this is pure coalesce — a task-merge, no shuffle. For a partitioned
+    table (``key=value`` directories detected in the source layout) the
+    rewrite re-applies ``partitionBy`` on the detected columns, with a
+    repartition on them so each output partition directory gets merged
+    files rather than one file per input task. Returns {before, after}
+    file counts plus the detected partition columns. Row content is
+    preserved (pinned by tests); the caller swaps dst into place once
+    the write has committed."""
     df = spark.read.parquet(src)
     before = small_file_report(spark, src)
     n_files = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
-    df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+    parts = _partition_cols(spark, src)
+    if parts:
+        # one shuffle keyed by the partition columns: co-locates each
+        # partition's rows so partitionBy emits ~1 merged file per dir
+        df.repartition(*parts).write.mode("overwrite").partitionBy(
+            *parts
+        ).parquet(dst)
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(dst)
     after = small_file_report(spark, dst)
-    return {"before": before, "after": after, "target_files": n_files}
+    return {
+        "before": before,
+        "after": after,
+        "target_files": n_files,
+        "partition_cols": parts,
+    }
 
 
 def backfill_partitions(

@@ -861,3 +861,56 @@ def test_scd2_merge_versioning_chain(spark):
         (2, "X", "d0", None),
         (3, "N", "d4", None),
     }
+
+
+def test_scd2_merge_new_key_all_null_attrs(spark):
+    """A brand-new key whose update attributes are all NULL must produce
+    exactly ONE new open row (with the NULL attrs) — not an extra
+    all-NULL phantom row from the full-outer join's unmatched side
+    (eqNullSafe of absent-open-row NULLs against NULL attrs is true, so
+    kept_open needs the open-row-exists guard)."""
+    from demo_bigdata_spark.operators.relational import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", "d0", None)],
+        "k long, seg string, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(2, None, "d1")], "k long, seg string, ts string"
+    )
+    out = scd2_merge(dim, upd, "k", ["seg"], "ts")
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (1, "A", "d0", None),
+        (2, None, "d1", None),
+    }
+    # and no row with a NULL key ever appears
+    assert out.filter(F.col("k").isNull()).count() == 0
+
+
+def test_bm25_indexed_matches_scan_with_empty_docs(spark, tmp_path):
+    """The doclens side table writes dl=0 rows for zero-token docs, so
+    indexed BM25's N/avgdl equal the scan path's documents-table stats —
+    scores must be identical on a corpus containing empty docs."""
+    from demo_bigdata_spark.operators.index import (
+        bm25_rank_indexed,
+        build_inverted_index,
+    )
+    from demo_bigdata_spark.operators.ranking import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins shuffle data"),
+            (2, "spark spark streaming"),
+            (3, ""),  # zero-token doc
+            (4, "   "),  # whitespace-only doc
+            (5, "batch joins and spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs, path)
+    terms = ["spark", "joins"]
+    scan = {tuple(r) for r in bm25_rank(docs, terms).collect()}
+    indexed = {tuple(r) for r in bm25_rank_indexed(spark, path, terms).collect()}
+    assert scan == indexed and scan

@@ -112,14 +112,14 @@ def test_stream_progress_and_lifecycle(spark, sf_dir, tmp_path):
 
 def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     """64 tiny files -> 1 compacted file, content-identical."""
-    from demo_bigdata_spark.sources.formats import compact_parquet
+    from demo_bigdata_spark.sources.formats import compact_parquet_inplace
     from demo_bigdata_spark.sources.catalog import load_table
 
     path = str(tmp_path / "frag")
     ev = load_table(spark, sf_dir, "events").drop("_ts_ns")
     ev.repartition(64).write.mode("overwrite").parquet(path)
     before = {tuple(r) for r in spark.read.parquet(path).collect()}
-    report = compact_parquet(spark, path, target_rows_per_file=10_000_000)
+    report = compact_parquet_inplace(spark, path, target_rows_per_file=10_000_000)
     assert report["files_before"] >= 64
     assert report["files_after"] == 1
     after = {tuple(r) for r in spark.read.parquet(path).collect()}
@@ -272,10 +272,72 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
 
     out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
     assert out["after"]["n_files"] == 1
+    assert out["partition_cols"] == []
     a = {tuple(r) for r in spark.read.parquet(src).collect()}
     b = {tuple(r) for r in spark.read.parquet(dst).collect()}
     assert a == b
     assert os.path.exists(src)  # source untouched until the caller swaps
+
+
+def test_compaction_preserves_partition_layout(spark, sf_dir, tmp_path):
+    """Compacting a partitioned table must re-emit the key=value directory
+    layout (detected from the source paths) so partition pruning still
+    works after the caller swaps paths — folding partition columns into
+    flat data files would silently break every pruned query."""
+    import pyspark.sql.functions as F
+
+    from demo_bigdata_spark.sources.catalog import load_table
+    from demo_bigdata_spark.sources.maintenance import compact_parquet
+
+    src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # fragment each partition: many files per event_date directory
+    ev.repartition(8).write.mode("overwrite").partitionBy("event_date").parquet(src)
+
+    out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert out["partition_cols"] == ["event_date"]
+    dirs = sorted(
+        d for d in os.listdir(dst) if d.startswith("event_date=")
+    )
+    assert dirs  # layout survived
+    # pruning still works: a single-date read plans only that directory
+    # (inputFiles() is pre-pruning, so check the executed scan instead)
+    one = dirs[0].split("=", 1)[1]
+    pruned = spark.read.parquet(dst).filter(F.col("event_date") == one)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan, plan
+    src_one = spark.read.parquet(src).filter(F.col("event_date") == one).count()
+    assert pruned.count() == src_one
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b
+    # and the per-directory file count actually shrank
+    src_files = len(spark.read.parquet(src).inputFiles())
+    dst_files = len(spark.read.parquet(dst).inputFiles())
+    assert dst_files < src_files and dst_files == len(dirs)
+
+
+def test_skipping_report_survives_missing_stats(spark, tmp_path):
+    """Row groups without min/max statistics must count as must-read, not
+    crash the report — stats can be legitimately absent (writer config,
+    all-NULL chunks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from demo_bigdata_spark.sources.layout import skipping_report
+
+    path = str(tmp_path / "nostats")
+    os.makedirs(path)
+    t = pa.table({"k": list(range(100)), "v": ["x"] * 100})
+    pq.write_table(t, path + "/part-a.parquet", write_statistics=False)
+    pq.write_table(t, path + "/part-b.parquet")  # stats present
+    rep = skipping_report(spark, path, "k", probes=[5, 500])
+    assert rep["n_row_groups"] == 2 and rep["n_unprunable"] == 1
+    # stats-less group read for both probes; stats group read only for 5
+    assert rep["row_groups_read"] == 3
+    assert 0 < rep["skipped_frac"] < 1
 
 
 def test_schema_evolution_merge_read(spark, tmp_path):

@@ -618,6 +618,10 @@ def test_incremental_index_matches_batch(spark, sf_dir, tmp_path):
     shutil.rmtree(ledger_path)
     shutil.copytree(backup, ledger_path)
     assert read_postings(spark, out).count() == before
+    # ranked retrieval reads the COMMITTED view too: the uncommitted
+    # epoch-99 postings must not perturb df_t / n_hits / scores
+    crash_rank = {tuple(r) for r in bm25_rank_indexed(spark, out, terms).collect()}
+    assert crash_rank == lb
     append_postings(spark, extra, out, epoch_id=99)
     final = {tuple(r) for r in read_postings(spark, out).collect()}
     assert final == committed_after
