@@ -42,6 +42,9 @@ from demo_bigdata_spark.operators.text import tokens
 
 END_MARK = "</w>"
 
+# observability for tests/probes: Spark rounds used by the last bpe_train call
+LAST_TRAIN_ROUNDS = 0
+
 
 def word_frequencies(
     df: DataFrame, text_col: str = "text"
@@ -111,13 +114,78 @@ def _merge_pair(sym: Column, pair: str, merged: str) -> Column:
     return F.aggregate(F.split(sym, " "), F.lit(""), _step)
 
 
+def _select_disjoint_batch(
+    cands: list[tuple[str, int]], max_batch: int, exhausted: bool
+) -> list[tuple[str, int]]:
+    """Greedy batch selection that is PROVABLY order-identical to classic
+    one-at-a-time BPE. Walk candidates in (count desc, pair asc) order,
+    accepting pairs that share no symbol with any accepted pair; STOP at
+    the first symbol-sharing candidate and finally drop accepted pairs
+    whose count ties the stop bound.
+
+    Why this equals the sequential schedule: applying a merge (a,b)->ab
+    never removes a symbol from BETWEEN two others, so a pair's count can
+    change only if it SHARES a symbol with an applied merge (consumed
+    occurrences) or is NEWLY CREATED around the merged symbol — and a new
+    pair's count is bounded by a pre-existing sharing pair's count
+    ((x,ab) <= old (x,a); (ab,ab) <= old (b,a); (ab,cd) <= old (b,c)).
+    Every sharing pair sorts at/after the stop candidate, so each
+    accepted pair's count is STRICTLY greater than anything a preceding
+    merge in the batch could have changed or created — the global argmax
+    after merges 1..i is exactly accepted[i+1]. Ties with the stop bound
+    are dropped because a newly-created pair could tie the count and win
+    the lexicographic tie-break.
+
+    ``exhausted`` = the candidate list is the COMPLETE pair table; if it
+    is a truncated top-N, the unseen (N+1)-th pair might share a symbol,
+    so the last candidate's count becomes the conservative stop bound."""
+    accepted: list[tuple[str, int]] = []
+    used: set[str] = set()
+    stop_count: int | None = None
+    for pair, cnt in cands:
+        syms = set(pair.split(" "))
+        if used & syms:
+            stop_count = cnt
+            break
+        if len(accepted) >= max_batch:
+            stop_count = cnt
+            break
+        accepted.append((pair, cnt))
+        used |= syms
+    if stop_count is None and not exhausted and cands:
+        stop_count = cands[-1][1]  # unseen tail could share at this count
+    if stop_count is not None:
+        accepted = [(p, c) for p, c in accepted if c > stop_count]
+        if not accepted and cands:
+            # ties all the way down: fall back to the plain argmax, which
+            # is always classic-correct
+            accepted = [cands[0]]
+    return accepted
+
+
 def bpe_train(
-    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    max_batch: int = 16,
+    candidate_limit: int = 256,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merge rules. Returns (rules, merges_df) where
     rules = [(round, pair, merged, pair_count)] in learning order and
     merges_df is the same as a DataFrame (round int, pair/merged string,
-    pair_count bigint)."""
+    pair_count bigint).
+
+    Batched rounds: each Spark round collects the top-``candidate_limit``
+    pairs (TakeOrdered — bounded driver action) and applies up to
+    ``max_batch`` symbol-disjoint merges in ONE chained projection +
+    checkpoint. The batch is chosen by ``_select_disjoint_batch``, whose
+    stop rule makes the learned rule sequence BIT-IDENTICAL to classic
+    one-merge-per-round BPE (the sequential-equivalence proof in its
+    docstring; pinned by tests against max_batch=1) — so a 32k-vocab
+    training run needs ~vocab/batch driver round-trips instead of one per
+    merge, with no semantic drift. ``max_batch=1`` recovers the exact
+    classic loop."""
+    global LAST_TRAIN_ROUNDS
     spark = df.sparkSession
     syms = word_frequencies(df, text_col).select(
         _initial_symbols(F.col("word")).alias("sym"), "freq"
@@ -126,25 +194,39 @@ def bpe_train(
     # re-run the corpus explode i times (lineage truncation, executor-side)
     syms = syms.localCheckpoint(eager=False)
     rules: list[tuple[int, str, str, int]] = []
-    for r in range(1, n_merges + 1):
-        best = (
-            syms.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("pr"), "freq")
-            .groupBy("pr")
-            .agg(F.sum("freq").cast("bigint").alias("c"))
-            .orderBy(F.desc("c"), F.asc("pr"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
+    LAST_TRAIN_ROUNDS = 0
+    while len(rules) < n_merges:
+        LAST_TRAIN_ROUNDS += 1
+        cands = [
+            (r["pr"], int(r["c"]))
+            for r in (
+                syms.select(
+                    F.explode(_adjacent_pairs(F.col("sym"))).alias("pr"), "freq"
+                )
+                .groupBy("pr")
+                .agg(F.sum("freq").cast("bigint").alias("c"))
+                .orderBy(F.desc("c"), F.asc("pr"))
+                .limit(candidate_limit)
+                .collect()
+            )
+        ]
+        if not cands:
             break
-        pair, cnt = best[0]["pr"], int(best[0]["c"])
-        merged = pair.replace(" ", "")
-        rules.append((r, pair, merged, cnt))
+        batch = _select_disjoint_batch(
+            cands,
+            max_batch=min(max_batch, n_merges - len(rules)),
+            exhausted=len(cands) < candidate_limit,
+        )
+        col = F.col("sym")
+        for pair, cnt in batch:
+            merged = pair.replace(" ", "")
+            rules.append((len(rules) + 1, pair, merged, cnt))
+            # disjoint rules commute and can't create each other's pairs,
+            # so chaining the folds in one projection is exact
+            col = _merge_pair(col, pair, merged)
         # pin each round: without the checkpoint, round i's plan nests i
         # interpreted folds and recomputes every prior round per action
-        syms = syms.select(
-            _merge_pair(F.col("sym"), pair, merged).alias("sym"), "freq"
-        ).localCheckpoint(eager=False)
+        syms = syms.select(col.alias("sym"), "freq").localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         rules, "round int, pair string, merged string, pair_count bigint"
     )

@@ -776,6 +776,55 @@ def test_bpe_merge_fold_semantics(spark):
     assert got2 == ["z a b </w>", "za b </w>", "aa a </w>", "a b a b </w>"]
 
 
+def test_bpe_batch_selection_rules():
+    """The batch selector's sequential-equivalence guards: stop at the
+    first symbol-sharing candidate, drop ties with the stop bound, treat
+    a truncated candidate list conservatively, and always fall back to
+    the plain argmax rather than an empty batch."""
+    from demo_bigdata_spark.operators.bpe import _select_disjoint_batch
+
+    # disjoint prefix accepted; 'e a' shares 'a' with 'a b' -> stop at 6;
+    # 'g h' (7) survives the >6 filter, 'c d' (9) and 'a b' (10) survive
+    cands = [("a b", 10), ("c d", 9), ("g h", 7), ("e a", 6), ("x y", 5)]
+    assert _select_disjoint_batch(cands, 16, True) == [
+        ("a b", 10),
+        ("c d", 9),
+        ("g h", 7),
+    ]
+    # tie with the stop bound is dropped: 'c d' ties 'e a' at 6
+    cands = [("a b", 10), ("c d", 6), ("e a", 6)]
+    assert _select_disjoint_batch(cands, 16, True) == [("a b", 10)]
+    # ties all the way down: plain argmax fallback
+    cands = [("a b", 6), ("e a", 6)]
+    assert _select_disjoint_batch(cands, 16, True) == [("a b", 6)]
+    # truncated list: last candidate's count bounds the unseen tail
+    cands = [("a b", 10), ("c d", 9), ("e f", 9)]
+    assert _select_disjoint_batch(cands, 16, False) == [("a b", 10)]
+    # exhausted list with no sharing pair: everything disjoint is safe
+    assert _select_disjoint_batch(cands, 16, True) == cands
+    # max_batch cap bounds the batch AND ties at the cap boundary drop
+    cands = [("a b", 10), ("c d", 9), ("e f", 8)]
+    assert _select_disjoint_batch(cands, 2, True) == [("a b", 10), ("c d", 9)]
+    assert _select_disjoint_batch([("a b", 9), ("c d", 9), ("e f", 9)], 2, True) == [
+        ("a b", 9)
+    ]
+
+
+def test_bpe_batched_matches_sequential(spark, sf_dir):
+    """Batched training must learn the EXACT rule sequence of the classic
+    one-merge-per-round loop (the whole point of the stop rule), in far
+    fewer Spark rounds."""
+    import demo_bigdata_spark.operators.bpe as bpe
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seq, _ = bpe.bpe_train(docs, n_merges=12, max_batch=1)
+    assert bpe.LAST_TRAIN_ROUNDS == 12
+    bat, _ = bpe.bpe_train(docs, n_merges=12, max_batch=16)
+    assert bat == seq
+    assert bpe.LAST_TRAIN_ROUNDS < 12
+
+
 def test_cdc_chunks_edit_locality(spark):
     """The CDC property: prepending text must leave every chunk after the
     first original boundary byte-identical (boundaries depend only on the
