@@ -377,34 +377,18 @@ def simhash_pairs(
     )
 
 
-def duplicate_clusters(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bands: int = 4,
-    rows: int = 4,
-    max_iterations: int = 10,
+def _propagate_min_labels(
+    bands_df: DataFrame, id_col: str, max_iterations: int
 ) -> DataFrame:
-    """Assign a cluster id (= min member id) to every document, where the
-    cluster graph connects docs sharing any LSH band bucket.
-
-    This is how dup-farm buckets (too big for pairwise verification — see
-    minhash_candidates.max_bucket) are handled at scale: label propagation
-    over the bipartite doc<->bucket graph instead of quadratic pair expansion.
-    Each iteration is two aggregate/join rounds (doc->bucket min, bucket->doc
-    min); labels are monotonically non-increasing, so convergence is exact
-    when an iteration changes nothing. Iterations are driver-side loops over
-    lazy plans with localCheckpoint() to cut lineage (standard iterative
-    Spark); diameter of real dup clusters is tiny, so it converges in a few
-    rounds.
-
-    Returns (id_col, cluster_id).
-    """
-    sigs = minhash_signature(df, text_col)
-    bands_df = lsh_bands(sigs, id_col, bands, rows).select(
-        id_col, F.concat_ws("|", "band_idx", "band_sig").alias("bucket")
-    )
-    bands_df = bands_df.localCheckpoint()
+    """Min-label propagation over a bipartite (id, bucket) membership
+    table until a fixed point: each iteration takes per-bucket min labels
+    then per-doc min over its buckets. Labels are monotonically
+    non-increasing, so `changed == 0` (a 1-row count collect per round)
+    is an EXACT convergence test, not a heuristic. Raises rather than
+    returning silently-unconverged labels if ``max_iterations`` rounds
+    don't reach the fixed point — the cap is a runaway backstop (a chain
+    needs ~diameter/2 rounds; real dup-cluster diameters are tiny), never
+    an accepted truncation."""
     labels = bands_df.select(id_col).distinct().withColumn(
         "cluster_id", F.col(id_col)
     )
@@ -427,8 +411,45 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_clusters: label propagation did not converge within "
+        f"{max_iterations} iterations — raise max_iterations (labels are "
+        "exact only at the fixed point)"
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Assign a cluster id (= min member id) to every document, where the
+    cluster graph connects docs sharing any LSH band bucket.
+
+    This is how dup-farm buckets (too big for pairwise verification — see
+    minhash_candidates.max_bucket) are handled at scale: label propagation
+    over the bipartite doc<->bucket graph instead of quadratic pair expansion.
+    Each iteration is two aggregate/join rounds (doc->bucket min, bucket->doc
+    min); labels are monotonically non-increasing, so convergence is exact
+    when an iteration changes nothing — the loop runs to that fixed point
+    and RAISES if the ``max_iterations`` backstop is hit (never returns
+    unconverged labels silently; >10-hop chains pinned by test). Iterations
+    are driver-side loops over lazy plans with localCheckpoint() to cut
+    lineage (standard iterative Spark); diameter of real dup clusters is
+    tiny, so it converges in a few rounds.
+
+    Returns (id_col, cluster_id).
+    """
+    sigs = minhash_signature(df, text_col)
+    bands_df = lsh_bands(sigs, id_col, bands, rows).select(
+        id_col, F.concat_ws("|", "band_idx", "band_sig").alias("bucket")
+    )
+    bands_df = bands_df.localCheckpoint()
+    return _propagate_min_labels(bands_df, id_col, max_iterations)
 
 
 # --- SimHash ------------------------------------------------------------------

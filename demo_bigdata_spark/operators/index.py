@@ -85,6 +85,25 @@ def _doclens_with_empty_docs(df: DataFrame, tf: DataFrame, id_col: str) -> DataF
     )
 
 
+def _positional_postings(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc, term, positions, term_bucket) rows — the shared construction
+    for batch builds and per-epoch appends."""
+    from demo_bigdata_spark.operators.text import tokens
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("term_bucket", hash_bucket("term", n_buckets))
+    )
+
+
 def build_positional_index(
     df: DataFrame,
     path: str,
@@ -96,24 +115,77 @@ def build_positional_index(
     array of its token positions. Per-row array size is bounded by the
     DOCUMENT's length (positions are per-doc, unlike per-term posting
     lists), so even corpus stopwords stay cells of at most doc-length
-    ints. Same term_bucket layout/pruning as the tf index."""
-    from demo_bigdata_spark.operators.text import tokens
+    ints. Same term_bucket layout/pruning as the tf index.
 
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy(id_col, "term")
-        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-    )
+    Batch build and incremental maintenance (append_positional_postings)
+    are ALTERNATIVE lifecycles for one directory, exactly like the
+    inverted index: a build overwrites and carries no epoch ledger."""
     (
-        toks.withColumn("term_bucket", hash_bucket("term", n_buckets))
+        _positional_postings(df, text_col, id_col, n_buckets)
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(path)
+    )
+
+
+def append_positional_postings(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    epoch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> None:
+    """Exactly-once incremental maintenance for the POSITIONAL index —
+    the same committed-view epoch-ledger discipline as append_postings:
+    an applied epoch is a no-op, a crash between the rows append and the
+    ledger commit leaves only uncommitted rows, and a replay appends
+    identical rows (positions are a pure function of the batch), so the
+    (doc, term, epoch) dedup on read is exact. Work per epoch is
+    O(batch) — history is never re-tokenized. Same append-only
+    document-stream contract as the inverted index."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    epochs_path = path + "_epochs"
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    if ledger is not None and ledger.filter(
+        F.col("epoch_id") == int(epoch_id)
+    ).head(1):
+        return
+    (
+        _positional_postings(batch_df, text_col, id_col, n_buckets)
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
+        "append"
+    ).parquet(epochs_path)
+
+
+def read_positional_postings(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Committed view of an incrementally-maintained positional index:
+    rows semi-joined to the epoch ledger, deduplicated on
+    (doc, term, epoch) — replays write identical rows, so the dedup is
+    exact. Bucket/term predicates push below the broadcast ledger join."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    ledger = _read_parquet_if_exists(spark, path + "_epochs")
+    rows = _read_parquet_if_exists(spark, path)
+    if rows is None or ledger is None:
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, term string, positions array<int>, "
+            "term_bucket int, epoch_id long",
+        )
+    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
+        [id_col, "term", "epoch_id"]
     )
 
 
@@ -123,17 +195,29 @@ def phrase_search(
     phrase: list[str],
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact phrase matching off the positional index: join the phrase
     terms' postings per doc (scan pruned to the phrase's buckets), then a
     start position is any occurrence of term 0 whose i-th successor
     position holds term i. The adjacency fold is an array HOF over the
     FIRST term's per-doc positions — per-row work bounded by doc length.
-    Emits (doc, n_matches, first_pos) for matching docs."""
+    Emits (doc, n_matches, first_pos) for matching docs.
+
+    On an incrementally-maintained index (``_epochs`` ledger present) the
+    committed view is read automatically — uncommitted crash-window rows
+    never match. Pass ``postings=`` to override."""
     if not phrase:
         raise ValueError("phrase must be non-empty")
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
     buckets = sorted({python_term_bucket(t, n_buckets) for t in phrase})
-    postings = spark.read.parquet(path).filter(
+    if postings is None:
+        if _read_parquet_if_exists(spark, path + "_epochs") is not None:
+            postings = read_positional_postings(spark, path, id_col)
+        else:
+            postings = spark.read.parquet(path)
+    postings = postings.filter(
         F.col("term_bucket").isin(buckets)
         & F.col("term").isin(sorted(set(phrase)))
     )

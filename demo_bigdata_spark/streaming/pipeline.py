@@ -817,3 +817,35 @@ def incremental_index_maintenance(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def incremental_positional_index_maintenance(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous POSITIONAL-index maintenance — the phrase-search
+    twin of incremental_index_maintenance: each micro-batch appends its
+    (doc, term, positions) rows exactly once
+    (operators.index.append_positional_postings, committed-view epoch
+    ledger). phrase_search on the live path reads the committed view
+    automatically."""
+    from demo_bigdata_spark.operators.index import append_positional_postings
+
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_positional_postings(
+            spark, batch_df, path, epoch_id, text_col, id_col
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -776,6 +776,29 @@ def test_bpe_merge_fold_semantics(spark):
     assert got2 == ["z a b </w>", "za b </w>", "aa a </w>", "a b a b </w>"]
 
 
+def test_label_propagation_converges_past_ten_hops(spark):
+    """A 31-doc bucket chain (doc i shares a bucket with doc i+1 only) has
+    propagation depth > 10: the min label needs ~diameter/2 two-hop rounds
+    to reach the far end. The loop must run to the exact fixed point (all
+    labels = 1), and a too-small backstop must RAISE, never silently
+    return unconverged labels."""
+    import pytest as _pytest
+
+    from demo_bigdata_spark.operators.dedup import _propagate_min_labels
+
+    n = 31
+    rows = [(i, f"b{i}") for i in range(1, n + 1)] + [
+        (i, f"b{i - 1}") for i in range(2, n + 1)
+    ]
+    bands = spark.createDataFrame(rows, "doc_id long, bucket string")
+    labels = _propagate_min_labels(bands, "doc_id", max_iterations=64)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _propagate_min_labels(bands, "doc_id", max_iterations=5)
+
+
 def test_bpe_batch_selection_rules():
     """The batch selector's sequential-equivalence guards: stop at the
     first symbol-sharing candidate, drop ties with the stop bound, treat

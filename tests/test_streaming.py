@@ -625,3 +625,83 @@ def test_incremental_index_matches_batch(spark, sf_dir, tmp_path):
     append_postings(spark, extra, out, epoch_id=99)
     final = {tuple(r) for r in read_postings(spark, out).collect()}
     assert final == committed_after
+
+
+def test_incremental_positional_index_matches_batch(spark, sf_dir, tmp_path):
+    """Phrase search on a continuously-maintained positional index must
+    equal a batch rebuild; epoch replay is a no-op; crash-window rows
+    (postings appended, ledger commit lost) are invisible to
+    phrase_search until the replay commits them."""
+    import shutil
+
+    from demo_bigdata_spark.operators.index import (
+        append_positional_postings,
+        build_positional_index,
+        phrase_search,
+        read_positional_postings,
+    )
+    from demo_bigdata_spark.streaming.pipeline import (
+        incremental_positional_index_maintenance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "pdocsrc")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    docs.filter(F.col("doc_id") <= cut).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") > cut).repartition(1).write.mode("append").parquet(
+        src
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "pidx"), str(tmp_path / "pickpt")
+    q = incremental_positional_index_maintenance(stream, out, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # a phrase that actually occurs in the corpus: take 2 consecutive
+    # tokens from one doc
+    first = docs.orderBy("doc_id").first()
+    phrase = first["text"].split()[:2]
+    assert len(phrase) == 2
+
+    bpath = str(tmp_path / "pbidx")
+    build_positional_index(docs, bpath)
+    live = {tuple(r) for r in phrase_search(spark, out, phrase).collect()}
+    batch = {tuple(r) for r in phrase_search(spark, bpath, phrase).collect()}
+    assert live == batch and live
+
+    # replaying an applied epoch is a no-op
+    before = read_positional_postings(spark, out).count()
+    append_positional_postings(spark, docs.limit(5), out, epoch_id=0)
+    assert read_positional_postings(spark, out).count() == before
+
+    # crash window: rows appended, ledger commit lost -> phrase_search
+    # unchanged; replay re-appends identical rows + commits; dedup exact
+    extra = docs.filter(F.col("doc_id") > cut).limit(3)
+    ledger_path = out + "_epochs"
+    backup = str(tmp_path / "plbackup")
+    shutil.copytree(ledger_path, backup)
+    def _rows(df):
+        return {
+            (r["doc_id"], r["term"], tuple(r["positions"]), r["epoch_id"])
+            for r in df.collect()
+        }
+
+    append_positional_postings(spark, extra, out, epoch_id=99)
+    committed_after = _rows(read_positional_postings(spark, out))
+    shutil.rmtree(ledger_path)
+    shutil.copytree(backup, ledger_path)
+    assert read_positional_postings(spark, out).count() == before
+    crash_view = {tuple(r) for r in phrase_search(spark, out, phrase).collect()}
+    assert crash_view == live
+    append_positional_postings(spark, extra, out, epoch_id=99)
+    final = _rows(read_positional_postings(spark, out))
+    assert final == committed_after
