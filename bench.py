@@ -86,6 +86,8 @@ HEADLINE = [
     "cdc_chunks",
     "cooccurrence",
     "pmi_scores",
+    # r6 composed contamination-aware pipeline
+    "corpus_pipeline_v2",
 ]
 
 

@@ -102,20 +102,34 @@ def pin(expr: Column) -> Column:
     return F.when(F.randn() > -1e9, expr)
 
 
-def spread_for_cpu(df):
+def spread_for_cpu(df, min_bytes: int = 32 * 1024):
     """Repartition a byte-thin input to core count before a CPU-heavy
     per-row stage (hashing, gram construction, regex batteries).
 
     File scans split by BYTES (maxPartitionBytes) and AQE coalesces
     shuffles by BYTES, so a small-on-disk/expensive-per-row stage can land
     on one thread while 31 idle — measured 8.5 -> 3.4 s on the n-gram
-    verify at sf0.1. Guarded: on a real many-split table (anything at
-    production scale) this is a no-op, because there the repartition
-    would be a full-input shuffle bought for nothing. Streaming plans
-    can't inspect partitioning (no .rdd) and micro-batches are already
-    planned per-trigger — returned untouched."""
+    verify at sf0.1. Guarded three ways:
+    - on a real many-split table (anything at production scale) this is a
+      no-op — there the repartition would be a full-input shuffle bought
+      for nothing;
+    - a KB-scale frame (optimizer size estimate < ``min_bytes``) is
+      returned untouched: per-task overhead on 32 tasks exceeds any
+      parallel win on inputs that small (the r5 winnowed_fingerprints
+      regression), and a frame that tiny finishes instantly either way;
+    - streaming plans can't inspect partitioning (no .rdd) and
+      micro-batches are already planned per-trigger — untouched."""
     if df.isStreaming:
         return df
+    if min_bytes:
+        try:
+            est = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            est = None
+        if est is not None and est < min_bytes:
+            return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)

@@ -490,13 +490,48 @@ def simhash(
     return df.withColumn("simhash", F.aggregate(hashes, init, _merge, _finish))
 
 
-def decontaminate(
-    train: DataFrame,
-    eval_set: DataFrame,
+def shingle_hashes(
+    df: DataFrame,
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = True,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct (id, shingle_hash[, extra_cols]) over the corpus — the
+    shareable input of the contamination family: a production pipeline
+    materializes this ONCE per corpus snapshot and every leak check /
+    graded report filters and joins it, instead of re-tokenizing the
+    corpus per consumer (the _FPS_CACHE pay-once pattern). The pinned
+    token projection guards the O(L^2) HOF trap; distinct bounds every
+    downstream shuffle by the distinct-shingle count."""
+    from demo_bigdata_spark.functions.scalar import pin, spread_for_cpu
+    from demo_bigdata_spark.operators.text import shingles_of, tokens
+
+    hash_fn = (lambda c: F.md5(c)) if portable else (lambda c: F.xxhash64(c))
+    toked = spread_for_cpu(
+        df.select(id_col, *extra_cols, F.col(text_col).alias("_txt"))
+    ).select(id_col, *extra_cols, pin(tokens(F.col("_txt"))).alias("_tk"))
+    return (
+        toked.select(
+            id_col,
+            *extra_cols,
+            F.explode(F.array_distinct(shingles_of(F.col("_tk"), n))).alias("_s"),
+        )
+        .select(id_col, *extra_cols, hash_fn(F.col("_s")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame | None = None,
+    eval_set: DataFrame | None = None,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """[EXT] train/eval decontamination: flag training documents sharing any
     n-token shingle with the held-out eval corpus (the standard benchmark-
@@ -512,30 +547,26 @@ def decontaminate(
     partial-aggregates map-side via the distinct. Returns one row per
     contaminated train doc: matched shingle count + how many eval docs it
     collides with.
+
+    ``train_shingles`` / ``eval_shingles`` accept pre-built
+    :func:`shingle_hashes` frames ((id, shingle_hash) rows) so a shared
+    materialized shingle table serves every contamination consumer
+    without re-tokenizing the corpus.
     """
-    from demo_bigdata_spark.functions.scalar import pin
-    from demo_bigdata_spark.operators.text import shingles_of, tokens
 
-    def sh(df: DataFrame, out_id: str) -> DataFrame:
-        # pinned token projection first — see minhash_signature: an inline
-        # tokens() inside the shingle lambda re-splits per shingle position
-        toked = df.select(
-            F.col(id_col).alias(out_id), pin(tokens(F.col(text_col))).alias("_tk")
-        )
-        return (
-            toked.select(
-                out_id,
-                F.explode(F.array_distinct(shingles_of(F.col("_tk"), n))).alias("_s"),
-            )
-            .select(
-                out_id,
-                (F.md5("_s") if portable else F.xxhash64("_s")).alias("shingle_hash"),
-            )
-            .distinct()
+    def sh(df: DataFrame | None, pre: DataFrame | None, out_id: str) -> DataFrame:
+        if pre is not None:
+            # no re-distinct: both output aggregates are count_distinct,
+            # so duplicate (id, hash) rows cannot change any value
+            return pre.select(F.col(id_col).alias(out_id), "shingle_hash")
+        if df is None:
+            raise ValueError(f"either a corpus or a shingle frame is required ({out_id})")
+        return shingle_hashes(df, n, text_col, id_col, portable).select(
+            F.col(id_col).alias(out_id), "shingle_hash"
         )
 
-    t = sh(train, "train_id")
-    e = sh(eval_set, "eval_id")
+    t = sh(train, train_shingles, "train_id")
+    e = sh(eval_set, eval_shingles, "eval_id")
     return (
         t.join(e, "shingle_hash")
         .groupBy("train_id")
@@ -547,13 +578,15 @@ def decontaminate(
 
 
 def contamination_report(
-    train: DataFrame,
-    eval_set: DataFrame,
+    train: DataFrame | None = None,
+    eval_set: DataFrame | None = None,
     n: int = 8,
     min_frac: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = True,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """[EXT] graded decontamination: per training doc, the FRACTION of its
     distinct n-shingles found in the eval corpus — the thresholdable form
@@ -566,33 +599,31 @@ def contamination_report(
     distinct-shingle total rides along from the explode side, so no second
     scan of the train corpus. ``contamination_frac`` is ONE int/int
     division — exact operands, engine-identical (ROUND_NOTES fact 5).
-    """
-    from demo_bigdata_spark.functions.scalar import pin
-    from demo_bigdata_spark.operators.text import shingles_of, tokens
 
-    hash_fn = (lambda c: F.md5(c)) if portable else (lambda c: F.xxhash64(c))
-    toked = train.select(
-        F.col(id_col).alias("train_id"), pin(tokens(F.col(text_col))).alias("_tk")
-    )
-    tsh = (
-        toked.select(
-            "train_id",
-            F.explode(F.array_distinct(shingles_of(F.col("_tk"), n))).alias("_s"),
+    ``train_shingles`` / ``eval_shingles`` accept pre-built
+    :func:`shingle_hashes` frames; they MUST be distinct on
+    (id, shingle_hash) — shingle_hashes output is — because the per-doc
+    totals here are plain counts over those rows.
+    """
+    if train_shingles is not None:
+        tsh = train_shingles.select(
+            F.col(id_col).alias("train_id"), "shingle_hash"
         )
-        .select("train_id", hash_fn(F.col("_s")).alias("shingle_hash"))
-        .distinct()
-    )
+    else:
+        if train is None:
+            raise ValueError("either train or train_shingles is required")
+        tsh = shingle_hashes(train, n, text_col, id_col, portable).select(
+            F.col(id_col).alias("train_id"), "shingle_hash"
+        )
     totals = tsh.groupBy("train_id").agg(F.count("*").alias("n_train_shingles"))
-    etoked = eval_set.select(
-        F.col(id_col).alias("eval_id"), pin(tokens(F.col(text_col))).alias("_tk")
-    )
-    esh = (
-        etoked.select(
-            F.explode(F.array_distinct(shingles_of(F.col("_tk"), n))).alias("_s")
-        )
-        .select(hash_fn(F.col("_s")).alias("shingle_hash"))
-        .distinct()
-    )
+    if eval_shingles is not None:
+        esh = eval_shingles.select("shingle_hash").distinct()
+    else:
+        if eval_set is None:
+            raise ValueError("either eval_set or eval_shingles is required")
+        esh = shingle_hashes(eval_set, n, text_col, id_col, portable).select(
+            "shingle_hash"
+        ).distinct()
     shared = (
         tsh.join(esh, "shingle_hash")
         .groupBy("train_id")

@@ -217,9 +217,45 @@ def main() -> None:
     ]
     t0 = time.perf_counter()
     B.bpe_train(bdocs, n_merges=10)
-    rank_results.append(("bpe_train_10_rounds", round(time.perf_counter() - t0, 2)))
+    rank_results.append(("bpe_train_10_merges", round(time.perf_counter() - t0, 2)))
+    # the r6 batched-merge claim: 100 merges must need ~vocab/batch Spark
+    # rounds, not 100 — wall time should land in single-digit MINUTES at
+    # x30, where one-merge-per-round would be ~10x the 10-merge row x10
+    t0 = time.perf_counter()
+    B.bpe_train(bdocs, n_merges=100)
+    rank_results.append(
+        (
+            f"bpe_train_100_merges ({B.LAST_TRAIN_ROUNDS} batched rounds)",
+            round(time.perf_counter() - t0, 2),
+        )
+    )
     rank_results.append(timed("cdc_chunks", X.cdc_chunks(bdocs)))
     rank_results.append(timed("kwic_snippets", X.kwic_snippets(bdocs, "spark")))
+
+    # r6 tier: cooccurrence/PMI grow with corpus tokens (join-free zips +
+    # one pair aggregate); phrase_search and bm25_indexed are INDEX probes
+    # and must stay pruned (bucket-pinned scans — near-flat vs corpus);
+    # backfill rewrites only the named date partitions.
+    cooc = X.cooccurrence_counts(bdocs, window=2)
+    rank_results.append(timed("cooccurrence", cooc))
+    rank_results.append(
+        timed("pmi_scores", X.pmi_scores(X.cooccurrence_counts(bdocs, window=2), min_count=5))
+    )
+    pidx_path = f"{tmp}/pidx_big"
+    _sh.rmtree(pidx_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    IX.build_positional_index(bdocs, pidx_path)
+    rank_results.append(("positional_index_build", round(time.perf_counter() - t0, 2)))
+    first_text = bdocs.select("text").first()["text"].split()[:2]
+    rank_results.append(
+        timed("phrase_search_probe", IX.phrase_search(spark, pidx_path, first_text))
+    )
+    rank_results.append(
+        timed(
+            "bm25_indexed_probe",
+            IX.bm25_rank_indexed(spark, idx_path, ["join", "spark", "vector"]),
+        )
+    )
     # relational tier: replicate the FACT tables (lineitem + orders) with
     # shifted order keys; dims (customer/part/supplier/nation/region) keep
     # their real size — exactly how a production scale-up looks (facts grow,
@@ -334,6 +370,76 @@ def main() -> None:
             ),
         ),
     ]
+
+    # r6 relational tier: SCD2 over a x30 dimension (the dim is the thing
+    # that grows in this probe — one full-outer join keyed by c_custkey,
+    # cost proportional to open rows + delta), and the as-of point lookup
+    # joining x30 orders to the versioned dim.
+    ck_span = cust.agg(F.max("c_custkey")).first()[0] + 1
+    bcust = (
+        cust.crossJoin(F.broadcast(reps))
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * ck_span)
+        .drop("rep")
+    )
+    bcust.write.mode("overwrite").parquet(f"{tmp}/customer_big.parquet")
+    bcust = spark.read.parquet(f"{tmp}/customer_big.parquet")
+    bdim = bcust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    bupd = bcust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("1996-01-01").alias("ts"),
+    )
+    versioned = R.scd2_merge(bdim, bupd, "c_custkey", ["c_mktsegment"], "ts")
+    rel_results.append(timed_warm("scd2_merge_x30dim", versioned))
+    versioned_p = versioned.localCheckpoint(eager=True)
+    # point lookup: x30 orders against the x30 versioned dim (o_custkey
+    # stays in the original key range; replicate the custkey reference too)
+    bord_cust = bord.withColumn(
+        "o_custkey",
+        F.col("o_custkey") + (F.col("o_orderkey") / ok_span).cast("long") * ck_span,
+    )
+    lookup = (
+        bord_cust.withColumn("_d", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .join(
+            versioned_p,
+            (F.col("o_custkey") == versioned_p.c_custkey)
+            & (F.col("valid_from") <= F.col("_d"))
+            & (versioned_p.valid_to.isNull() | (F.col("_d") < versioned_p.valid_to)),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    rel_results.append(timed_warm("scd2_point_lookup_x30", lookup))
+
+    # backfill: dynamic partition overwrite of TWO dates out of the x30
+    # partitioned events table — cost must track the slice, not the table
+    from demo_bigdata_spark.sources.maintenance import backfill_partitions
+
+    bf_path = f"{tmp}/events_part_big"
+    (
+        bev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("event_hour", F.hour("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date", "event_hour")
+        .parquet(bf_path)
+    )
+    two_dates = [
+        r["event_date"]
+        for r in spark.read.parquet(bf_path)
+        .select(F.col("event_date").cast("string"))
+        .distinct()
+        .orderBy("event_date")
+        .limit(2)
+        .collect()
+    ]
+    t0 = time.perf_counter()
+    backfill_partitions(bev.drop("_ts_ns") if "_ts_ns" in bev.columns else bev, bf_path, two_dates)
+    rel_results.append(("backfill_2_of_900_dates", round(time.perf_counter() - t0, 2)))
 
     lines = [
         "# SCALE_NOTES — replication probe\n",

@@ -883,11 +883,15 @@ def test_spread_for_cpu_guards(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     thin = load_table(spark, sf_dir, "documents")
     assert thin.rdd.getNumPartitions() < par  # precondition of the probe
-    assert spread_for_cpu(thin).rdd.getNumPartitions() == par
+    assert spread_for_cpu(thin, min_bytes=0).rdd.getNumPartitions() == par
 
     wide = thin.repartition(par + 7)
-    spread = spread_for_cpu(wide)
+    spread = spread_for_cpu(wide, min_bytes=0)
     assert spread is wide  # untouched, not merely same count
+
+    # KB-scale frames skip the spread: 32 tasks of overhead beat nothing
+    tiny = spark.range(100).selectExpr("id", "repeat('x', 10) AS text")
+    assert spread_for_cpu(tiny) is tiny
 
     stream = (
         spark.readStream.schema(thin.schema)

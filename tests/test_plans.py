@@ -278,3 +278,70 @@ def test_scd2_and_indexed_bm25_plan_shapes(spark, sf_dir, tmp_path):
     plan = executed_plan(bm25_rank_indexed(spark, path, ["spark", "join"]))
     assert "TakeOrderedAndProject" in plan, plan
     assert "term_bucket" in plan, plan
+
+
+def test_corpus_pipeline_v2_stage_sum_shuffles(spark, sf_dir):
+    """The composed corpus_pipeline_v2 must cost the SUM of its stages, not
+    a replayed multiple: each stage's own exchange count is bounded, the
+    seams add only doc_id-keyed joins (never a cartesian), and the shipped
+    query's outer plan past the pinned budget table is just the mixture +
+    final aggregate. An unpinned composition measured 94 exchanges / 42
+    scans at the same sf — the regression this test exists to catch."""
+    from demo_bigdata_spark.operators import dedup as D
+    from demo_bigdata_spark.operators import text as X
+    from demo_bigdata_spark.operators.sampling import mixture_sample_weighted
+    from demo_bigdata_spark.suites.suite_llm import (
+        V2_MIX_TARGET_TOKENS,
+        V2_MIX_WEIGHTS,
+        q_corpus_pipeline_v2,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # stage 1: gopher gate — one feature projection + the bigram aggregate
+    gated = X.gopher_filter(docs).filter(F.col("keep")).select("doc_id")
+    p1 = executed_plan(gated)
+    assert p1.count("Exchange") <= 4 and not has_cartesian(gated), p1
+    s1 = docs.join(gated, "doc_id").localCheckpoint(eager=True)
+
+    # stage 2: corpus-common line dedup — line-hash shuffles only
+    cleaned = D.remove_common_lines(s1, min_count=3).join(
+        s1.select("doc_id", "source", "lang"), "doc_id"
+    )
+    p2 = executed_plan(cleaned)
+    assert p2.count("Exchange") <= 7 and not has_cartesian(cleaned), p2
+    s2 = cleaned.localCheckpoint(eager=True)
+
+    # stage 3: decontamination — ONE shuffle join keyed by shingle hash
+    is_eval = F.col("source").isin("src0", "src1")
+    cont = D.decontaminate(
+        train_shingles=D.shingle_hashes(
+            s2.filter(~is_eval), n=8, text_col="clean_text"
+        ),
+        eval_shingles=D.shingle_hashes(docs.filter(is_eval), n=8),
+        n=8,
+    )
+    p3 = executed_plan(cont)
+    assert p3.count("Exchange") <= 6 and not has_cartesian(cont), p3
+    s3 = (
+        s2.filter(~is_eval)
+        .join(cont.select(F.col("train_id").alias("doc_id")), "doc_id", "left_anti")
+        .withColumn("_nt", X.token_count(F.col("clean_text")).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 4: token-budget mixture — broadcast group sums, no global sort
+    mixed = mixture_sample_weighted(
+        s3, "lang", "doc_id", V2_MIX_WEIGHTS, V2_MIX_TARGET_TOKENS, "_nt"
+    )
+    p4 = executed_plan(mixed)
+    assert p4.count("Exchange") <= 4 and not has_cartesian(mixed), p4
+    assert "Sort [" not in p4.replace("SortAggregate", ""), p4
+
+    # the shipped composition: outer plan past the pinned budget table is
+    # mixture + final aggregate only — a handful of exchanges, no
+    # cartesian, and no re-scan of the corpus above the pin
+    out = q_corpus_pipeline_v2(spark, sf_dir)
+    po = executed_plan(out)
+    assert po.count("Exchange") <= 6 and not has_cartesian(out), po
+    assert po.count("Scan parquet") == 0, po
