@@ -23,11 +23,69 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def _local(p: str) -> str:
     return p[len("file:") :] if p.startswith("file:") else p
+
+
+def morton_key(cols: list[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` of each column —
+    bit b of column i lands at position b*len(cols)+i. Pure Catalyst bit
+    arithmetic (statically unrolled shift/mask/or tree, no UDF), exactly
+    replayable in SQL. Inputs must be non-negative integers; values are
+    masked to ``bits`` (callers with wide or skewed domains should map to
+    rank/bucket space first — the standard Z-order preparation)."""
+    out = F.lit(0).cast("bigint")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return out
+
+
+def zorder_sort(
+    df: DataFrame, path: str, cols: list[str], bits: int = 16, n_files: int = 8
+) -> None:
+    """Write ``df`` clustered on the Z-order curve of ``cols``: range-
+    partition + sort on the interleaved key, so row-group min/max stats
+    are tight on EVERY participating column instead of only the leading
+    one (sort_for_skipping's single-dimension limit). One range shuffle,
+    same cost shape as the linear sort; the key column itself is dropped
+    before write (it is derivable, storing it would be pure bloat).
+
+    Each column is min/max-scaled to the full ``bits`` width first (one
+    broadcast 1-row aggregate) — raw interleave of mismatched domains
+    degenerates: a column whose range needs 11 bits vs a neighbor's 8
+    puts its top 3 bits ALONE at the top of every key, and the curve
+    collapses to a linear sort on that column (measured: zero pruning on
+    the narrower dimension). Scaling makes the interleave alternate
+    meaningfully from the top bit down."""
+    stats = df.agg(
+        *[F.min(c).cast("bigint").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("bigint").alias(f"_hi_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
+        span = max(1, (hi or 0) - (lo or 0))
+        scaled.append(
+            ((F.col(c).cast("bigint") - F.lit(lo)) * F.lit(top) / F.lit(span))
+            .cast("bigint")
+        )
+    key = morton_key(scaled, bits)
+    (
+        df.withColumn("_z", key)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def sort_for_skipping(

@@ -1679,6 +1679,53 @@ ORDER BY v.c_mktsegment
 """
 
 
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (l_partkey, l_suppkey) —
+    the multi-dimension data-skipping layout (sources.layout.zorder_sort):
+    the interleaved key is pure statically-unrolled bit arithmetic, so the
+    oracle replays it bit for bit. Emits per-returnflag key checksums plus
+    the curve extremes — the full key column verified without shipping a
+    lineitem-sized result."""
+    from demo_bigdata_spark.sources.layout import morton_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_returnflag",
+        morton_key([F.col("l_partkey"), F.col("l_suppkey")], bits=16).alias("_z"),
+    )
+    return (
+        z.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_z").alias("z_sum"),
+            F.min("_z").alias("z_min"),
+            F.max("_z").alias("z_max"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _sql_morton(col_a: str, col_b: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({col_a} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({col_b} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+SQL_ZORDER_KEYS = f"""
+WITH z AS (
+  SELECT l_returnflag, ({_sql_morton('l_partkey', 'l_suppkey')})::BIGINT AS zk
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_rows, sum(zk)::BIGINT AS z_sum,
+       min(zk) AS z_min, max(zk) AS z_max
+FROM z GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
@@ -1730,4 +1777,5 @@ QUERIES = {
     "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
     "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
     "scd2_point_lookup": (q_scd2_point_lookup, SQL_SCD2_POINT_LOOKUP),
+    "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
 }
