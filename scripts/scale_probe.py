@@ -508,6 +508,25 @@ def main() -> None:
         "the x30 factor — the vocabulary-not-corpus scaling claim,",
         "measured rather than argued.",
         "",
+        "r6 tier: cooccurrence/pmi grow with corpus tokens (join-free zips;",
+        "no positions self-join). phrase_search_probe and bm25_indexed_probe",
+        "must stay near-flat — both answer from bucket-pruned index scans",
+        "(bm25's doclens aggregate grows linearly but is a thin 2-column",
+        "scan). The bpe_train_100_merges row exercises the batched-merge",
+        "path: the round count in the label is the measured number of Spark",
+        "rounds for 100 merges — batches stay small on natural-language",
+        "char pairs because top pairs share letters and the stop rule",
+        "refuses any batch that could reorder the EXACT classic-BPE rule",
+        "sequence (equivalence fuzz-pinned against a pure-Python reference",
+        "in test_bpe_batched_matches_python_reference_fuzz); wall time is",
+        "what matters, and 100 merges lands in seconds at x30, not the",
+        "days a 32k-vocab one-job-per-merge loop would cost.",
+        "scd2_merge_x30dim grows with the open-row count (one full-outer",
+        "join keyed by the dimension key); scd2_point_lookup_x30 with the",
+        "x30 fact side. backfill_2_of_900_dates rewrites only the named",
+        "date partitions — its cost tracks the 2-day slice while the table",
+        "is 900 days wide.",
+        "",
         "## Runtime bloom-filter join pruning",
         "",
         "At cluster scale, a selective filter on a join's build side injects a",

@@ -833,6 +833,60 @@ def test_bpe_batch_selection_rules():
     ]
 
 
+def test_bpe_batched_matches_python_reference_fuzz(spark):
+    """Batched training must equal a from-scratch pure-Python CLASSIC BPE
+    (one merge at a time, global argmax, (count desc, pair asc) ties) on
+    seeded random corpora — the sequential-equivalence proof, fuzzed.
+    Small alphabets force heavy symbol-sharing between top pairs, the
+    regime where a wrong stop rule would reorder merges."""
+    import random
+
+    from demo_bigdata_spark.operators.bpe import END_MARK, bpe_train
+
+    def classic(words: dict[str, int], n_merges: int):
+        vocab = {tuple(w) + (END_MARK,): f for w, f in words.items()}
+        rules = []
+        for _ in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for sym, f in vocab.items():
+                for i in range(len(sym) - 1):
+                    counts[sym[i], sym[i + 1]] = counts.get((sym[i], sym[i + 1]), 0) + f
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            (a, b), cnt = best
+            rules.append((f"{a} {b}", a + b, cnt))
+            new_vocab: dict[tuple, int] = {}
+            for sym, f in vocab.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                t = tuple(out)
+                new_vocab[t] = new_vocab.get(t, 0) + f
+            vocab = new_vocab
+        return rules
+
+    rng = random.Random(42)
+    for trial in range(4):
+        alphabet = "abcd"[: 3 + trial % 2]
+        words = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6))): 1
+            for _ in range(40)
+        }
+        # corpus text: each distinct word once per count (freq 1 each here)
+        docs = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+        )
+        expected = [(p, m, c) for p, m, c in classic(words, 12)]
+        got, _ = bpe_train(docs, n_merges=12, max_batch=8)
+        assert [(p, m, c) for _, p, m, c in got] == expected, (trial, got, expected)
+
+
 def test_bpe_batched_matches_sequential(spark, sf_dir):
     """Batched training must learn the EXACT rule sequence of the classic
     one-merge-per-round loop (the whole point of the stop rule), in far
