@@ -643,6 +643,48 @@ def contamination_report(
     )
 
 
+def build_decontamination_index(
+    eval_set: DataFrame,
+    path: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> None:
+    """Persist the eval corpus's distinct shingle hashes — the
+    decontamination probe table. Built ONCE per benchmark release
+    (eval sets are small and static); every training batch then joins
+    against it without re-shingling the eval side. Stored as distinct
+    hashes only (no eval doc ids): the incremental check needs membership,
+    not provenance, and the dedup'd hash set is the smallest possible
+    broadcast candidate."""
+    shingle_hashes(eval_set, n, text_col, id_col, portable).select(
+        "shingle_hash"
+    ).distinct().write.mode("overwrite").parquet(path)
+
+
+def check_contamination_batch(
+    spark,
+    batch_df: DataFrame,
+    index_path: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Flag contaminated docs in ONE batch against the persisted eval
+    index: shingle the batch (O(batch)), join the (broadcast-sized) eval
+    hash set, count shared shingles per doc. The streaming decontamination
+    probe — work per call never touches eval text or prior batches."""
+    sh = shingle_hashes(batch_df, n, text_col, id_col, portable)
+    ev = spark.read.parquet(index_path)
+    return (
+        sh.join(ev, "shingle_hash")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle_hash").alias("n_shared_shingles"))
+    )
+
+
 def build_dedup_index(
     df: DataFrame,
     path: str,

@@ -819,6 +819,90 @@ def incremental_index_maintenance(
     )
 
 
+def append_contamination_flags(
+    spark,
+    batch_df: DataFrame,
+    out_path: str,
+    index_path: str,
+    epoch_id: int,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Exactly-once per-epoch contamination flagging: check one micro-batch
+    against the persisted eval shingle index
+    (operators.dedup.check_contamination_batch) and append the flagged
+    (doc, n_shared, epoch) rows under the same committed-view epoch-ledger
+    discipline as every incremental fold here — applied epoch = no-op,
+    crash between append and commit leaves only uncommitted rows, replay
+    appends identical rows (flags are a pure function of batch + static
+    index), dedup on read is exact."""
+    from demo_bigdata_spark.operators.dedup import check_contamination_batch
+
+    epochs_path = out_path + "_epochs"
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    if ledger is not None and ledger.filter(
+        F.col("epoch_id") == int(epoch_id)
+    ).head(1):
+        return
+    (
+        check_contamination_batch(
+            spark, batch_df, index_path, n, text_col, id_col
+        )
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .parquet(out_path)
+    )
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
+        "append"
+    ).parquet(epochs_path)
+
+
+def read_contamination_flags(spark, out_path: str, id_col: str = "doc_id") -> DataFrame:
+    """Committed view of the incrementally-maintained contamination flags:
+    ledger semi-join + (doc, epoch) dedup — the exactly-once read."""
+    ledger = _read_parquet_if_exists(spark, out_path + "_epochs")
+    rows = _read_parquet_if_exists(spark, out_path)
+    if rows is None or ledger is None:
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_shared_shingles long, epoch_id long"
+        )
+    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
+        [id_col, "epoch_id"]
+    )
+
+
+def incremental_decontamination(
+    df: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous train/eval decontamination: every micro-batch of
+    ingested training documents is checked against the persisted eval
+    shingle index exactly once — the leak check runs AT INGEST instead of
+    as a full-corpus pass before each training run. Query the flags with
+    read_contamination_flags."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_contamination_flags(
+            spark, batch_df, out_path, index_path, epoch_id, n, text_col, id_col
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def incremental_positional_index_maintenance(
     df: DataFrame,
     path: str,

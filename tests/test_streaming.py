@@ -705,3 +705,80 @@ def test_incremental_positional_index_matches_batch(spark, sf_dir, tmp_path):
     append_positional_postings(spark, extra, out, epoch_id=99)
     final = _rows(read_positional_postings(spark, out))
     assert final == committed_after
+
+
+def test_incremental_decontamination_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed per-batch contamination flags over the persisted eval
+    shingle index must equal the one-shot decontaminate pass (shared
+    shingle counts per doc); epoch replay is a no-op and crash-window
+    rows stay invisible until replay commits them."""
+    import shutil
+
+    from demo_bigdata_spark.operators.dedup import (
+        build_decontamination_index,
+        decontaminate,
+    )
+    from demo_bigdata_spark.streaming.pipeline import (
+        append_contamination_flags,
+        incremental_decontamination,
+        read_contamination_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_eval = F.col("source").isin("src0", "src1")
+    eval_set = docs.filter(is_eval)
+    train = docs.filter(~is_eval).select("doc_id", "text")
+
+    idx = str(tmp_path / "evalidx")
+    build_decontamination_index(eval_set, idx, n=8)
+
+    src = str(tmp_path / "trainsrc")
+    cut = train.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    train.filter(F.col("doc_id") <= cut).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    train.filter(F.col("doc_id") > cut).repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "flags"), str(tmp_path / "fckpt")
+    q = incremental_decontamination(stream, out, idx, ckpt, n=8, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        (r["doc_id"], r["n_shared_shingles"])
+        for r in read_contamination_flags(spark, out).collect()
+    }
+    batch = {
+        (r["train_id"], r["n_shared_shingles"])
+        for r in decontaminate(train, eval_set, n=8).collect()
+    }
+    assert live == batch and live
+
+    # replaying an applied epoch is a no-op
+    before = read_contamination_flags(spark, out).count()
+    append_contamination_flags(spark, train.limit(5), out, idx, epoch_id=0)
+    assert read_contamination_flags(spark, out).count() == before
+
+    # crash window: flags appended, ledger commit lost -> invisible;
+    # replay re-appends identical rows; dedup keeps one copy
+    extra = train.filter(F.col("doc_id") > cut).limit(20)
+    ledger_path = out + "_epochs"
+    backup = str(tmp_path / "fbackup")
+    shutil.copytree(ledger_path, backup)
+    append_contamination_flags(spark, extra, out, idx, epoch_id=99)
+    committed_after = {
+        tuple(r) for r in read_contamination_flags(spark, out).collect()
+    }
+    shutil.rmtree(ledger_path)
+    shutil.copytree(backup, ledger_path)
+    assert read_contamination_flags(spark, out).count() == before
+    append_contamination_flags(spark, extra, out, idx, epoch_id=99)
+    final = {tuple(r) for r in read_contamination_flags(spark, out).collect()}
+    assert final == committed_after
