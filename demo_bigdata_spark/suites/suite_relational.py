@@ -1726,6 +1726,81 @@ FROM z GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H q21 analog (suppliers who kept orders waiting) on the
+    available columns: for multi-supplier orders where EXACTLY ONE
+    supplier shipped late (>90 days after the order date), blame that
+    supplier; count blamed orders per supplier, top 20.
+
+    Spark-first decorrelation: the classic EXISTS / NOT-EXISTS pair
+    becomes one per-order aggregate (distinct suppliers, distinct LATE
+    suppliers) + a semi join — no correlated-subquery rewrite machinery,
+    one shuffle keyed by order, one by supplier. The oracle replays the
+    identical aggregate formulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias(
+                "_late"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds the order profile AND the blame join
+    )
+    profile = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_ns"),
+        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_nlate"),
+    )
+    target = profile.filter((F.col("_ns") >= 2) & (F.col("_nlate") == 1)).select(
+        "l_orderkey"
+    )
+    blamed = (
+        lines.filter(F.col("_late"))
+        .join(target, "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_waiting_orders"))
+        .join(supp, blamed.l_suppkey == supp.s_suppkey)
+        .select("s_name", "n_waiting_orders")
+        .orderBy(F.desc("n_waiting_orders"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+profile AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+  FROM lines GROUP BY l_orderkey
+),
+blamed AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lines l JOIN profile p USING (l_orderkey)
+  WHERE l.late AND p.ns >= 2 AND p.nlate = 1
+)
+SELECT s_name, count(*)::BIGINT AS n_waiting_orders
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY n_waiting_orders DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
@@ -1778,4 +1853,5 @@ QUERIES = {
     "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
     "scd2_point_lookup": (q_scd2_point_lookup, SQL_SCD2_POINT_LOOKUP),
     "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
+    "waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
 }
