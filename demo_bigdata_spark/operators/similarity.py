@@ -326,14 +326,82 @@ def ivf_topk_indexed(
     """IVF top-k against a persisted index (see ``build_ivf_index``).
     Centroid ranking stays driver-side (n_centroids floats); the cluster
     predicate prunes parquet partitions, so only the probed inverted lists
-    are read — no assignment recompute, no full scan."""
+    are read — no assignment recompute, no full scan.
+
+    On an incrementally-maintained index (an ``_epochs`` ledger exists,
+    see ``append_vectors``) the committed view is read instead —
+    uncommitted crash-window vectors never appear in results."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
     q = np.asarray(query_vec, dtype=np.float64)
     Cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = [int(i) for i in np.argsort(-(Cn @ qn))[:n_probe]]
-    assigned = spark.read.parquet(index_path)
+    if _read_parquet_if_exists(spark, index_path + "_epochs") is not None:
+        assigned = read_ivf_index(spark, index_path, id_col)
+    else:
+        assigned = spark.read.parquet(index_path)
     scoped = assigned.filter(F.col("cluster").isin(probes))
     return brute_force_topk(scoped, [float(x) for x in q], k=k, vec_col="v", id_col=id_col)
+
+
+def append_vectors(
+    spark,
+    batch_df: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    epoch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Exactly-once incremental IVF maintenance: assign one micro-batch of
+    new vectors to the FROZEN centroids and append its inverted-list rows
+    (tagged with ``epoch_id``) under the committed-view epoch-ledger
+    discipline shared with append_postings — applied epoch = no-op, crash
+    between data append and ledger commit leaves only uncommitted rows,
+    replay appends identical rows (assignment is a pure function of batch
+    + centroids), dedup on read is exact. Work per epoch is O(batch).
+
+    Centroids stay fixed between retrains — the standard production IVF
+    flow (FAISS add-after-train): drift is handled by periodic re-train +
+    full rebuild, not per-batch centroid updates, which would silently
+    invalidate every earlier assignment."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    epochs_path = index_path + "_epochs"
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    if ledger is not None and ledger.filter(
+        F.col("epoch_id") == int(epoch_id)
+    ).head(1):
+        return
+    (
+        assign_clusters(batch_df, centroids, vec_col, id_col)
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(index_path)
+    )
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
+        "append"
+    ).parquet(epochs_path)
+
+
+def read_ivf_index(spark, index_path: str, id_col: str = "vec_id") -> DataFrame:
+    """Committed view of an incrementally-maintained IVF index: ledger
+    semi-join + (id, epoch) dedup. Cluster predicates push below the
+    broadcast ledger join to the partitioned scan."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    ledger = _read_parquet_if_exists(spark, index_path + "_epochs")
+    rows = _read_parquet_if_exists(spark, index_path)
+    if rows is None or ledger is None:
+        return spark.createDataFrame(
+            [], f"{id_col} long, v array<double>, cluster int, epoch_id long"
+        )
+    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
+        [id_col, "epoch_id"]
+    )
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -903,6 +903,40 @@ def incremental_decontamination(
     )
 
 
+def incremental_vector_index(
+    df: DataFrame,
+    index_path: str,
+    centroids,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous IVF index maintenance — the ANN twin of
+    incremental_index_maintenance: each micro-batch of new vectors is
+    assigned to the frozen centroids and appended to the cluster-
+    partitioned inverted lists exactly once
+    (operators.similarity.append_vectors, committed-view epoch ledger).
+    ivf_topk_indexed on the live path reads the committed view
+    automatically."""
+    from demo_bigdata_spark.operators.similarity import append_vectors
+
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_vectors(
+            spark, batch_df, index_path, centroids, epoch_id, vec_col, id_col
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def incremental_positional_index_maintenance(
     df: DataFrame,
     path: str,

@@ -782,3 +782,79 @@ def test_incremental_decontamination_matches_batch(spark, sf_dir, tmp_path):
     append_contamination_flags(spark, extra, out, idx, epoch_id=99)
     final = {tuple(r) for r in read_contamination_flags(spark, out).collect()}
     assert final == committed_after
+
+
+def test_incremental_vector_index_matches_batch(spark, sf_dir, tmp_path):
+    """IVF probes on a continuously-maintained vector index (frozen
+    centroids, per-epoch appends) must equal a batch build over the same
+    vectors; epoch replay is a no-op and crash-window vectors stay out of
+    probe results until the replay commits them."""
+    import shutil
+
+    from demo_bigdata_spark.operators.similarity import (
+        append_vectors,
+        build_ivf_index,
+        ivf_topk_indexed,
+        read_ivf_index,
+        train_ivf_centroids,
+    )
+    from demo_bigdata_spark.streaming.pipeline import incremental_vector_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+
+    src = str(tmp_path / "vecsrc")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    emb.filter(F.col("vec_id") <= cut).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    emb.filter(F.col("vec_id") > cut).repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    live_p, ckpt = str(tmp_path / "ivf_live"), str(tmp_path / "vckpt")
+    q = incremental_vector_index(stream, live_p, C, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_p = str(tmp_path / "ivf_batch")
+    build_ivf_index(emb, C, batch_p)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    live = {
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_topk_indexed(spark, live_p, C, qv, k=10).collect()
+    }
+    batch = {
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_topk_indexed(spark, batch_p, C, qv, k=10).collect()
+    }
+    assert live == batch and live
+
+    # replaying an applied epoch is a no-op
+    before = read_ivf_index(spark, live_p).count()
+    append_vectors(spark, emb.limit(5), live_p, C, epoch_id=0)
+    assert read_ivf_index(spark, live_p).count() == before
+
+    # crash window: vectors appended, ledger commit lost -> probes
+    # unchanged; replay re-appends identical rows; dedup keeps one copy
+    extra = emb.filter(F.col("vec_id") > cut).limit(7)
+    ledger_path = live_p + "_epochs"
+    backup = str(tmp_path / "vbackup")
+    shutil.copytree(ledger_path, backup)
+    append_vectors(spark, extra, live_p, C, epoch_id=99)
+    committed_after = read_ivf_index(spark, live_p).count()
+    shutil.rmtree(ledger_path)
+    shutil.copytree(backup, ledger_path)
+    assert read_ivf_index(spark, live_p).count() == before
+    crash_probe = {
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_topk_indexed(spark, live_p, C, qv, k=10).collect()
+    }
+    assert crash_probe == live
+    append_vectors(spark, extra, live_p, C, epoch_id=99)
+    assert read_ivf_index(spark, live_p).count() == committed_after
