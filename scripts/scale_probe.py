@@ -441,6 +441,40 @@ def main() -> None:
     backfill_partitions(bev.drop("_ts_ns") if "_ts_ns" in bev.columns else bev, bf_path, two_dates)
     rel_results.append(("backfill_2_of_900_dates", round(time.perf_counter() - t0, 2)))
 
+    # layout tier: the write-side cost of clustering 18M rows (one range
+    # shuffle each) and the pruning it buys, measured from footers only
+    from demo_bigdata_spark.sources.layout import (
+        skipping_report,
+        sort_for_skipping,
+        zorder_sort,
+    )
+
+    lcols = bli.select("l_orderkey", "l_partkey", "l_suppkey")
+    t0 = time.perf_counter()
+    sort_for_skipping(lcols, f"{tmp}/li_ranged", ["l_orderkey"], n_files=32)
+    t_ranged = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    zorder_sort(lcols, f"{tmp}/li_zorder", ["l_orderkey", "l_partkey"], n_files=32)
+    t_z = round(time.perf_counter() - t0, 2)
+    ok_probes = [i * ok_span * FACTOR // 12 for i in range(1, 11)]
+    pk_probes = [i * 20 for i in range(1, 10)]
+    zr_a = skipping_report(spark, f"{tmp}/li_zorder", "l_orderkey", ok_probes)
+    zr_b = skipping_report(spark, f"{tmp}/li_zorder", "l_partkey", pk_probes)
+    rr_a = skipping_report(spark, f"{tmp}/li_ranged", "l_orderkey", ok_probes)
+    rr_b = skipping_report(spark, f"{tmp}/li_ranged", "l_partkey", pk_probes)
+    rel_results += [
+        ("range_sort_write_18M", t_ranged),
+        ("zorder_write_18M", t_z),
+        (
+            "skip_frac ranged (key / other col)",
+            f"{rr_a['skipped_frac']:.2f} / {rr_b['skipped_frac']:.2f}",
+        ),
+        (
+            "skip_frac zorder (both cols)",
+            f"{zr_a['skipped_frac']:.2f} / {zr_b['skipped_frac']:.2f}",
+        ),
+    ]
+
     lines = [
         "# SCALE_NOTES — replication probe\n",
         f"events replicated x{FACTOR}: {n:,} -> {big_n:,} rows; documents "
@@ -526,6 +560,12 @@ def main() -> None:
         "x30 fact side. backfill_2_of_900_dates rewrites only the named",
         "date partitions — its cost tracks the 2-day slice while the table",
         "is 900 days wide.",
+        "",
+        "Layout tier: one range shuffle rewrites 18M rows for either",
+        "clustering; the skip_frac rows are footer-only pruning estimates —",
+        "the linear sort is near-perfect on its key and blind on the other",
+        "column, the Z-order curve skips on BOTH (the multi-dimension",
+        "trade, measured).",
         "",
         "## Runtime bloom-filter join pruning",
         "",
