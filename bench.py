@@ -86,8 +86,9 @@ HEADLINE = [
     "cdc_chunks",
     "cooccurrence",
     "pmi_scores",
-    # r6 composed contamination-aware pipeline
+    # r6 composed contamination-aware pipeline + classifier filter
     "corpus_pipeline_v2",
+    "classifier_quality",
 ]
 
 

@@ -105,6 +105,57 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def classifier_quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] linear quality classifier over hashed token features — the
+    CCNet/GPT-3-style learned quality filter's SERVING path: each token
+    hashes to one of ``n_buckets`` feature buckets, bucket weights come
+    from the (broadcast-sized) ``weights`` table (bucket int, weight
+    double), and the document score is sigmoid(mean bucket weight + bias).
+
+    Production shape: training happens offline (any logistic-regression
+    fit over the same hashed features); THIS path is one explode + one
+    broadcast join + one per-doc aggregate — corpus-linear, no UDF, and
+    the weight table swap is a pure data change. Tokens hashing to an
+    absent bucket contribute weight 0 (the regularized-missing-feature
+    convention). Emits (id, n_tokens, raw_score, quality_prob).
+
+    Floats: mean = sum/count of exact-join doubles; sigmoid is the one
+    transcendental (the accepted ln/exp cross-engine pattern)."""
+    from demo_bigdata_spark.operators.sampling import hash_bucket
+
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+        .filter(F.col("_t") != "")
+        .select(id_col, hash_bucket("_t", n_buckets).alias("bucket"))
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.coalesce(F.col("weight"), F.lit(0.0))) / F.count("*")
+                + F.lit(float(bias))
+            ).alias("raw_score"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "raw_score",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw_score")))).alias(
+            "quality_prob"
+        ),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", min_tokens: int = 5, max_avg_token_len: float = 12.0) -> DataFrame:
     """Heuristic keep/drop quality gate à la Gopher rules (public C4/Gopher
     filtering heuristics re-expressed as Catalyst predicates)."""

@@ -956,6 +956,71 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# --- Hashed-feature linear quality classifier ---------------------------------
+
+CLS_BUCKETS = 1024
+
+
+def q_classifier_quality(spark, sf_dir):
+    """Learned-quality-filter serving path (operator:
+    text.classifier_quality_score): tokens hash to 1024 feature buckets,
+    bucket weights come from a broadcast weight table, doc score =
+    sigmoid(mean weight). The weight table here is deterministic
+    pseudo-weights k/1024 with k = md5(bucket) % 2049 - 1024 — dyadic
+    rationals, so every partial float sum is EXACT (an integer multiple
+    of 2^-10 well under 2^53) and accumulation order cannot matter; the
+    mean is then one int-exact division and sigmoid the one
+    transcendental (the accepted pattern). A production deployment swaps
+    in trained weights — pure data change, same plan."""
+    from demo_bigdata_spark.operators.sampling import _HEX_CHARS
+
+    weights = spark.range(CLS_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, _HEX_CHARS),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2049
+                - 1024
+            )
+            / F.lit(1024.0)
+        ).alias("weight"),
+    )
+    return X.classifier_quality_score(
+        _docs(spark, sf_dir), weights, n_buckets=CLS_BUCKETS
+    )  # unordered: see q_near_duplicates
+
+
+SQL_CLASSIFIER_QUALITY = rf"""
+WITH w AS (
+  SELECT b::INT AS bucket,
+         ((('0x' || substr(md5(b::VARCHAR), 1, 7))::BIGINT % 2049) - 1024)
+           / 1024.0 AS weight
+  FROM (SELECT unnest(range({CLS_BUCKETS})) AS b)
+),
+tk AS (
+  SELECT doc_id, unnest({SQL_TOKS_RAW}) AS t FROM documents
+),
+bk AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 7))::BIGINT % {CLS_BUCKETS})::INT AS bucket
+  FROM tk WHERE t <> ''
+),
+sc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(coalesce(w.weight, 0.0)) / count(*) + 0.0 AS raw_score
+  FROM bk LEFT JOIN w USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, raw_score,
+       1.0 / (1.0 + exp(-raw_score)) AS quality_prob
+FROM sc ORDER BY doc_id
+"""
+
+
 # --- Composite pipeline v2: gopher gate -> line dedup -> decontaminate -> mixture --
 
 # v2 mixes by LANGUAGE (the eval sources src0/src1 are removed by
@@ -2614,6 +2679,7 @@ QUERIES = {
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "corpus_pipeline_v2": (q_corpus_pipeline_v2, SQL_CORPUS_PIPELINE_V2),
+    "classifier_quality": (q_classifier_quality, SQL_CLASSIFIER_QUALITY),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),

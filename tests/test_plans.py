@@ -345,3 +345,15 @@ def test_corpus_pipeline_v2_stage_sum_shuffles(spark, sf_dir):
     po = executed_plan(out)
     assert po.count("Exchange") <= 6 and not has_cartesian(out), po
     assert po.count("Scan parquet") == 0, po
+
+
+def test_classifier_quality_broadcasts_weights(spark, sf_dir):
+    """The classifier's weight lookup must be a BroadcastHashJoin (weights
+    are KBs; shuffling the exploded token table against them would be a
+    corpus-sized exchange bought for nothing)."""
+    from demo_bigdata_spark.suites.suite_llm import q_classifier_quality
+
+    df = q_classifier_quality(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert not has_cartesian(df), plan
