@@ -657,10 +657,16 @@ def build_decontamination_index(
     against it without re-shingling the eval side. Stored as distinct
     hashes only (no eval doc ids): the incremental check needs membership,
     not provenance, and the dedup'd hash set is the smallest possible
-    broadcast candidate."""
+    broadcast candidate. The shingle parameters (n, hash family) are
+    persisted beside the hashes — a probe with mismatched parameters
+    would silently match nothing, so ``check_contamination_batch``
+    validates against them."""
     shingle_hashes(eval_set, n, text_col, id_col, portable).select(
         "shingle_hash"
     ).distinct().write.mode("overwrite").parquet(path)
+    eval_set.sparkSession.createDataFrame(
+        [(int(n), bool(portable))], "n int, portable boolean"
+    ).write.mode("overwrite").parquet(path + "_meta")
 
 
 def check_contamination_batch(
@@ -675,7 +681,20 @@ def check_contamination_batch(
     """Flag contaminated docs in ONE batch against the persisted eval
     index: shingle the batch (O(batch)), join the (broadcast-sized) eval
     hash set, count shared shingles per doc. The streaming decontamination
-    probe — work per call never touches eval text or prior batches."""
+    probe — work per call never touches eval text or prior batches.
+    Raises if the probe's (n, hash family) disagree with the parameters
+    the index was built with — a mismatch would silently match nothing."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    meta = _read_parquet_if_exists(spark, index_path + "_meta")
+    if meta is not None:
+        m = meta.first()
+        if int(m["n"]) != int(n) or bool(m["portable"]) != bool(portable):
+            raise ValueError(
+                f"contamination index at {index_path} was built with "
+                f"n={m['n']}, portable={m['portable']}; probe asked for "
+                f"n={n}, portable={portable} — shingle families must match"
+            )
     sh = shingle_hashes(batch_df, n, text_col, id_col, portable)
     ev = spark.read.parquet(index_path)
     return (
