@@ -664,9 +664,14 @@ def build_decontamination_index(
     shingle_hashes(eval_set, n, text_col, id_col, portable).select(
         "shingle_hash"
     ).distinct().write.mode("overwrite").parquet(path)
+    # meta lives INSIDE the index dir as an underscore-prefixed child:
+    # Spark's data reads skip _-prefixed paths, and a rebuild's overwrite
+    # of `path` wipes stale meta BEFORE new hashes land — a crash between
+    # the two writes leaves hashes-without-meta (validation skipped), never
+    # new-hashes-beside-old-meta (validation passing wrongly)
     eval_set.sparkSession.createDataFrame(
         [(int(n), bool(portable))], "n int, portable boolean"
-    ).write.mode("overwrite").parquet(path + "_meta")
+    ).write.mode("overwrite").parquet(path + "/_meta")
 
 
 def check_contamination_batch(
@@ -686,7 +691,7 @@ def check_contamination_batch(
     the index was built with — a mismatch would silently match nothing."""
     from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
 
-    meta = _read_parquet_if_exists(spark, index_path + "_meta")
+    meta = _read_parquet_if_exists(spark, index_path + "/_meta")
     if meta is not None:
         m = meta.first()
         if int(m["n"]) != int(n) or bool(m["portable"]) != bool(portable):

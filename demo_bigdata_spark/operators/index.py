@@ -146,13 +146,13 @@ def append_positional_postings(
     (doc, term, epoch) dedup on read is exact. Work per epoch is
     O(batch) — history is never re-tokenized. Same append-only
     document-stream contract as the inverted index."""
-    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+    from demo_bigdata_spark.streaming.pipeline import (
+        commit_epoch,
+        epoch_already_applied,
+    )
 
     epochs_path = path + "_epochs"
-    ledger = _read_parquet_if_exists(spark, epochs_path)
-    if ledger is not None and ledger.filter(
-        F.col("epoch_id") == int(epoch_id)
-    ).head(1):
+    if epoch_already_applied(spark, epochs_path, epoch_id):
         return
     (
         _positional_postings(batch_df, text_col, id_col, n_buckets)
@@ -162,9 +162,7 @@ def append_positional_postings(
         .partitionBy("term_bucket")
         .parquet(path)
     )
-    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
-        "append"
-    ).parquet(epochs_path)
+    commit_epoch(spark, epochs_path, epoch_id)
 
 
 def read_positional_postings(
@@ -174,18 +172,15 @@ def read_positional_postings(
     rows semi-joined to the epoch ledger, deduplicated on
     (doc, term, epoch) — replays write identical rows, so the dedup is
     exact. Bucket/term predicates push below the broadcast ledger join."""
-    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+    from demo_bigdata_spark.streaming.pipeline import committed_view
 
-    ledger = _read_parquet_if_exists(spark, path + "_epochs")
-    rows = _read_parquet_if_exists(spark, path)
-    if rows is None or ledger is None:
-        return spark.createDataFrame(
-            [],
-            f"{id_col} long, term string, positions array<int>, "
-            "term_bucket int, epoch_id long",
-        )
-    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
-        [id_col, "term", "epoch_id"]
+    return committed_view(
+        spark,
+        path,
+        path + "_epochs",
+        [id_col, "term", "term_bucket", "epoch_id"],
+        f"{id_col} long, term string, positions array<int>, "
+        "term_bucket int, epoch_id long",
     )
 
 
@@ -271,13 +266,13 @@ def append_postings(
     one epoch) — the same contract as the continuous packer; a re-ingested
     doc would contribute a second (doc, term) posting row and over-count
     conjunctive matches."""
-    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+    from demo_bigdata_spark.streaming.pipeline import (
+        commit_epoch,
+        epoch_already_applied,
+    )
 
     epochs_path = path + "_epochs"
-    ledger = _read_parquet_if_exists(spark, epochs_path)
-    if ledger is not None and ledger.filter(
-        F.col("epoch_id") == int(epoch_id)
-    ).head(1):
+    if epoch_already_applied(spark, epochs_path, epoch_id):
         return
     tf = term_frequencies(batch_df, text_col, id_col).localCheckpoint(eager=False)
     (
@@ -295,27 +290,24 @@ def append_postings(
     _doclens_with_empty_docs(batch_df, tf, id_col).withColumn(
         "epoch_id", F.lit(int(epoch_id))
     ).write.mode("append").parquet(path + "/doclens")
-    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
-        "append"
-    ).parquet(epochs_path)
+    commit_epoch(spark, epochs_path, epoch_id)
 
 
 def read_postings(spark: SparkSession, path: str, id_col: str = "doc_id") -> DataFrame:
-    """Committed view of an incrementally-maintained postings table:
-    rows semi-joined to the epoch ledger (crash leftovers excluded),
-    deduplicated on (doc, term, epoch) — replays write identical rows, so
-    the dedup is exact. Term/bucket predicates applied by callers push
-    below the (broadcast-sized) ledger join to the partitioned scan."""
-    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+    """Committed view of an incrementally-maintained postings table
+    (streaming.pipeline.committed_view): ledger semi-join + exact dedup.
+    term_bucket is IN the dedup keys even though it is determined by term:
+    dropDuplicates is an Aggregate, and only grouping columns let a
+    caller's bucket predicate push through to the partitioned scan —
+    without it every pruned probe becomes a full-index scan."""
+    from demo_bigdata_spark.streaming.pipeline import committed_view
 
-    ledger = _read_parquet_if_exists(spark, path + "_epochs")
-    rows = _read_parquet_if_exists(spark, path + "/postings")
-    if rows is None or ledger is None:
-        return spark.createDataFrame(
-            [], f"{id_col} long, term string, tf long, term_bucket int, epoch_id long"
-        )
-    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
-        [id_col, "term", "epoch_id"]
+    return committed_view(
+        spark,
+        path + "/postings",
+        path + "_epochs",
+        [id_col, "term", "term_bucket", "epoch_id"],
+        f"{id_col} long, term string, tf long, term_bucket int, epoch_id long",
     )
 
 

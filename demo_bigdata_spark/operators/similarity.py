@@ -366,13 +366,13 @@ def append_vectors(
     flow (FAISS add-after-train): drift is handled by periodic re-train +
     full rebuild, not per-batch centroid updates, which would silently
     invalidate every earlier assignment."""
-    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+    from demo_bigdata_spark.streaming.pipeline import (
+        commit_epoch,
+        epoch_already_applied,
+    )
 
     epochs_path = index_path + "_epochs"
-    ledger = _read_parquet_if_exists(spark, epochs_path)
-    if ledger is not None and ledger.filter(
-        F.col("epoch_id") == int(epoch_id)
-    ).head(1):
+    if epoch_already_applied(spark, epochs_path, epoch_id):
         return
     (
         assign_clusters(batch_df, centroids, vec_col, id_col)
@@ -382,25 +382,24 @@ def append_vectors(
         .partitionBy("cluster")
         .parquet(index_path)
     )
-    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
-        "append"
-    ).parquet(epochs_path)
+    commit_epoch(spark, epochs_path, epoch_id)
 
 
 def read_ivf_index(spark, index_path: str, id_col: str = "vec_id") -> DataFrame:
-    """Committed view of an incrementally-maintained IVF index: ledger
-    semi-join + (id, epoch) dedup. Cluster predicates push below the
-    broadcast ledger join to the partitioned scan."""
-    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+    """Committed view of an incrementally-maintained IVF index
+    (streaming.pipeline.committed_view): ledger semi-join + exact dedup.
+    ``cluster`` is in the dedup keys (functionally dependent on the
+    vector, so semantics are unchanged) because dropDuplicates is an
+    Aggregate and only grouping columns let the probe's cluster predicate
+    push through to partition pruning — the point of the index."""
+    from demo_bigdata_spark.streaming.pipeline import committed_view
 
-    ledger = _read_parquet_if_exists(spark, index_path + "_epochs")
-    rows = _read_parquet_if_exists(spark, index_path)
-    if rows is None or ledger is None:
-        return spark.createDataFrame(
-            [], f"{id_col} long, v array<double>, cluster int, epoch_id long"
-        )
-    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
-        [id_col, "epoch_id"]
+    return committed_view(
+        spark,
+        index_path,
+        index_path + "_epochs",
+        [id_col, "cluster", "epoch_id"],
+        f"{id_col} long, v array<double>, cluster int, epoch_id long",
     )
 
 

@@ -38,8 +38,15 @@ def morton_key(cols: list[Column], bits: int = 16) -> Column:
     replayable in SQL. Inputs must be non-negative integers; values are
     masked to ``bits`` (callers with wide or skewed domains should map to
     rank/bucket space first — the standard Z-order preparation)."""
-    out = F.lit(0).cast("bigint")
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"morton_key: {n} cols x {bits} bits = {n * bits} interleaved "
+            "bits > 63 — bit 63 is the sign bit and JVM shift counts wrap "
+            "mod 64, so the curve would silently corrupt; lower bits "
+            "(63 // n_cols is the max)"
+        )
+    out = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(cols):
             bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))

@@ -60,12 +60,19 @@ def small_file_report(
 def _partition_cols(spark: SparkSession, path: str) -> list[str]:
     """Partition columns of a parquet table, in directory-nesting order,
     detected from ``key=value`` segments of its file paths relative to the
-    table root. Metadata-only (inputFiles), no data read."""
-    root = _local_path(path).rstrip("/")
+    table root. Metadata-only (inputFiles), no data read. Both sides are
+    normalized to absolute local paths before prefix-stripping (inputFiles
+    returns absolute file: URIs even for a relative table path); a file
+    that still doesn't sit under the root is SKIPPED rather than parsed —
+    an ancestor directory containing '=' must never masquerade as a
+    partition column."""
+    root = os.path.abspath(_local_path(path)).rstrip("/")
     cols: list[str] = []
     for f in spark.read.parquet(path).inputFiles():
-        rel = _local_path(f)
-        rel = rel[len(root) :].lstrip("/") if rel.startswith(root) else rel
+        rel = os.path.abspath(_local_path(f))
+        if not rel.startswith(root + "/"):
+            continue
+        rel = rel[len(root) + 1 :]
         segs = [s.split("=", 1)[0] for s in rel.split("/")[:-1] if "=" in s]
         if len(segs) > len(cols):
             cols = segs
@@ -88,16 +95,29 @@ def compact_parquet(
     file counts plus the detected partition columns. Row content is
     preserved (pinned by tests); the caller swaps dst into place once
     the write has committed."""
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(src)
     before = small_file_report(spark, src)
     n_files = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     parts = _partition_cols(spark, src)
     if parts:
-        # one shuffle keyed by the partition columns: co-locates each
-        # partition's rows so partitionBy emits ~1 merged file per dir
-        df.repartition(*parts).write.mode("overwrite").partitionBy(
-            *parts
-        ).parquet(dst)
+        # shuffle keyed by the partition columns PLUS a content-addressed
+        # salt sized so each partition directory honors target_file_bytes:
+        # a bare repartition(*parts) would put an entire partition value in
+        # ONE task and write one arbitrarily large file (single-threaded,
+        # straggler/OOM risk on skewed partitions)
+        n_dirs = max(1, df.select(*parts).distinct().count())
+        per_dir = max(1, math.ceil(n_files / n_dirs))
+        salt = F.pmod(
+            F.abs(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(per_dir)
+        )
+        (
+            df.repartition(*[F.col(c) for c in parts], salt)
+            .write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(dst)
+        )
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(dst)
     after = small_file_report(spark, dst)

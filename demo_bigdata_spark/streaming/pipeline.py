@@ -340,6 +340,52 @@ def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
         raise
 
 
+def epoch_already_applied(spark, epochs_path: str, epoch_id: int) -> bool:
+    """True iff ``epoch_id`` is committed in the ledger at ``epochs_path`` —
+    the idempotence check every exactly-once fold performs first."""
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    return ledger is not None and bool(
+        ledger.filter(F.col("epoch_id") == int(epoch_id)).head(1)
+    )
+
+
+def commit_epoch(spark, epochs_path: str, epoch_id: int) -> None:
+    """Append ``epoch_id`` to the ledger — the commit that makes an epoch's
+    appended rows visible to committed-view reads. Always called AFTER the
+    data append: a crash in between leaves only uncommitted rows, and the
+    deterministic replay appends identical rows that the committed view's
+    dedup collapses."""
+    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
+        "append"
+    ).parquet(epochs_path)
+
+
+def committed_view(
+    spark,
+    rows_path: str,
+    epochs_path: str,
+    dedup_keys: list[str],
+    empty_schema: str,
+) -> DataFrame:
+    """Committed view of an incrementally-appended table: rows semi-joined
+    to the epoch ledger (crash leftovers excluded), deduplicated on
+    ``dedup_keys`` — replays append identical rows, so the dedup is exact.
+    Returns an empty frame with ``empty_schema`` before the first commit.
+
+    ``dedup_keys`` MUST include any partition/bucket column callers filter
+    on (term_bucket, cluster, ...): dropDuplicates compiles to an
+    Aggregate, and Catalyst only pushes filters through an Aggregate when
+    they reference grouping columns — a bucket column left out of the keys
+    silently turns every pruned probe into a full-index scan. The extra
+    key never changes semantics when it is functionally dependent on the
+    others (a bucket is a pure function of its term/cluster)."""
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    rows = _read_parquet_if_exists(spark, rows_path)
+    if rows is None or ledger is None:
+        return spark.createDataFrame([], empty_schema)
+    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(dedup_keys)
+
+
 def combine_hourly_partial(
     spark, path: str, batch_df: DataFrame, epoch_id: int, ts_col: str = "ts"
 ) -> None:
@@ -828,6 +874,7 @@ def append_contamination_flags(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = True,
 ) -> None:
     """Exactly-once per-epoch contamination flagging: check one micro-batch
     against the persisted eval shingle index
@@ -840,35 +887,28 @@ def append_contamination_flags(
     from demo_bigdata_spark.operators.dedup import check_contamination_batch
 
     epochs_path = out_path + "_epochs"
-    ledger = _read_parquet_if_exists(spark, epochs_path)
-    if ledger is not None and ledger.filter(
-        F.col("epoch_id") == int(epoch_id)
-    ).head(1):
+    if epoch_already_applied(spark, epochs_path, epoch_id):
         return
     (
         check_contamination_batch(
-            spark, batch_df, index_path, n, text_col, id_col
+            spark, batch_df, index_path, n, text_col, id_col, portable
         )
         .withColumn("epoch_id", F.lit(int(epoch_id)))
         .write.mode("append")
         .parquet(out_path)
     )
-    spark.createDataFrame([(int(epoch_id),)], "epoch_id long").write.mode(
-        "append"
-    ).parquet(epochs_path)
+    commit_epoch(spark, epochs_path, epoch_id)
 
 
 def read_contamination_flags(spark, out_path: str, id_col: str = "doc_id") -> DataFrame:
     """Committed view of the incrementally-maintained contamination flags:
     ledger semi-join + (doc, epoch) dedup — the exactly-once read."""
-    ledger = _read_parquet_if_exists(spark, out_path + "_epochs")
-    rows = _read_parquet_if_exists(spark, out_path)
-    if rows is None or ledger is None:
-        return spark.createDataFrame(
-            [], f"{id_col} long, n_shared_shingles long, epoch_id long"
-        )
-    return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(
-        [id_col, "epoch_id"]
+    return committed_view(
+        spark,
+        out_path,
+        out_path + "_epochs",
+        [id_col, "epoch_id"],
+        f"{id_col} long, n_shared_shingles long, epoch_id long",
     )
 
 
@@ -881,6 +921,7 @@ def incremental_decontamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     trigger_seconds: int = 2,
+    portable: bool = True,
 ) -> StreamingQuery:
     """[EXT] continuous train/eval decontamination: every micro-batch of
     ingested training documents is checked against the persisted eval
@@ -891,7 +932,8 @@ def incremental_decontamination(
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         append_contamination_flags(
-            spark, batch_df, out_path, index_path, epoch_id, n, text_col, id_col
+            spark, batch_df, out_path, index_path, epoch_id, n, text_col,
+            id_col, portable
         )
 
     return (

@@ -371,8 +371,14 @@ def _fps(spark, sf_dir):
         del _FPS_CACHE[k]
     key = (app_id, sf_dir)
     if key not in _FPS_CACHE:
+        # EAGER: the first consumer is the coalesce(4)-reading profile
+        # query, and a lazy checkpoint would materialize THROUGH that
+        # coalesce — collapsing the CPU-heavy 32-wide gram build to 4
+        # tasks (the very regression spread_for_cpu exists to prevent).
+        # Eager materialization runs the build at full width once; every
+        # consumer then reads the checkpointed blocks narrowly.
         _FPS_CACHE[key] = D.winnow_fingerprints(_docs(spark, sf_dir)).localCheckpoint(
-            eager=False
+            eager=True
         )
     return _FPS_CACHE[key]
 

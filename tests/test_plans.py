@@ -357,3 +357,39 @@ def test_classifier_quality_broadcasts_weights(spark, sf_dir):
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert not has_cartesian(df), plan
+
+
+def test_committed_view_keeps_partition_pruning(spark, sf_dir, tmp_path):
+    """Bucket/cluster predicates must push THROUGH the committed view's
+    dedup aggregate to the partitioned scan: dropDuplicates is an
+    Aggregate, and Catalyst only pushes filters referencing grouping
+    columns — term_bucket/cluster are in the dedup keys precisely so a
+    pruned probe on a LIVE index stays pruned instead of scanning and
+    shuffling the whole index."""
+    from demo_bigdata_spark.operators.index import (
+        append_postings,
+        bm25_rank_indexed,
+        read_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "liveidx")
+    append_postings(spark, docs, path, epoch_id=0)
+
+    probe = read_postings(spark, path).filter(F.col("term_bucket").isin([3, 7]))
+    plan = executed_plan(probe)
+    scan_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln or "PartitionFilters" in ln
+    ]
+    assert any("term_bucket" in ln for ln in scan_lines), plan
+
+    rank = bm25_rank_indexed(spark, path, ["spark", "join"])
+    plan2 = executed_plan(rank)
+    scan_lines2 = [
+        ln
+        for ln in plan2.splitlines()
+        if "Scan parquet" in ln or "PartitionFilters" in ln
+    ]
+    assert any("term_bucket" in ln for ln in scan_lines2), plan2
