@@ -1,0 +1,237 @@
+"""Snapshot-versioned parquet tables: time travel, merge-on-read deletes,
+rollback, and snapshot expiry — Iceberg's transactional core emulated on
+plain parquet + an atomic pointer file.
+
+[EXT over the sandbox constraint] The reference's sink is an Iceberg table
+(reference: services/streaming-service/spark_config.py:50-53 — catalog
+config; services/api-service/data_service.py:120-125 — snapshot-refreshed
+reads), but no Iceberg jars exist in this environment (ROUND_NOTES fact 9).
+This module supplies the SEMANTICS a user of that sink relies on, with the
+same commit discipline Iceberg uses:
+
+- **Data files are immutable and append-only** (content-addressed under
+  ``data/``); a snapshot is a MANIFEST (parquet list of file paths + kinds)
+  plus the ``_CURRENT`` pointer naming it.
+- **Commit = write everything, then atomically swap the pointer**
+  (``os.replace`` — atomic on POSIX). A crash before the swap leaves only
+  unreferenced files; readers never observe a partial snapshot. This is the
+  same commit-then-swap discipline as the epoch ledgers in
+  streaming/pipeline.py, applied to whole-table versions.
+- **Deletes are merge-on-read**: a delete writes a key file, not a rewrite
+  — reads anti-join the accumulated delete keys (Iceberg's equality
+  deletes). Old snapshots still see the rows: time travel is free because
+  nothing is ever mutated.
+- **Rollback** is a pointer swap; **expire_snapshots** drops manifests
+  older than the retention and vacuums files no retained manifest
+  references (Iceberg's expire_snapshots + remove_orphan_files).
+
+Scale shape: manifests hold file PATHS (KBs per snapshot), never data; a
+read plans ``spark.read.parquet(*files)`` so pushdown/pruning work as on
+any parquet scan; the delete anti-join is keyed by the table key and
+bounded by accumulated deletes (compaction folds them away — rewrite to a
+fresh snapshot via ``append_snapshot(read_table(...), replace=True)``).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POINTER = "_CURRENT"
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, "snapshots")
+
+
+def _manifest_path(path: str, snap: int) -> str:
+    return os.path.join(_snap_dir(path), f"{snap:08d}")
+
+
+def current_snapshot(path: str) -> int | None:
+    """The committed snapshot id, or None for an empty/uninitialized table."""
+    try:
+        with open(os.path.join(path, _POINTER)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _swap_pointer(path: str, snap: int) -> None:
+    """Atomic commit: write the new pointer beside, then os.replace —
+    readers see either the old snapshot or the new one, never a torn
+    state."""
+    tmp = os.path.join(path, _POINTER + f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(snap))
+    os.replace(tmp, os.path.join(path, _POINTER))
+
+
+def _write_files(df: DataFrame, path: str, kind: str) -> list[str]:
+    """Write a frame as immutable content-addressed parquet files under
+    ``path/<kind>/<uuid>/`` and return the directory (one entry — Spark
+    writes many part files inside; the manifest tracks directories)."""
+    d = os.path.join(path, kind, uuid.uuid4().hex)
+    df.write.mode("error").parquet(d)
+    return [d]
+
+
+def _read_manifest(spark: SparkSession, path: str, snap: int) -> DataFrame:
+    return spark.read.parquet(_manifest_path(path, snap))
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    snap: int,
+    entries: list[tuple[str, str]],
+) -> None:
+    spark.createDataFrame(entries, "file string, kind string").coalesce(
+        1
+    ).write.mode("error").parquet(_manifest_path(path, snap))
+    _swap_pointer(path, snap)
+
+
+def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Initialize a versioned table with snapshot 1 holding ``df``."""
+    os.makedirs(path, exist_ok=True)
+    if current_snapshot(path) is not None:
+        raise ValueError(f"versioned table already exists at {path}")
+    files = _write_files(df, path, "data")
+    _commit(spark, path, 1, [(f, "data") for f in files])
+    return 1
+
+
+def append_snapshot(
+    spark: SparkSession, path: str, df: DataFrame, replace: bool = False
+) -> int:
+    """Commit a new snapshot: previous data + delete files carry forward
+    and ``df``'s new files join them. ``replace=True`` starts the manifest
+    empty instead — the compaction path that folds merge-on-read deletes
+    away (pass ``read_table(spark, path)`` as ``df``)."""
+    cur = current_snapshot(path)
+    if cur is None:
+        return create_table(spark, path, df)
+    prev = (
+        []
+        if replace
+        else [
+            (r["file"], r["kind"])
+            for r in _read_manifest(spark, path, cur).collect()
+        ]
+    )
+    files = _write_files(df, path, "data")
+    _commit(spark, path, cur + 1, prev + [(f, "data") for f in files])
+    return cur + 1
+
+
+def delete_where(
+    spark: SparkSession, path: str, key_col: str, condition
+) -> int:
+    """Merge-on-read delete: evaluate ``condition`` against the CURRENT
+    table, persist the matching keys as a delete file, commit a snapshot
+    whose reads anti-join them. No data file is touched — old snapshots
+    still contain the rows (time travel), and the write cost is the
+    matched-key set, not a rewrite."""
+    cur = current_snapshot(path)
+    if cur is None:
+        raise ValueError(f"no versioned table at {path}")
+    keys = read_table(spark, path).filter(condition).select(key_col).distinct()
+    prev = [
+        (r["file"], r["kind"]) for r in _read_manifest(spark, path, cur).collect()
+    ]
+    files = _write_files(keys, path, "deletes")
+    _commit(spark, path, cur + 1, prev + [(f, "delete")for f in files])
+    return cur + 1
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    snapshot: int | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Read the table AS OF ``snapshot`` (default: current). Data files
+    union under one parquet scan (pushdown/pruning intact); delete keys
+    anti-join on ``key_col`` (inferred from the delete files' single
+    column when not given). Reading a historical snapshot costs the same
+    as reading the current one — nothing is reconstructed."""
+    snap = current_snapshot(path) if snapshot is None else int(snapshot)
+    if snap is None:
+        raise ValueError(f"no versioned table at {path}")
+    entries = _read_manifest(spark, path, snap).collect()
+    data = [r["file"] for r in entries if r["kind"] == "data"]
+    dels = [r["file"] for r in entries if r["kind"] == "delete"]
+    df = spark.read.parquet(*data)
+    if dels:
+        keys = spark.read.parquet(*dels)
+        kc = key_col or keys.columns[0]
+        df = df.join(keys.select(kc).distinct(), kc, "left_anti")
+    return df
+
+
+def rollback(path: str, snapshot: int) -> None:
+    """Point the table back at an earlier committed snapshot — a pointer
+    swap, nothing rewritten; later snapshots stay readable by id until
+    expired."""
+    if not os.path.exists(_manifest_path(path, snapshot)):
+        raise ValueError(f"snapshot {snapshot} does not exist at {path}")
+    _swap_pointer(path, snapshot)
+
+
+def expire_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> dict:
+    """Drop manifests older than the last ``keep_last`` (current snapshot
+    always retained) and VACUUM files no retained manifest references —
+    crash-window orphans (written but never committed) go with them.
+    Returns counts. Time travel beyond the retention is gone; that is the
+    point (storage reclamation)."""
+    import shutil
+
+    cur = current_snapshot(path)
+    if cur is None:
+        return {"snapshots_removed": 0, "files_removed": 0}
+    snaps = sorted(
+        int(d) for d in os.listdir(_snap_dir(path)) if d.isdigit()
+    )
+    keep = set(snaps[-keep_last:]) | {cur}
+    referenced: set[str] = set()
+    for snap in keep:
+        for r in _read_manifest(spark, path, snap).collect():
+            referenced.add(r["file"])
+    removed_snaps = 0
+    for snap in snaps:
+        if snap not in keep:
+            shutil.rmtree(_manifest_path(path, snap))
+            removed_snaps += 1
+    removed_files = 0
+    for kind in ("data", "deletes"):
+        base = os.path.join(path, kind)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            full = os.path.join(base, d)
+            if full not in referenced:
+                shutil.rmtree(full)
+                removed_files += 1
+    return {"snapshots_removed": removed_snaps, "files_removed": removed_files}
+
+
+def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
+    """Table history: per retained snapshot, its file counts by kind —
+    the DESCRIBE HISTORY analog."""
+    out = []
+    for d in sorted(os.listdir(_snap_dir(path))):
+        if not d.isdigit():
+            continue
+        m = _read_manifest(spark, path, int(d))
+        counts = {
+            r["kind"]: r["n"]
+            for r in m.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        }
+        out.append({"snapshot": int(d), **counts})
+    return out

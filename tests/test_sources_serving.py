@@ -483,3 +483,99 @@ def test_backfill_overwrites_only_named_partitions(spark, sf_dir, tmp_path):
     got_sum = got.filter(F.col("event_date") == target).agg(F.sum("value")).first()[0]
     assert abs(got_sum - exp_sum) < 1e-6
     assert got.count() == ev.count()
+
+
+def test_versioned_table_time_travel_and_mor_deletes(spark, sf_dir, tmp_path):
+    """The snapshot table's Iceberg-semantics contract: immutable data
+    files + manifest + atomic pointer. Appends and merge-on-read deletes
+    create new snapshots without touching existing files (byte-identical
+    on disk); time travel reads any retained snapshot; rollback is a
+    pointer swap; expire vacuums unreferenced files while every retained
+    snapshot stays readable."""
+    import glob
+    import hashlib
+
+    from demo_bigdata_spark.sources.catalog import load_table
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        current_snapshot,
+        delete_where,
+        expire_snapshots,
+        read_table,
+        rollback,
+        snapshot_history,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    first = docs.filter(F.col("doc_id") <= cut)
+    second = docs.filter(F.col("doc_id") > cut)
+
+    path = str(tmp_path / "vtable")
+    s1 = create_table(spark, path, first)
+    assert s1 == 1 and current_snapshot(path) == 1
+    assert read_table(spark, path).count() == first.count()
+
+    def _hashes():
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(path + "/data/**/*.parquet", recursive=True)
+        }
+
+    before = _hashes()
+    s2 = append_snapshot(spark, path, second)
+    assert s2 == 2
+    assert read_table(spark, path).count() == docs.count()
+    # append touched no existing data file
+    after = _hashes()
+    assert all(after[f] == h for f, h in before.items())
+
+    # merge-on-read delete: rows gone from current, intact at snapshot 2
+    s3 = delete_where(spark, path, "doc_id", F.col("lang") == "en")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert n_en > 0
+    cur = read_table(spark, path)
+    assert cur.count() == docs.count() - n_en
+    assert cur.filter(F.col("lang") == "en").count() == 0
+    assert read_table(spark, path, snapshot=2).count() == docs.count()
+    after3 = _hashes()
+    assert all(after3[f] == h for f, h in before.items())  # still untouched
+
+    # time travel to snapshot 1
+    tt = read_table(spark, path, snapshot=1)
+    assert {r.doc_id for r in tt.select("doc_id").collect()} == {
+        r.doc_id for r in first.select("doc_id").collect()
+    }
+
+    # rollback = pointer swap
+    rollback(path, 2)
+    assert current_snapshot(path) == 2
+    assert read_table(spark, path).count() == docs.count()
+    rollback(path, s3)
+
+    hist = snapshot_history(spark, path)
+    assert [h["snapshot"] for h in hist] == [1, 2, 3]
+    assert hist[2].get("delete", 0) == 1
+
+    # expire: keep last 1 -> snapshots 1-2 gone, current still readable,
+    # and the orphan from a simulated crashed write is vacuumed
+    import os as _os
+
+    orphan = path + "/data/deadbeefcafe"
+    _os.makedirs(orphan)
+    open(orphan + "/part-orphan.parquet", "wb").close()
+    rep = expire_snapshots(spark, path, keep_last=1)
+    assert rep["snapshots_removed"] == 2
+    assert rep["files_removed"] >= 1 and not _os.path.exists(orphan)
+    assert read_table(spark, path).count() == docs.count() - n_en
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_table(spark, path, snapshot=1)
+
+    # compaction path: replace=True folds deletes into fresh data files
+    s5 = append_snapshot(spark, path, read_table(spark, path), replace=True)
+    assert read_table(spark, path, snapshot=s5).count() == docs.count() - n_en
+    hist5 = [h for h in snapshot_history(spark, path) if h["snapshot"] == s5]
+    assert hist5[0].get("delete", 0) == 0
