@@ -87,12 +87,26 @@ def _commit(
     spark: SparkSession,
     path: str,
     snap: int,
-    entries: list[tuple[str, str]],
+    entries: list[tuple[str, str, int]],
 ) -> None:
-    spark.createDataFrame(entries, "file string, kind string").coalesce(
-        1
-    ).write.mode("error").parquet(_manifest_path(path, snap))
+    """Write the manifest then atomically swap the pointer. Every manifest
+    carries an ``epoch_id`` per file (-1 for batch commits) so streaming
+    idempotence checks and batch operations share ONE schema — a batch
+    delete on a stream-written table must not strip the epoch column the
+    next micro-batch's applied-check reads."""
+    spark.createDataFrame(
+        entries, "file string, kind string, epoch_id long"
+    ).coalesce(1).write.mode("error").parquet(_manifest_path(path, snap))
     _swap_pointer(path, snap)
+
+
+def _manifest_entries(
+    spark: SparkSession, path: str, snap: int
+) -> list[tuple[str, str, int]]:
+    return [
+        (r["file"], r["kind"], int(r["epoch_id"]))
+        for r in _read_manifest(spark, path, snap).collect()
+    ]
 
 
 def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -101,7 +115,7 @@ def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     if current_snapshot(path) is not None:
         raise ValueError(f"versioned table already exists at {path}")
     files = _write_files(df, path, "data")
-    _commit(spark, path, 1, [(f, "data") for f in files])
+    _commit(spark, path, 1, [(f, "data", -1) for f in files])
     return 1
 
 
@@ -115,16 +129,9 @@ def append_snapshot(
     cur = current_snapshot(path)
     if cur is None:
         return create_table(spark, path, df)
-    prev = (
-        []
-        if replace
-        else [
-            (r["file"], r["kind"])
-            for r in _read_manifest(spark, path, cur).collect()
-        ]
-    )
+    prev = [] if replace else _manifest_entries(spark, path, cur)
     files = _write_files(df, path, "data")
-    _commit(spark, path, cur + 1, prev + [(f, "data") for f in files])
+    _commit(spark, path, cur + 1, prev + [(f, "data", -1) for f in files])
     return cur + 1
 
 
@@ -140,11 +147,9 @@ def delete_where(
     if cur is None:
         raise ValueError(f"no versioned table at {path}")
     keys = read_table(spark, path).filter(condition).select(key_col).distinct()
-    prev = [
-        (r["file"], r["kind"]) for r in _read_manifest(spark, path, cur).collect()
-    ]
+    prev = _manifest_entries(spark, path, cur)
     files = _write_files(keys, path, "deletes")
-    _commit(spark, path, cur + 1, prev + [(f, "delete")for f in files])
+    _commit(spark, path, cur + 1, prev + [(f, "delete", -1) for f in files])
     return cur + 1
 
 
@@ -219,6 +224,59 @@ def expire_snapshots(
                 shutil.rmtree(full)
                 removed_files += 1
     return {"snapshots_removed": removed_snaps, "files_removed": removed_files}
+
+
+def append_snapshot_epoch(
+    spark: SparkSession, path: str, batch_df: DataFrame, epoch_id: int
+) -> int | None:
+    """Exactly-once streaming append into the versioned table: one
+    SNAPSHOT per micro-batch, idempotent per ``epoch_id`` (the reference's
+    stream->Iceberg sink with real commit semantics). The applied-check
+    reads the CURRENT manifest's epoch column — the manifest-behind-the-
+    pointer is the single source of truth, so there is no second ledger
+    that could disagree with it. The pointer swap is the atomic commit:
+    a crash anywhere before it leaves the previous snapshot current and
+    the replay redoes the batch with identical content; the first
+    attempt's unreferenced files are vacuumed by expire_snapshots."""
+    cur = current_snapshot(path)
+    if cur is not None:
+        applied = (
+            _read_manifest(spark, path, cur)
+            .filter(F.col("epoch_id") == int(epoch_id))
+            .head(1)
+        )
+        if applied:
+            return None
+    os.makedirs(path, exist_ok=True)
+    files = _write_files(batch_df, path, "data")
+    prev = [] if cur is None else _manifest_entries(spark, path, cur)
+    snap = 1 if cur is None else cur + 1
+    _commit(
+        spark, path, snap, prev + [(f, "data", int(epoch_id)) for f in files]
+    )
+    return snap
+
+
+def write_stream_to_versioned(
+    df: DataFrame, path: str, checkpoint: str, trigger_seconds: int = 2
+):
+    """[EXT] the reference's streaming sink with transactional semantics:
+    every micro-batch commits one snapshot of the versioned table
+    (append_snapshot_epoch — idempotent under foreachBatch's at-least-once
+    replay). Readers always see a committed snapshot; history/rollback/
+    time travel work on the live table."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_snapshot_epoch(spark, path, batch_df, epoch_id)
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
 
 
 def snapshot_history(spark: SparkSession, path: str) -> list[dict]:

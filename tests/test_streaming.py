@@ -858,3 +858,49 @@ def test_incremental_vector_index_matches_batch(spark, sf_dir, tmp_path):
     assert crash_probe == live
     append_vectors(spark, extra, live_p, C, epoch_id=99)
     assert read_ivf_index(spark, live_p).count() == committed_after
+
+
+def test_stream_into_versioned_table_exactly_once(spark, sf_dir, tmp_path):
+    """The stream->snapshot-table sink: one committed snapshot per
+    micro-batch, at-least-once replays collapse (epoch recorded in the
+    manifest), final content equals the batch input, and history/time
+    travel work on the live table."""
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot_epoch,
+        current_snapshot,
+        read_table,
+        snapshot_history,
+        write_stream_to_versioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").drop("_ts_ns").limit(600)
+    src = str(tmp_path / "vsrc")
+    ev.repartition(3).write.parquet(src)
+    expected = {tuple(r) for r in spark.read.parquet(src).collect()}
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table, ckpt = str(tmp_path / "vtab"), str(tmp_path / "vtckpt")
+    q = write_stream_to_versioned(stream, table, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in read_table(spark, table).collect()}
+    assert got == expected
+    n_snaps = current_snapshot(table)
+    assert n_snaps >= 3  # one per micro-batch
+
+    # replaying an applied epoch is a no-op (foreachBatch at-least-once)
+    assert append_snapshot_epoch(spark, table, spark.read.parquet(src), 0) is None
+    assert {tuple(r) for r in read_table(spark, table).collect()} == expected
+
+    # time travel: snapshot 1 holds exactly the first micro-batch
+    s1 = read_table(spark, table, snapshot=1)
+    assert 0 < s1.count() < len(expected)
+    hist = snapshot_history(spark, table)
+    assert len(hist) == n_snaps
