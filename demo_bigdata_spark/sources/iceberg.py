@@ -8,6 +8,12 @@ back to plain partitioned parquet (sources/catalog.py) with the identical
 partition strategy, so correctness never depends on the jars. What Iceberg
 adds operationally — ACID append from streaming, snapshot isolation for the
 batch readers, compaction targets — is configuration, not query semantics.
+
+The TRANSACTIONAL semantics themselves (atomic snapshot commits, time
+travel, merge-on-read deletes, rollback, expire+vacuum, a per-micro-batch
+streaming snapshot sink) are implemented jar-free in sources/snapshots.py —
+a user without the runtime keeps the behavior contract and swaps only the
+storage format when jars land.
 """
 
 from __future__ import annotations

@@ -170,7 +170,11 @@ def read_table(
     entries = _read_manifest(spark, path, snap).collect()
     data = [r["file"] for r in entries if r["kind"] == "data"]
     dels = [r["file"] for r in entries if r["kind"] == "delete"]
-    df = spark.read.parquet(*data)
+    # mergeSchema: snapshots may span a schema evolution (an append with a
+    # widened schema is just new data files) — the union schema with nulls
+    # for pre-evolution rows is the contract a long-lived table needs, and
+    # old snapshots keep their narrower schema untouched
+    df = spark.read.option("mergeSchema", "true").parquet(*data)
     if dels:
         keys = spark.read.parquet(*dels)
         kc = key_col or keys.columns[0]

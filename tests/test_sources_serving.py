@@ -579,3 +579,29 @@ def test_versioned_table_time_travel_and_mor_deletes(spark, sf_dir, tmp_path):
     assert read_table(spark, path, snapshot=s5).count() == docs.count() - n_en
     hist5 = [h for h in snapshot_history(spark, path) if h["snapshot"] == s5]
     assert hist5[0].get("delete", 0) == 0
+
+
+def test_versioned_table_schema_evolution(spark, tmp_path):
+    """An append with a widened schema is just new data files: the current
+    snapshot reads the union schema (nulls for pre-evolution rows), while
+    the pre-evolution snapshot keeps its original narrow schema."""
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        read_table,
+    )
+
+    path = str(tmp_path / "evo")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    create_table(spark, path, v1)
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.9)], "id long, name string, score double"
+    )
+    append_snapshot(spark, path, v2)
+
+    cur = read_table(spark, path)
+    assert set(cur.columns) == {"id", "name", "score"}
+    got = {r.id: (r.name, r.score) for r in cur.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 0.9)}
+    old = read_table(spark, path, snapshot=1)
+    assert set(old.columns) == {"id", "name"}
