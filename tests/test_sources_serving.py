@@ -605,3 +605,44 @@ def test_versioned_table_schema_evolution(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 0.9)}
     old = read_table(spark, path, snapshot=1)
     assert set(old.columns) == {"id", "name"}
+
+
+def test_versioned_table_incremental_reads_and_cdc(spark, sf_dir, tmp_path):
+    """read_appends_since returns exactly the rows whose files landed
+    after the checkpointed snapshot (file-level diff, no history read);
+    snapshot_diff surfaces row-level inserts and deletes across any two
+    snapshots."""
+    from demo_bigdata_spark.sources.catalog import load_table
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        delete_where,
+        read_appends_since,
+        snapshot_diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    first = docs.filter(F.col("doc_id") <= cut)
+    second = docs.filter(F.col("doc_id") > cut)
+
+    path = str(tmp_path / "inc")
+    create_table(spark, path, first)
+    append_snapshot(spark, path, second)
+
+    inc = read_appends_since(spark, path, since_snapshot=1)
+    assert {r.doc_id for r in inc.collect()} == {
+        r.doc_id for r in second.collect()
+    }
+    assert read_appends_since(spark, path, 1, snapshot=1).count() == 0
+
+    delete_where(spark, path, "doc_id", F.col("lang") == "en")
+    d = snapshot_diff(spark, path, 1, 3, "doc_id")
+    rows = {(r.doc_id, r.change) for r in d.collect()}
+    first_ids = {r.doc_id for r in first.collect()}
+    en_ids = {r.doc_id for r in docs.filter(F.col("lang") == "en").collect()}
+    second_ids = {r.doc_id for r in second.collect()}
+    expected = {(i, "insert") for i in second_ids - en_ids} | {
+        (i, "delete") for i in first_ids & en_ids
+    }
+    assert rows == expected
