@@ -962,6 +962,72 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# --- Snapshot-versioned table round trip ---------------------------------------
+
+
+def q_snapshot_table(spark, sf_dir):
+    """End-to-end versioned-table round trip (sources.snapshots): create
+    from the even-id half of the corpus, append the odd half, merge-on-
+    read delete the English docs, then report per-language counts AT
+    EVERY SNAPSHOT — time travel, MOR semantics, and the atomic-pointer
+    lifecycle value-checked against an oracle that recomputes each
+    snapshot's expected contents straight from the documents table."""
+    import shutil
+
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        delete_where,
+        read_table,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    path = "/tmp/spark_graft_vtable_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    shutil.rmtree(path, ignore_errors=True)
+    create_table(spark, path, docs.filter(F.col("doc_id") % 2 == 0))
+    append_snapshot(spark, path, docs.filter(F.col("doc_id") % 2 == 1))
+    delete_where(spark, path, "doc_id", F.col("lang") == "en")
+
+    def counts(snap, alias):
+        return (
+            read_table(spark, path, snapshot=snap)
+            .groupBy("lang")
+            .agg(F.count("*").alias(alias))
+        )
+
+    return (
+        counts(1, "n_snap1")
+        .join(counts(2, "n_snap2"), "lang", "full_outer")
+        .join(counts(3, "n_current"), "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_snap1", F.lit(0)).alias("n_snap1"),
+            F.coalesce("n_snap2", F.lit(0)).alias("n_snap2"),
+            F.coalesce("n_current", F.lit(0)).alias("n_current"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SNAPSHOT_TABLE = """
+WITH s1 AS (
+  SELECT lang, count(*) AS n FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+),
+s2 AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+s3 AS (
+  SELECT lang, count(*) AS n FROM documents WHERE lang <> 'en' GROUP BY lang
+)
+SELECT s2.lang,
+       coalesce(s1.n, 0)::BIGINT AS n_snap1,
+       coalesce(s2.n, 0)::BIGINT AS n_snap2,
+       coalesce(s3.n, 0)::BIGINT AS n_current
+FROM s2
+LEFT JOIN s1 USING (lang)
+LEFT JOIN s3 USING (lang)
+ORDER BY lang
+"""
+
+
 # --- Hashed-feature linear quality classifier ---------------------------------
 
 CLS_BUCKETS = 1024
@@ -2686,6 +2752,7 @@ QUERIES = {
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "corpus_pipeline_v2": (q_corpus_pipeline_v2, SQL_CORPUS_PIPELINE_V2),
     "classifier_quality": (q_classifier_quality, SQL_CLASSIFIER_QUALITY),
+    "snapshot_table": (q_snapshot_table, SQL_SNAPSHOT_TABLE),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),
