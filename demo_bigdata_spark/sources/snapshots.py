@@ -93,9 +93,13 @@ def _commit(
     carries an ``epoch_id`` per file (-1 for batch commits) so streaming
     idempotence checks and batch operations share ONE schema — a batch
     delete on a stream-written table must not strip the epoch column the
-    next micro-batch's applied-check reads."""
+    next micro-batch's applied-check reads. Each entry also records its
+    ``seq`` — its position in the commit order — because parquet reads do
+    not preserve row order and the delete-application rule (a delete file
+    applies only to data files with a SMALLER seq) depends on it."""
+    seqd = [(f, k, e, i) for i, (f, k, e) in enumerate(entries)]
     spark.createDataFrame(
-        entries, "file string, kind string, epoch_id long"
+        seqd, "file string, kind string, epoch_id long, seq int"
     ).coalesce(1).write.mode("error").parquet(_manifest_path(path, snap))
     _swap_pointer(path, snap)
 
@@ -103,10 +107,10 @@ def _commit(
 def _manifest_entries(
     spark: SparkSession, path: str, snap: int
 ) -> list[tuple[str, str, int]]:
-    return [
-        (r["file"], r["kind"], int(r["epoch_id"]))
-        for r in _read_manifest(spark, path, snap).collect()
-    ]
+    rows = sorted(
+        _read_manifest(spark, path, snap).collect(), key=lambda r: r["seq"]
+    )
+    return [(r["file"], r["kind"], int(r["epoch_id"])) for r in rows]
 
 
 def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -153,6 +157,39 @@ def delete_where(
     return cur + 1
 
 
+def upsert_snapshot(
+    spark: SparkSession, path: str, df: DataFrame, key_col: str
+) -> int:
+    """MERGE INTO semantics in ONE commit: ``df``'s rows replace any
+    existing rows with the same key and insert the rest — implemented as
+    a delete-keys file (``df``'s keys) plus a data file (``df`` itself)
+    committed in a single manifest + pointer swap, so readers see the
+    upsert atomically and never a deleted-but-not-reinserted window.
+
+    Merge-on-read all the way down: no existing file is rewritten, the
+    previous snapshot still shows the old rows. Within one snapshot the
+    delete keys must not suppress the NEW rows — read_table applies
+    delete files only to data files from EARLIER manifest positions
+    (Iceberg's sequence-number rule, emulated with the manifest row
+    order)."""
+    cur = current_snapshot(path)
+    if cur is None:
+        return create_table(spark, path, df)
+    keys = df.select(key_col).distinct()
+    prev = _manifest_entries(spark, path, cur)
+    dfiles = _write_files(keys, path, "deletes")
+    afiles = _write_files(df, path, "data")
+    _commit(
+        spark,
+        path,
+        cur + 1,
+        prev
+        + [(f, "delete", -1) for f in dfiles]
+        + [(f, "data", -1) for f in afiles],
+    )
+    return cur + 1
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -167,19 +204,39 @@ def read_table(
     snap = current_snapshot(path) if snapshot is None else int(snapshot)
     if snap is None:
         raise ValueError(f"no versioned table at {path}")
-    entries = _read_manifest(spark, path, snap).collect()
-    data = [r["file"] for r in entries if r["kind"] == "data"]
-    dels = [r["file"] for r in entries if r["kind"] == "delete"]
-    # mergeSchema: snapshots may span a schema evolution (an append with a
-    # widened schema is just new data files) — the union schema with nulls
-    # for pre-evolution rows is the contract a long-lived table needs, and
-    # old snapshots keep their narrower schema untouched
-    df = spark.read.option("mergeSchema", "true").parquet(*data)
-    if dels:
-        keys = spark.read.parquet(*dels)
-        kc = key_col or keys.columns[0]
-        df = df.join(keys.select(kc).distinct(), kc, "left_anti")
-    return df
+    entries = sorted(
+        _read_manifest(spark, path, snap).collect(), key=lambda r: r["seq"]
+    )
+    data = [(r["file"], r["seq"]) for r in entries if r["kind"] == "data"]
+    dels = [(r["file"], r["seq"]) for r in entries if r["kind"] == "delete"]
+    if not dels:
+        # mergeSchema: snapshots may span a schema evolution (an append
+        # with a widened schema is just new data files) — the union schema
+        # with nulls for pre-evolution rows; old snapshots keep their
+        # narrower schema untouched
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[f for f, _ in data]
+        )
+    # the sequence rule (Iceberg's): a delete file suppresses rows only in
+    # data files committed BEFORE it — an upsert's own rows must survive
+    # its own delete keys. Data files sharing the same applicable-delete
+    # set scan together; the group count is bounded by the delete-file
+    # count (compaction via append_snapshot(replace=True) resets both).
+    out = None
+    groups: dict[tuple, list[str]] = {}
+    for f, seq in data:
+        applicable = tuple(df_ for df_, ds in dels if ds > seq)
+        groups.setdefault(applicable, []).append(f)
+    for applicable, files in groups.items():
+        part = spark.read.option("mergeSchema", "true").parquet(*files)
+        if applicable:
+            keys = spark.read.parquet(*applicable)
+            kc = key_col or keys.columns[0]
+            part = part.join(keys.select(kc).distinct(), kc, "left_anti")
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    return out
 
 
 def read_appends_since(

@@ -646,3 +646,43 @@ def test_versioned_table_incremental_reads_and_cdc(spark, sf_dir, tmp_path):
         (i, "delete") for i in first_ids & en_ids
     }
     assert rows == expected
+
+
+def test_versioned_table_upsert_merge_semantics(spark, tmp_path):
+    """upsert_snapshot = MERGE INTO in one atomic commit: matched keys
+    take the new values, unmatched insert, everything else unchanged; the
+    upsert's own delete keys must NOT suppress its own new rows (the
+    sequence rule), and the pre-upsert snapshot still shows old values."""
+    from demo_bigdata_spark.sources.snapshots import (
+        create_table,
+        read_table,
+        upsert_snapshot,
+    )
+
+    path = str(tmp_path / "merge")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n long"
+    )
+    create_table(spark, path, base)
+    upd = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "k long, v string, n long"
+    )
+    s2 = upsert_snapshot(spark, path, upd, "k")
+    got = {r.k: (r.v, r.n) for r in read_table(spark, path).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+    old = {r.k: (r.v, r.n) for r in read_table(spark, path, snapshot=1).collect()}
+    assert old == {1: ("a", 10), 2: ("b", 20), 3: ("c", 30)}
+
+    # a second upsert layered on the first: sequence rule must keep each
+    # generation's survivors straight across multiple delete files
+    upd2 = spark.createDataFrame([(2, "BB", 2000), (5, "e", 50)], "k long, v string, n long")
+    upsert_snapshot(spark, path, upd2, "k")
+    got2 = {r.k: (r.v, r.n) for r in read_table(spark, path).collect()}
+    assert got2 == {
+        1: ("a", 10),
+        2: ("BB", 2000),
+        3: ("c", 30),
+        4: ("d", 40),
+        5: ("e", 50),
+    }
+    assert {r.k: r.v for r in read_table(spark, path, snapshot=s2).collect()}[2] == "B"
