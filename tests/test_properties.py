@@ -283,3 +283,62 @@ def test_winnowing_guarantee_shared_substring(spark, prefix_a, suffix_a, prefix_
     for r in winnow_fingerprints(df, k=k, w=w).collect():
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] & fps[2], f"no shared fingerprint: {rows}"
+
+
+def test_versioned_table_model_based_fuzz(spark, tmp_path):
+    """Model-based check of the snapshot table: a seeded random sequence of
+    append / delete_where / upsert ops runs against BOTH the real table
+    and a pure-Python dict model; after every commit the current view must
+    equal the model, and at the end EVERY historical snapshot must equal
+    the model's recorded state at that commit — time travel replays the
+    whole history exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        delete_where,
+        read_table,
+        upsert_snapshot,
+    )
+
+    rng = random.Random(7)
+    next_key = 100
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    path = str(tmp_path / "model")
+    init = [(i, i * 10) for i in range(8)]
+    create_table(spark, path, frame(init))
+    model: dict[int, int] = dict(init)
+    history = {1: dict(model)}
+    snap = 1
+
+    def read_now(s=None):
+        return {r.k: r.v for r in read_table(spark, path, snapshot=s).collect()}
+
+    for _ in range(6):
+        op = rng.choice(["append", "delete", "upsert"])
+        if op == "append":
+            rows = [(next_key + j, (next_key + j) * 10) for j in range(3)]
+            next_key += 3
+            snap = append_snapshot(spark, path, frame(rows))
+            model.update(rows)
+        elif op == "delete":
+            cutoff = rng.choice(sorted(model) or [0])
+            snap = delete_where(spark, path, "k", F.col("k") <= cutoff)
+            model = {k: v for k, v in model.items() if k > cutoff}
+        else:
+            keys = rng.sample(sorted(model), min(2, len(model))) if model else []
+            rows = [(k, k * 1000) for k in keys] + [(next_key, next_key * 10)]
+            next_key += 1
+            snap = upsert_snapshot(spark, path, frame(rows), "k")
+            model.update(rows)
+        history[snap] = dict(model)
+        assert read_now() == model, f"divergence after {op} at snapshot {snap}"
+
+    for s, expected in history.items():
+        assert read_now(s) == expected, f"time travel to {s} diverged"
