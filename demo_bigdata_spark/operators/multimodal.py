@@ -166,6 +166,61 @@ def frame_sample_fake(media: DataFrame, every_n_bytes: int = 64, max_frames: int
     return media.mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy_sum", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_windows_fake(
+    media: DataFrame,
+    window_bytes: int = 32,
+    max_windows: int = 4,
+    center: int = 64,
+) -> DataFrame:
+    """Deterministic fake audio featurizer — the waveform-analysis member
+    of the media tier (image decode / video frame-sample / AUDIO window):
+    treat the payload as 8-bit PCM centered at ``center``, emit per-window
+    sample count, energy (sum of squared amplitudes) and zero-crossing
+    count (strict sign flips, a*b < 0). One input row fans out to at most
+    ``max_windows`` rows, Arrow-batched via mapInPandas — the real
+    streaming-DSP plumbing with a stub transform (a real decoder swaps in
+    soundfile/librosa without touching the shape). All-integer features:
+    exactly replayable from byte values on any engine."""
+
+    def _win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, es, zs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nw = min(max(len(payload) // window_bytes, 1), max_windows)
+                for w in range(nw):
+                    chunk = payload[w * window_bytes : (w + 1) * window_bytes]
+                    vals = [b - center for b in chunk]
+                    ids.append(doc_id)
+                    idxs.append(w)
+                    ns.append(len(vals))
+                    es.append(sum(v * v for v in vals))
+                    zs.append(
+                        sum(1 for a, b in zip(vals, vals[1:]) if a * b < 0)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": idxs,
+                    "n_samples": ns,
+                    "energy_sum": es,
+                    "zero_crossings": zs,
+                }
+            )
+
+    return media.mapInPandas(_win, AUDIO_FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

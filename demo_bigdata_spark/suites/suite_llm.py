@@ -1752,6 +1752,40 @@ ORDER BY doc_id
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """mapInPandas fake audio windows (operator:
+    multimodal.audio_windows_fake): payload bytes as 8-bit PCM centered
+    at 64; per 32-byte window the sample count, integer energy sum and
+    strict zero-crossing count. All-integer features — the twin replays
+    the byte arithmetic exactly (pure-ASCII corpus: char positions ==
+    byte positions, ascii() == byte value)."""
+    media = M.attach_binary(_docs(spark, sf_dir))
+    return M.audio_windows_fake(media).orderBy("doc_id", "window_idx")
+
+
+SQL_AUDIO_FEATURES = """
+WITH b AS (SELECT doc_id, text, length(text) AS L FROM documents),
+w AS (
+  SELECT doc_id, text,
+         unnest(range(least(greatest(L // 32, 1), 4))) AS wi
+  FROM b
+),
+ch AS (SELECT doc_id, wi, substr(text, wi * 32 + 1, 32) AS chunk FROM w),
+vals AS (
+  SELECT doc_id, wi,
+         list_transform(range(length(chunk)),
+                        i -> ascii(chunk[i+1:i+1]) - 64) AS v
+  FROM ch
+)
+SELECT doc_id, wi::INT AS window_idx, len(v)::INT AS n_samples,
+       coalesce(list_sum(list_transform(v, x -> x * x)), 0)::BIGINT AS energy_sum,
+       coalesce(len(list_filter(range(len(v) - 1),
+                                i -> v[i+1] * v[i+2] < 0)), 0)::INT AS zero_crossings
+FROM vals
+ORDER BY doc_id, wi
+"""
+
+
 def q_frame_samples(spark, sf_dir):
     """mapInPandas fan-out: one 'frame' per 64-byte chunk (capped at 8),
     sha256[:16] per chunk — the twin replays chunking + hashing in SQL."""
@@ -2770,6 +2804,7 @@ QUERIES = {
     "ivf_topk": (q_ivf_topk, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
