@@ -156,6 +156,103 @@ def classifier_quality_score(
     )
 
 
+def train_quality_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    n_buckets: int = 1024,
+    iterations: int = 10,
+    lr: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] train the hashed-feature logistic quality classifier IN the
+    engine — the CCNet/GPT-3 distillation flow (label a reference corpus
+    positive, raw crawl negative, fit, then filter at scale with
+    :func:`classifier_quality_score`).
+
+    Batch gradient descent with bounded driver state, the k-means/BPE
+    iterative pattern: the (doc, bucket, cnt, label) feature table is
+    built ONCE (one explode + groupBy, pinned); each iteration is
+      margin  = per-doc sum of cnt * w[bucket]      (broadcast join + agg)
+      grad    = per-bucket sum of cnt * (sigmoid(margin/len) - y) / len
+      w      -= lr * grad / n_docs                  (collect: n_buckets floats)
+    Weights live driver-side between iterations (KBs — the bounded-state
+    contract), re-broadcast each round as a literal map. Features are
+    mean-normalized per doc (cnt/len) so long docs don't dominate.
+
+    Returns the (bucket, weight) table classifier_quality_score consumes.
+    Reproducible: zero init + fixed iteration count + content-addressed
+    bucketing — same corpus, same weights to within float summation
+    order (the per-bucket gradient is a cross-partition double sum, so
+    reruns can differ by ~1 ULP; decisions are insensitive to it)."""
+    import math
+
+    from demo_bigdata_spark.operators.sampling import hash_bucket
+
+    spark = positives.sparkSession
+
+    def feats(df: DataFrame, label: int) -> DataFrame:
+        toks = (
+            df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+            .filter(F.col("_t") != "")
+            .select(
+                (F.col(id_col) * 2 + label).alias("_doc"),
+                hash_bucket("_t", n_buckets).alias("bucket"),
+            )
+        )
+        return toks.groupBy("_doc", "bucket").agg(
+            F.count("*").cast("double").alias("cnt"),
+            F.lit(float(label)).alias("y"),
+        )
+
+    fx = (
+        feats(positives, 1)
+        .unionByName(feats(negatives, 0))
+        .localCheckpoint(eager=False)
+    )
+    lens = fx.groupBy("_doc").agg(F.sum("cnt").alias("_len"))
+    fx = fx.join(lens, "_doc").withColumn("x", F.col("cnt") / F.col("_len"))
+    fx = fx.select("_doc", "bucket", "x", "y").localCheckpoint(eager=False)
+    n_docs = fx.select("_doc").distinct().count()
+
+    w = [0.0] * n_buckets
+    for _ in range(iterations):
+        # weights travel as a broadcast-joined table, not a literal map:
+        # the same lookup shape as the serving path, and a 1024-entry map
+        # literal would be re-interpreted per row
+        wdf = spark.createDataFrame(
+            [(b, wb) for b, wb in enumerate(w) if wb != 0.0] or [(0, 0.0)],
+            "bucket int, weight double",
+        )
+        margins = (
+            fx.join(F.broadcast(wdf), "bucket", "left")
+            .withColumn(
+                "_wx", F.col("x") * F.coalesce(F.col("weight"), F.lit(0.0))
+            )
+            .groupBy("_doc", "y")
+            .agg(F.sum("_wx").alias("m"))
+            .select(
+                "_doc",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias(
+                    "err"
+                ),
+            )
+        )
+        grad_rows = (
+            fx.join(margins, "_doc")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
+            .collect()
+        )
+        for r in grad_rows:
+            w[int(r["bucket"])] -= lr * float(r["g"]) / n_docs
+        if all(math.isfinite(v) for v in w) is False:
+            raise RuntimeError("train_quality_classifier diverged; lower lr")
+    return spark.createDataFrame(
+        [(b, float(wb)) for b, wb in enumerate(w)], "bucket int, weight double"
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", min_tokens: int = 5, max_avg_token_len: float = 12.0) -> DataFrame:
     """Heuristic keep/drop quality gate à la Gopher rules (public C4/Gopher
     filtering heuristics re-expressed as Catalyst predicates)."""

@@ -1044,3 +1044,52 @@ def test_bm25_indexed_matches_scan_with_empty_docs(spark, tmp_path):
     scan = {tuple(r) for r in bm25_rank(docs, terms).collect()}
     indexed = {tuple(r) for r in bm25_rank_indexed(spark, path, terms).collect()}
     assert scan == indexed and scan
+
+
+def test_train_quality_classifier_separates(spark, sf_dir):
+    """End-to-end learned quality filter: train logistic weights on
+    gopher-gated docs (positives) vs synthetic symbol-noise docs
+    (negatives), then score a held-out mix — the trained classifier must
+    separate cleanly (every held-out clean doc above every noise doc).
+    Determinism: same corpus -> same weights, pinned by a re-train."""
+    from demo_bigdata_spark.operators.text import (
+        classifier_quality_score,
+        train_quality_classifier,
+    )
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos_train = docs.filter(F.col("doc_id") % 4 != 0)
+    pos_held = docs.filter(F.col("doc_id") % 4 == 0).limit(20)
+
+    def noise(i):
+        toks = [f"@@{(i * 7 + j) % 97}##{j}!!" for j in range(30)]
+        return " ".join(toks)
+
+    neg_rows = [(10_000 + i, noise(i)) for i in range(120)]
+    neg_train = spark.createDataFrame(neg_rows[:100], "doc_id long, text string")
+    neg_held = spark.createDataFrame(neg_rows[100:], "doc_id long, text string")
+
+    weights = train_quality_classifier(
+        pos_train, neg_train, n_buckets=512, iterations=8, lr=4.0
+    )
+    held = pos_held.unionByName(neg_held)
+    scored = classifier_quality_score(held, weights, n_buckets=512)
+    probs = {r.doc_id: r.quality_prob for r in scored.collect()}
+    pos_probs = [p for d, p in probs.items() if d < 10_000]
+    neg_probs = [p for d, p in probs.items() if d >= 10_000]
+    assert pos_probs and neg_probs
+    assert min(pos_probs) > max(neg_probs), (
+        min(pos_probs),
+        max(neg_probs),
+    )
+
+    # reproducibility: retraining matches to float-summation noise (the
+    # per-bucket gradient is a cross-partition double sum -> ~1 ULP drift)
+    w2 = train_quality_classifier(
+        pos_train, neg_train, n_buckets=512, iterations=8, lr=4.0
+    )
+    a = {r.bucket: r.weight for r in weights.collect()}
+    b = {r.bucket: r.weight for r in w2.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) <= 1e-9 * max(1.0, abs(a[k])) for k in a)
