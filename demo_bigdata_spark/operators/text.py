@@ -177,8 +177,9 @@ def train_quality_classifier(
       grad    = per-bucket sum of cnt * (sigmoid(margin/len) - y) / len
       w      -= lr * grad / n_docs                  (collect: n_buckets floats)
     Weights live driver-side between iterations (KBs — the bounded-state
-    contract), re-broadcast each round as a literal map. Features are
-    mean-normalized per doc (cnt/len) so long docs don't dominate.
+    contract), re-broadcast each round as a joined weight table (the same
+    lookup shape as the serving path). Features are mean-normalized per
+    doc (cnt/len) so long docs don't dominate.
 
     Returns the (bucket, weight) table classifier_quality_score consumes.
     Reproducible: zero init + fixed iteration count + content-addressed
