@@ -98,9 +98,13 @@ def _commit(
     not preserve row order and the delete-application rule (a delete file
     applies only to data files with a SMALLER seq) depends on it."""
     seqd = [(f, k, e, i) for i, (f, k, e) in enumerate(entries)]
+    # OVERWRITE, not error: a crash between this write and the pointer
+    # swap (or a rollback to an earlier snapshot) leaves a stale,
+    # unreferenced manifest at the target id — the redo must replace it,
+    # otherwise the table is permanently wedged on 'path already exists'
     spark.createDataFrame(
         seqd, "file string, kind string, epoch_id long, seq int"
-    ).coalesce(1).write.mode("error").parquet(_manifest_path(path, snap))
+    ).coalesce(1).write.mode("overwrite").parquet(_manifest_path(path, snap))
     _swap_pointer(path, snap)
 
 
@@ -133,7 +137,21 @@ def append_snapshot(
     cur = current_snapshot(path)
     if cur is None:
         return create_table(spark, path, df)
-    prev = [] if replace else _manifest_entries(spark, path, cur)
+    if replace:
+        # epoch markers carry the applied-epoch set through compaction:
+        # the rewritten files are epoch -1, but a restarting stream's
+        # applied-check reads the CURRENT manifest — dropping the epoch
+        # history here would make it re-append the last batches
+        applied = sorted(
+            {
+                e
+                for _, _, e in _manifest_entries(spark, path, cur)
+                if e >= 0
+            }
+        )
+        prev = [("", "epoch_marker", e) for e in applied]
+    else:
+        prev = _manifest_entries(spark, path, cur)
     files = _write_files(df, path, "data")
     _commit(spark, path, cur + 1, prev + [(f, "data", -1) for f in files])
     return cur + 1
@@ -209,6 +227,7 @@ def read_table(
     )
     data = [(r["file"], r["seq"]) for r in entries if r["kind"] == "data"]
     dels = [(r["file"], r["seq"]) for r in entries if r["kind"] == "delete"]
+    # kind == "epoch_marker" rows carry stream idempotence state only
     if not dels:
         # mergeSchema: snapshots may span a schema evolution (an append
         # with a widened schema is just new data files) — the union schema
@@ -229,9 +248,17 @@ def read_table(
         groups.setdefault(applicable, []).append(f)
     for applicable, files in groups.items():
         part = spark.read.option("mergeSchema", "true").parquet(*files)
-        if applicable:
-            keys = spark.read.parquet(*applicable)
-            kc = key_col or keys.columns[0]
+        # delete files may be keyed by DIFFERENT columns (delete_where on
+        # doc_id, then on lang): group them by key column and anti-join
+        # once per column — one mixed-schema scan would null out every
+        # file's missing column and silently stop deleting
+        by_col: dict[str, list[str]] = {}
+        for d in applicable:
+            cols = spark.read.parquet(d).columns
+            kc = key_col if (key_col and key_col in cols) else cols[0]
+            by_col.setdefault(kc, []).append(d)
+        for kc, dirs in by_col.items():
+            keys = spark.read.parquet(*dirs)
             part = part.join(keys.select(kc).distinct(), kc, "left_anti")
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
@@ -258,16 +285,26 @@ def read_appends_since(
         for r in _read_manifest(spark, path, since_snapshot).collect()
         if r["kind"] == "data"
     }
-    new = [
-        r["file"]
-        for r in _read_manifest(spark, path, hi).collect()
-        if r["kind"] == "data" and r["file"] not in old
-    ]
-    if not new:
-        first = spark.read.option("mergeSchema", "true").parquet(
-            *sorted(old)[:1]
+    hi_rows = sorted(
+        _read_manifest(spark, path, hi).collect(), key=lambda r: r["seq"]
+    )
+    hi_data = [r["file"] for r in hi_rows if r["kind"] == "data"]
+    new = [f for f in hi_data if f not in old]
+    if old and hi_data and not (old & set(hi_data)):
+        # a replace-compaction rewrote history between the checkpoints:
+        # every "new" file would actually re-deliver old rows. Refuse
+        # loudly — the consumer must re-baseline from a full read_table
+        # (or poll across compactions, which preserve no file lineage).
+        raise ValueError(
+            f"read_appends_since({since_snapshot}->{hi}): no data file "
+            "survives from the base snapshot — the window spans a "
+            "replace-compaction; re-baseline with read_table"
         )
-        return first.limit(0)
+    if not new:
+        # empty window: borrow the NEWEST file's schema (a pre-evolution
+        # file would intermittently drop evolved columns)
+        src = hi_data[-1:] or sorted(old)[-1:]
+        return spark.read.option("mergeSchema", "true").parquet(*src).limit(0)
     return spark.read.option("mergeSchema", "true").parquet(*new)
 
 
@@ -280,21 +317,31 @@ def snapshot_diff(
 ) -> DataFrame:
     """Row-level change-data-capture between two snapshots: each key's
     state compared across the two committed views — ``insert`` (new key),
-    ``delete`` (gone key). Cost is two committed reads + one full-outer
-    join keyed by ``key_col``; for the common append-only window the
-    cheaper :func:`read_appends_since` answers from the file diff
-    without touching history."""
-    a = read_table(spark, path, from_snapshot).select(
-        F.col(key_col), F.lit(1).alias("_a")
-    )
-    b = read_table(spark, path, to_snapshot).select(
-        F.col(key_col), F.lit(1).alias("_b")
-    )
+    ``delete`` (gone key), ``update`` (same key, changed row content via a
+    sha2 digest of the non-key columns). Cost is two committed reads +
+    one full-outer join keyed by ``key_col``; for the common append-only
+    window the cheaper :func:`read_appends_since` answers from the file
+    diff without touching history."""
+    ta = read_table(spark, path, from_snapshot)
+    tb = read_table(spark, path, to_snapshot)
+
+    def digest(df):
+        others = sorted(c for c in df.columns if c != key_col)
+        return df.select(
+            F.col(key_col),
+            F.sha2(F.to_json(F.struct(*[F.col(c) for c in others])), 256).alias(
+                "_h"
+            ),
+        )
+
+    a = digest(ta).withColumnRenamed("_h", "_ha")
+    b = digest(tb).withColumnRenamed("_h", "_hb")
     j = a.join(b, key_col, "full_outer")
     return j.select(
         key_col,
-        F.when(F.col("_a").isNull(), F.lit("insert"))
-        .when(F.col("_b").isNull(), F.lit("delete"))
+        F.when(F.col("_ha").isNull(), F.lit("insert"))
+        .when(F.col("_hb").isNull(), F.lit("delete"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("update"))
         .alias("change"),
     ).filter(F.col("change").isNotNull())
 
@@ -324,7 +371,9 @@ def expire_snapshots(
     snaps = sorted(
         int(d) for d in os.listdir(_snap_dir(path)) if d.isdigit()
     )
-    keep = set(snaps[-keep_last:]) | {cur}
+    # max(1, ..): keep_last=0 would slice [-0:] == the WHOLE list and
+    # silently retain everything; the current snapshot is the floor
+    keep = set(snaps[-max(1, keep_last):]) | {cur}
     referenced: set[str] = set()
     for snap in keep:
         for r in _read_manifest(spark, path, snap).collect():

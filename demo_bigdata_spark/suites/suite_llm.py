@@ -972,6 +972,7 @@ def q_snapshot_table(spark, sf_dir):
     EVERY SNAPSHOT — time travel, MOR semantics, and the atomic-pointer
     lifecycle value-checked against an oracle that recomputes each
     snapshot's expected contents straight from the documents table."""
+    import os
     import shutil
 
     from demo_bigdata_spark.sources.snapshots import (
@@ -982,7 +983,13 @@ def q_snapshot_table(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    path = "/tmp/spark_graft_vtable_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # pid-scoped path: a fixed shared /tmp dir would let two concurrent
+    # runs rmtree each other mid-lifecycle
+    path = (
+        "/tmp/spark_graft_vtable_"
+        + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        + f"_{os.getpid()}"
+    )
     shutil.rmtree(path, ignore_errors=True)
     create_table(spark, path, docs.filter(F.col("doc_id") % 2 == 0))
     append_snapshot(spark, path, docs.filter(F.col("doc_id") % 2 == 1))

@@ -686,3 +686,77 @@ def test_versioned_table_upsert_merge_semantics(spark, tmp_path):
         5: ("e", 50),
     }
     assert {r.k: r.v for r in read_table(spark, path, snapshot=s2).collect()}[2] == "B"
+
+
+def test_versioned_table_review_fixes(spark, tmp_path):
+    """Round-6 review regressions, pinned: (1) commits succeed after a
+    rollback (stale manifest overwritten, not wedged); (2) replace-
+    compaction carries applied-epoch markers so a restarting stream's
+    idempotence check still holds; (3) delete files keyed by DIFFERENT
+    columns all apply; (4) snapshot_diff reports updates; (5)
+    read_appends_since refuses a window spanning a compaction and keeps
+    the evolved schema on empty windows; (7) expire keep_last=0 keeps
+    only the floor."""
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        append_snapshot_epoch,
+        create_table,
+        current_snapshot,
+        delete_where,
+        expire_snapshots,
+        read_appends_since,
+        read_table,
+        rollback,
+        snapshot_diff,
+        upsert_snapshot,
+    )
+
+    path = str(tmp_path / "rf")
+    base = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20), (3, "en", 30)], "k long, lang string, n long"
+    )
+    create_table(spark, path, base)
+    append_snapshot(spark, path, spark.createDataFrame([(4, "fr", 40)], base.schema))
+
+    # (1) rollback then write again — must not wedge on the stale manifest
+    rollback(path, 1)
+    s = append_snapshot(spark, path, spark.createDataFrame([(5, "es", 50)], base.schema))
+    assert s == 2
+    assert {r.k for r in read_table(spark, path).collect()} == {1, 2, 3, 5}
+
+    # (3) deletes keyed by different columns compose
+    delete_where(spark, path, "k", F.col("k") == 5)
+    delete_where(spark, path, "lang", F.col("lang") == "en")
+    assert {r.k for r in read_table(spark, path).collect()} == {2}
+
+    # (4) updates appear in CDC
+    upsert_snapshot(spark, path, spark.createDataFrame([(2, "de", 999)], base.schema), "k")
+    d = {(r.k, r.change) for r in snapshot_diff(spark, path, 4, 5, "k").collect()}
+    assert d == {(2, "update")}
+
+    # (2) epoch markers survive compaction
+    ep_path = str(tmp_path / "rf_stream")
+    ev = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    append_snapshot_epoch(spark, ep_path, ev, 0)
+    append_snapshot_epoch(spark, ep_path, ev.withColumn("k", F.col("k") + 10), 1)
+    n = read_table(spark, ep_path).count()
+    append_snapshot(spark, ep_path, read_table(spark, ep_path), replace=True)
+    assert append_snapshot_epoch(spark, ep_path, ev, 1) is None  # still applied
+    assert read_table(spark, ep_path).count() == n
+
+    # (5) incremental read across the compaction refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="replace-compaction"):
+        read_appends_since(spark, ep_path, 1)
+    # empty window keeps the newest schema
+    wide = ev.withColumn("extra", F.lit("x"))
+    append_snapshot(spark, ep_path, wide)
+    cur = current_snapshot(ep_path)
+    empty = read_appends_since(spark, ep_path, cur, snapshot=cur)
+    assert "extra" in empty.columns and empty.count() == 0
+
+    # (7) keep_last=0 keeps the current snapshot, not everything
+    rep = expire_snapshots(spark, ep_path, keep_last=0)
+    assert rep["snapshots_removed"] >= 1
+    assert read_table(spark, ep_path).count() == n + ev.count()
