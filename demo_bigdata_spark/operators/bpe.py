@@ -114,6 +114,60 @@ def _merge_pair(sym: Column, pair: str, merged: str) -> Column:
     return F.aggregate(F.split(sym, " "), F.lit(""), _step)
 
 
+def _apply_rules_py(sym: str, rules: list[tuple[str, str, str]]) -> str:
+    """Pure-Python twin of chained :func:`_merge_pair` folds: apply each
+    (a, b, merged) rule as one left-to-right non-overlapping merge pass
+    over the symbol list. Equivalence to the Catalyst fold (parity-pinned
+    in tests): both scan left to right, merge an occurrence exactly when
+    the current symbol is ``b`` and the PREVIOUS emitted symbol is ``a``,
+    and never reconsider a freshly merged symbol within the same pass —
+    and chained disjoint rules compose identically because each pass runs
+    to completion before the next rule starts."""
+    syms = sym.split(" ")
+    for a, b, merged in rules:
+        if len(syms) < 2:
+            break  # no pair can ever apply again; passes never grow the list
+        out: list[str] = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return " ".join(syms)
+
+
+def _split_rules(rules: list[tuple[str, str]]) -> list[tuple[str, str, str]]:
+    out = []
+    for pair, merged in rules:
+        a, b = pair.split(" ")
+        out.append((a, b, merged))
+    return out
+
+
+def _merge_rules_arrow(
+    df: DataFrame, rules: list[tuple[str, str]], sym_col: str = "sym"
+) -> DataFrame:
+    """[production path, VERDICT r6 #2] the merge rewrite as ONE
+    Arrow-batched ``mapInPandas`` instead of a chained interpreted
+    Catalyst fold: the per-element HOF interpretation cost disappears —
+    each executor core rewrites whole Arrow batches in a tight Python
+    loop (the token_hash_fast pattern). Same narrow no-shuffle plan
+    shape; parity-pinned bit-identical to the Catalyst path."""
+    rl = _split_rules(rules)
+    schema = df.schema
+
+    def gen(batches):
+        for pdf in batches:
+            pdf[sym_col] = [_apply_rules_py(s, rl) for s in pdf[sym_col]]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
 def _select_disjoint_batch(
     cands: list[tuple[str, int]], max_batch: int, exhausted: bool
 ) -> list[tuple[str, int]]:
@@ -169,6 +223,7 @@ def bpe_train(
     text_col: str = "text",
     max_batch: int = 16,
     candidate_limit: int = 256,
+    engine: str = "catalyst",
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merge rules. Returns (rules, merges_df) where
     rules = [(round, pair, merged, pair_count)] in learning order and
@@ -184,8 +239,20 @@ def bpe_train(
     docstring; pinned by tests against max_batch=1) — so a 32k-vocab
     training run needs ~vocab/batch driver round-trips instead of one per
     merge, with no semantic drift. ``max_batch=1`` recovers the exact
-    classic loop."""
+    classic loop.
+
+    ``engine`` picks the merge-rewrite implementation: ``"catalyst"``
+    (default — the pure-Catalyst fold, interpreted per element, fully
+    SQL-oracle-replayable) or ``"arrow"`` (the production path for huge
+    vocabularies: one Arrow-batched mapInPandas per round, no per-element
+    HOF interpretation — parity-pinned bit-identical; candidate counting
+    stays Catalyst either way). Non-BMP caveat: Java regex splits
+    initial symbols per UTF-16 code unit, Python per code point — on a
+    corpus with astral-plane characters the engines could diverge; the
+    parity test covers the real corpus."""
     global LAST_TRAIN_ROUNDS
+    if engine not in ("catalyst", "arrow"):
+        raise ValueError(f"bpe_train: unknown engine {engine!r}")
     spark = df.sparkSession
     syms = word_frequencies(df, text_col).select(
         _initial_symbols(F.col("word")).alias("sym"), "freq"
@@ -217,16 +284,23 @@ def bpe_train(
             max_batch=min(max_batch, n_merges - len(rules)),
             exhausted=len(cands) < candidate_limit,
         )
-        col = F.col("sym")
+        round_rules = []
         for pair, cnt in batch:
             merged = pair.replace(" ", "")
             rules.append((len(rules) + 1, pair, merged, cnt))
-            # disjoint rules commute and can't create each other's pairs,
-            # so chaining the folds in one projection is exact
-            col = _merge_pair(col, pair, merged)
+            round_rules.append((pair, merged))
+        if engine == "arrow":
+            rewritten = _merge_rules_arrow(syms, round_rules)
+        else:
+            col = F.col("sym")
+            for pair, merged in round_rules:
+                # disjoint rules commute and can't create each other's
+                # pairs, so chaining the folds in one projection is exact
+                col = _merge_pair(col, pair, merged)
+            rewritten = syms.select(col.alias("sym"), "freq")
         # pin each round: without the checkpoint, round i's plan nests i
-        # interpreted folds and recomputes every prior round per action
-        syms = syms.select(col.alias("sym"), "freq").localCheckpoint(eager=False)
+        # rewrite stages and recomputes every prior round per action
+        syms = rewritten.localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         rules, "round int, pair string, merged string, pair_count bigint"
     )
@@ -238,10 +312,33 @@ def bpe_apply(
     rules: list[tuple[int, str, str, int]],
     word_col: str = "word",
     out_col: str = "pieces",
+    engine: str = "catalyst",
 ) -> DataFrame:
     """Segment words with learned rules: the N merge folds compose into
     one narrow projection (no shuffle) and the final symbol string splits
-    into the piece array."""
+    into the piece array. ``engine="arrow"`` runs the whole rule chain in
+    ONE Arrow-batched mapInPandas instead of N interpreted Catalyst folds
+    — the production path when the rule list is vocabulary-sized
+    (parity-pinned bit-identical to the Catalyst chain)."""
+    if engine == "arrow":
+        from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+        rl = _split_rules([(pair, merged) for _, pair, merged, _ in rules])
+        out_schema = StructType(
+            df.schema.fields + [StructField(out_col, ArrayType(StringType()))]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                pdf[out_col] = [
+                    _apply_rules_py(
+                        " ".join(list(w)) + " " + END_MARK, rl
+                    ).split(" ")
+                    for w in pdf[word_col]
+                ]
+                yield pdf
+
+        return df.mapInPandas(gen, out_schema)
     sym = _initial_symbols(F.col(word_col))
     for _, pair, merged, _ in rules:
         sym = _merge_pair(sym, pair, merged)

@@ -254,6 +254,69 @@ def train_quality_classifier(
     )
 
 
+def classifier_eval(
+    df: DataFrame, score_col: str = "raw_score", label_col: str = "label"
+) -> DataFrame:
+    """[EXT] held-out binary-classifier evaluation IN the engine — the
+    train_quality_classifier companion that makes training quality a
+    queryable number instead of a test-only assertion. One aggregation
+    pass, no driver collect:
+
+    - **AUC** by the rank-sum (Mann-Whitney U) identity: group the eval
+      set by DISTINCT score (ties collapse), one cumulative-count window
+      over the grouped table, and the tie-averaged rank is integer-exact
+      as ``2*avg_rank = 2*cum_before + n_s + 1``. Then
+      ``AUC = (2*ranksum_pos - n_pos*(n_pos+1)) / (2*n_pos*n_neg)`` —
+      bigint arithmetic ending in ONE bigint/bigint division, so the
+      double is IEEE-identical cross-engine (the ratio-of-sums oracle
+      pattern, ROUND_NOTES fact 5).
+    - **precision/recall at threshold 0** (the sigmoid-0.5 decision
+      boundary): conditional sums over the same grouped table.
+
+    The single-partition window runs over DISTINCT SCORES of a held-out
+    EVAL set — bounded by design (you label thousands of docs, not the
+    corpus), the same deliberate bounded-window shape as the pack/bucket
+    windows. Emits one row: (n_pos, n_neg, auc, precision_at_0,
+    recall_at_0)."""
+    from pyspark.sql.window import Window
+
+    by_s = df.groupBy(score_col).agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum(F.col(label_col).cast("bigint")).alias("p_s"),
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_s.withColumn(
+        "cum", F.coalesce(F.sum("n_s").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = ranked.agg(
+        F.sum("p_s").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("p_s")).alias("n_neg"),
+        F.sum(
+            F.col("p_s") * (F.lit(2) * F.col("cum") + F.col("n_s") + F.lit(1))
+        ).alias("rs2"),
+        F.sum(
+            F.when(F.col(score_col) > 0, F.col("p_s")).otherwise(F.lit(0))
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            F.when(F.col(score_col) > 0, F.col("n_s")).otherwise(F.lit(0))
+        ).cast("bigint").alias("pp"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("rs2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+        F.when(F.col("pp") > 0, F.col("tp") / F.col("pp")).alias(
+            "precision_at_0"
+        ),
+        F.when(F.col("n_pos") > 0, F.col("tp") / F.col("n_pos")).alias(
+            "recall_at_0"
+        ),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", min_tokens: int = 5, max_avg_token_len: float = 12.0) -> DataFrame:
     """Heuristic keep/drop quality gate à la Gopher rules (public C4/Gopher
     filtering heuristics re-expressed as Catalyst predicates)."""

@@ -54,15 +54,15 @@ def morton_key(cols: list[Column], bits: int = 16) -> Column:
     return out
 
 
-def zorder_sort(
-    df: DataFrame, path: str, cols: list[str], bits: int = 16, n_files: int = 8
-) -> None:
-    """Write ``df`` clustered on the Z-order curve of ``cols``: range-
-    partition + sort on the interleaved key, so row-group min/max stats
-    are tight on EVERY participating column instead of only the leading
-    one (sort_for_skipping's single-dimension limit). One range shuffle,
-    same cost shape as the linear sort; the key column itself is dropped
-    before write (it is derivable, storing it would be pure bloat).
+def zorder_cluster(
+    df: DataFrame, cols: list[str], bits: int = 16, n_files: int = 8
+) -> DataFrame:
+    """Cluster ``df`` on the Z-order curve of ``cols`` WITHOUT writing:
+    range-partition + sort on the interleaved key, key dropped after (it
+    is derivable; storing it would be pure bloat). The transform form
+    exists so the same clustering can feed either a plain parquet write
+    (``zorder_sort``) or a versioned-table rewrite commit
+    (``snapshots.rewrite_table_layout`` — Iceberg's rewrite_data_files).
 
     Each column is min/max-scaled to the full ``bits`` width first (one
     broadcast 1-row aggregate) — raw interleave of mismatched domains
@@ -85,29 +85,40 @@ def zorder_sort(
             .cast("bigint")
         )
     key = morton_key(scaled, bits)
-    (
+    return (
         df.withColumn("_z", key)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def zorder_sort(
+    df: DataFrame, path: str, cols: list[str], bits: int = 16, n_files: int = 8
+) -> None:
+    """Write ``df`` clustered on the Z-order curve of ``cols``
+    (``zorder_cluster``), so row-group min/max stats are tight on EVERY
+    participating column instead of only the leading one
+    (sort_for_skipping's single-dimension limit). One range shuffle,
+    same cost shape as the linear sort."""
+    zorder_cluster(df, cols, bits, n_files).write.mode("overwrite").parquet(path)
+
+
+def range_cluster(df: DataFrame, cols: list[str], n_files: int = 8) -> DataFrame:
+    """Range-cluster ``df`` on ``cols`` without writing: each output
+    partition owns a contiguous key range (boundaries sampled by the
+    range partitioner), rows sorted within — the transform behind
+    ``sort_for_skipping`` and the versioned-table rewrite commit."""
+    return df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
 
 
 def sort_for_skipping(
     df: DataFrame, path: str, cols: list[str], n_files: int = 8
 ) -> None:
     """Write ``df`` range-clustered on ``cols``: each output file owns a
-    contiguous key range (boundaries sampled by the range partitioner),
-    rows sorted within, so row-group stats on the leading column are
-    tight and disjoint across files."""
-    (
-        df.repartitionByRange(n_files, *cols)
-        .sortWithinPartitions(*cols)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    contiguous key range, rows sorted within, so row-group stats on the
+    leading column are tight and disjoint across files."""
+    range_cluster(df, cols, n_files).write.mode("overwrite").parquet(path)
 
 
 def skipping_report(spark, path: str, column: str, probes: list) -> dict:

@@ -1,6 +1,7 @@
 """Snapshot-versioned parquet tables: time travel, merge-on-read deletes,
-rollback, and snapshot expiry — Iceberg's transactional core emulated on
-plain parquet + an atomic pointer file.
+rollback, snapshot expiry, statistics-based scan planning, and rewrite
+commits — Iceberg's transactional core emulated on plain parquet + an
+atomic pointer file.
 
 [EXT over the sandbox constraint] The reference's sink is an Iceberg table
 (reference: services/streaming-service/spark_config.py:50-53 — catalog
@@ -10,37 +11,74 @@ This module supplies the SEMANTICS a user of that sink relies on, with the
 same commit discipline Iceberg uses:
 
 - **Data files are immutable and append-only** (content-addressed under
-  ``data/``); a snapshot is a MANIFEST (parquet list of file paths + kinds)
-  plus the ``_CURRENT`` pointer naming it.
-- **Commit = write everything, then atomically swap the pointer**
-  (``os.replace`` — atomic on POSIX). A crash before the swap leaves only
-  unreferenced files; readers never observe a partial snapshot. This is the
-  same commit-then-swap discipline as the epoch ledgers in
-  streaming/pipeline.py, applied to whole-table versions.
+  ``data/``); a snapshot is a MANIFEST (parquet list of file paths + kinds
+  + per-file metadata) plus the ``_CURRENT`` pointer naming it.
+- **Commit = claim the snapshot id, write everything, then atomically swap
+  the pointer** (``os.replace`` — atomic on POSIX). A crash before the
+  swap leaves only unreferenced files; readers never observe a partial
+  snapshot. Concurrent writers are detected, not silently lost: the claim
+  is an ``O_CREAT|O_EXCL`` file per snapshot id, so two writers that both
+  read current=N race the *claim*, the loser gets
+  :class:`CommitConflictError`, and every public writer retries
+  optimistically against the NEW current (Iceberg's optimistic-concurrency
+  loop). A claim older than ``_STALE_CLAIM_SECONDS`` whose pointer never
+  advanced is a crashed writer; the next claimant steals it. (A real
+  Iceberg catalog gets this from one atomic CAS primitive; the steal path
+  here assumes crash recovery is not itself concurrent — the honest limit
+  of a filesystem emulation.)
 - **Deletes are merge-on-read**: a delete writes a key file, not a rewrite
   — reads anti-join the accumulated delete keys (Iceberg's equality
-  deletes). Old snapshots still see the rows: time travel is free because
-  nothing is ever mutated.
+  deletes). The delete file's KEY COLUMN is recorded in the manifest, so
+  scan planning never has to open delete files to sniff schemas. Old
+  snapshots still see the rows: time travel is free because nothing is
+  ever mutated.
+- **Scan planning prunes files from the manifest**: when the table
+  declares ``stats_cols`` (table property, set at create), every committed
+  data file records per-column [min, max] bounds in its manifest row, and
+  ``read_table(..., prune={col: (lo, hi)})`` drops files whose bounds
+  cannot intersect the predicate BEFORE the parquet reader ever sees their
+  paths — Iceberg's manifest-level file pruning, the piece that keeps scan
+  planning O(matching files) instead of O(all files) at 100 TB. Parquet
+  footer/row-group pruning still applies within the surviving files.
 - **Rollback** is a pointer swap; **expire_snapshots** drops manifests
   older than the retention and vacuums files no retained manifest
-  references (Iceberg's expire_snapshots + remove_orphan_files).
+  references (Iceberg's expire_snapshots + remove_orphan_files, including
+  its ``older_than`` grace period so an in-flight writer's uncommitted
+  files are not swept mid-commit).
+- **rewrite_table_layout** is Iceberg's rewrite_data_files: a Z-order or
+  range re-clustering of the current view committed as a snapshot through
+  the replace path — atomic, rollback-able, history preserved.
 
-Scale shape: manifests hold file PATHS (KBs per snapshot), never data; a
-read plans ``spark.read.parquet(*files)`` so pushdown/pruning work as on
-any parquet scan; the delete anti-join is keyed by the table key and
-bounded by accumulated deletes (compaction folds them away — rewrite to a
-fresh snapshot via ``append_snapshot(read_table(...), replace=True)``).
+Scale shape: manifests hold file PATHS + KB-scale metadata per snapshot,
+never data; a read plans ``spark.read.parquet(*files)`` over the pruned
+file set so pushdown/pruning work as on any parquet scan; the delete
+anti-join is keyed by the recorded key column and bounded by accumulated
+deletes (compaction folds them away — rewrite to a fresh snapshot via
+``append_snapshot(read_table(...), replace=True)``).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
+_PROPS = "_PROPERTIES"
+# a commit claim this old whose pointer never advanced is a crashed
+# writer; the next claimant steals it (Iceberg: lock expiry on the catalog)
+_STALE_CLAIM_SECONDS = 60.0
+_COMMIT_ATTEMPTS = 5
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed (or is committing) the snapshot id this
+    writer computed. Public writers catch it and retry against the new
+    current snapshot; surfacing it means the optimistic retries ran out."""
 
 
 def _snap_dir(path: str) -> str:
@@ -51,6 +89,10 @@ def _manifest_path(path: str, snap: int) -> str:
     return os.path.join(_snap_dir(path), f"{snap:08d}")
 
 
+def _claim_path(path: str, snap: int) -> str:
+    return os.path.join(_snap_dir(path), f".claim-{snap:08d}")
+
+
 def current_snapshot(path: str) -> int | None:
     """The committed snapshot id, or None for an empty/uninitialized table."""
     try:
@@ -58,6 +100,19 @@ def current_snapshot(path: str) -> int | None:
             return int(f.read().strip())
     except FileNotFoundError:
         return None
+
+
+def table_properties(path: str) -> dict:
+    """Table-level properties (currently ``stats_cols``), set at create."""
+    try:
+        with open(os.path.join(path, _PROPS)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _stats_cols(path: str) -> list[str]:
+    return list(table_properties(path).get("stats_cols") or [])
 
 
 def _swap_pointer(path: str, snap: int) -> None:
@@ -70,6 +125,119 @@ def _swap_pointer(path: str, snap: int) -> None:
     os.replace(tmp, os.path.join(path, _POINTER))
 
 
+def _acquire_claim(path: str, snap: int) -> str:
+    """Claim the right to commit ``snap`` via O_CREAT|O_EXCL — the CAS
+    that keeps two live writers from silently overwriting each other's
+    manifest. Raises :class:`CommitConflictError` when the id is already
+    committed or a live writer holds the claim; steals claims older than
+    ``_STALE_CLAIM_SECONDS`` whose pointer never advanced (crashed
+    writer)."""
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    claim = _claim_path(path, snap)
+
+    def _already_committed() -> bool:
+        cur = current_snapshot(path)
+        return cur is not None and cur >= snap
+
+    if _already_committed():
+        raise CommitConflictError(
+            f"snapshot {snap} already committed at {path}; retry from current"
+        )
+    try:
+        os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        if _already_committed():
+            raise CommitConflictError(
+                f"snapshot {snap} already committed at {path}; retry from "
+                "current"
+            )
+        try:
+            age = time.time() - os.path.getmtime(claim)
+        except FileNotFoundError:
+            raise CommitConflictError(
+                f"claim for snapshot {snap} released mid-check at {path}; retry"
+            )
+        if age < _STALE_CLAIM_SECONDS:
+            raise CommitConflictError(
+                f"another writer holds the commit claim for snapshot {snap} "
+                f"at {path}"
+            )
+        os.utime(claim)  # crashed writer: take over its claim
+    # re-check AFTER acquiring: the winner removes its claim only after its
+    # pointer swap, so a successful create that races a finished commit is
+    # caught here instead of silently overwriting the committed manifest
+    if _already_committed():
+        try:
+            os.remove(claim)
+        except FileNotFoundError:
+            pass
+        raise CommitConflictError(
+            f"snapshot {snap} committed concurrently at {path}; retry from "
+            "current"
+        )
+    return claim
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    snap: int,
+    entries: list[tuple[str, str, int, str | None]],
+) -> None:
+    """Claim the snapshot id, write the manifest, atomically swap the
+    pointer, release the claim. Every manifest row carries:
+
+    - ``epoch_id`` (-1 for batch commits) so streaming idempotence checks
+      and batch operations share ONE schema — a batch delete on a
+      stream-written table must not strip the epoch column the next
+      micro-batch's applied-check reads.
+    - ``seq`` — position in the commit order — because parquet reads do
+      not preserve row order and the delete-application rule (a delete
+      file applies only to data files with a SMALLER seq) depends on it.
+    - ``meta`` — JSON per-file metadata: column [min, max] bounds for data
+      files (when the table declares stats_cols), the key column for
+      delete files. Scan planning reads it from the manifest instead of
+      opening files.
+
+    The manifest write stays mode=overwrite (NOT error): a crash between
+    manifest write and pointer swap (or a rollback to an earlier snapshot)
+    leaves a stale, unreferenced manifest at the target id — the redo must
+    replace it or the table is permanently wedged on 'path already
+    exists'. Live-writer overwrites are excluded by the claim, not by the
+    write mode."""
+    claim = _acquire_claim(path, snap)
+    seqd = [(f, k, e, i, m) for i, (f, k, e, m) in enumerate(entries)]
+    spark.createDataFrame(
+        seqd, "file string, kind string, epoch_id long, seq int, meta string"
+    ).coalesce(1).write.mode("overwrite").parquet(_manifest_path(path, snap))
+    _swap_pointer(path, snap)
+    try:
+        os.remove(claim)
+    except FileNotFoundError:
+        pass
+
+
+def _retrying_commit(spark, path: str, build) -> int:
+    """Optimistic-concurrency loop (Iceberg's commit retry): re-read the
+    current snapshot, rebuild the manifest entries against it, attempt the
+    claimed commit; on conflict, loop. ``build(cur) -> entries`` must be
+    cheap to re-run — data files are written ONCE before the loop (they
+    are immutable and id-free, so they attach to whichever snapshot id the
+    winning attempt gets)."""
+    last: Exception | None = None
+    for _ in range(_COMMIT_ATTEMPTS):
+        cur = current_snapshot(path)
+        if cur is None:
+            raise ValueError(f"no versioned table at {path}")
+        try:
+            _commit(spark, path, cur + 1, build(cur))
+            return cur + 1
+        except CommitConflictError as e:
+            last = e
+            time.sleep(0.02)
+    raise last  # type: ignore[misc]
+
+
 def _write_files(df: DataFrame, path: str, kind: str) -> list[str]:
     """Write a frame as immutable content-addressed parquet files under
     ``path/<kind>/<uuid>/`` and return the directory (one entry — Spark
@@ -79,51 +247,120 @@ def _write_files(df: DataFrame, path: str, kind: str) -> list[str]:
     return [d]
 
 
+def _plain(v):
+    """JSON-safe, order-preserving encoding for manifest bounds: dates and
+    timestamps become ISO strings (lexicographic == chronological),
+    numbers stay numbers."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _bounds_meta(spark: SparkSession, d: str, cols: list[str]) -> str | None:
+    """Per-file [min, max] bounds for the declared stats columns, read
+    back from the just-written (immutable) files — one tiny agg job per
+    commit, the price of O(matching-files) scan planning forever after."""
+    if not cols:
+        return None
+    df = spark.read.parquet(d)
+    present = [c for c in cols if c in df.columns]
+    if not present:
+        return None
+    row = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in present],
+        *[F.max(c).alias(f"_hi_{c}") for c in present],
+    ).first()
+    bounds = {
+        c: [_plain(row[f"_lo_{c}"]), _plain(row[f"_hi_{c}"])] for c in present
+    }
+    return json.dumps({"bounds": bounds})
+
+
+def _may_contain(meta: str | None, prune: dict) -> bool:
+    """File-level pruning predicate: False only when the manifest-recorded
+    bounds PROVE the file holds no row in every pruned column's [lo, hi]
+    window. Missing metadata, missing column, null bounds, or
+    incomparable types all fail open (read the file)."""
+    if not meta:
+        return True
+    try:
+        bounds = json.loads(meta).get("bounds") or {}
+    except (ValueError, TypeError):
+        return True
+    for c, (lo, hi) in prune.items():
+        b = bounds.get(c)
+        if not b or b[0] is None or b[1] is None:
+            continue
+        mn, mx = b
+        try:
+            if lo is not None and mx < _plain(lo):
+                return False
+            if hi is not None and mn > _plain(hi):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _range_condition(prune: dict):
+    cond = F.lit(True)
+    for c, (lo, hi) in prune.items():
+        if lo is not None:
+            cond = cond & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(c) <= F.lit(hi))
+    return cond
+
+
 def _read_manifest(spark: SparkSession, path: str, snap: int) -> DataFrame:
     return spark.read.parquet(_manifest_path(path, snap))
 
 
-def _commit(
-    spark: SparkSession,
-    path: str,
-    snap: int,
-    entries: list[tuple[str, str, int]],
-) -> None:
-    """Write the manifest then atomically swap the pointer. Every manifest
-    carries an ``epoch_id`` per file (-1 for batch commits) so streaming
-    idempotence checks and batch operations share ONE schema — a batch
-    delete on a stream-written table must not strip the epoch column the
-    next micro-batch's applied-check reads. Each entry also records its
-    ``seq`` — its position in the commit order — because parquet reads do
-    not preserve row order and the delete-application rule (a delete file
-    applies only to data files with a SMALLER seq) depends on it."""
-    seqd = [(f, k, e, i) for i, (f, k, e) in enumerate(entries)]
-    # OVERWRITE, not error: a crash between this write and the pointer
-    # swap (or a rollback to an earlier snapshot) leaves a stale,
-    # unreferenced manifest at the target id — the redo must replace it,
-    # otherwise the table is permanently wedged on 'path already exists'
-    spark.createDataFrame(
-        seqd, "file string, kind string, epoch_id long, seq int"
-    ).coalesce(1).write.mode("overwrite").parquet(_manifest_path(path, snap))
-    _swap_pointer(path, snap)
+def _manifest_rows(spark: SparkSession, path: str, snap: int) -> list[dict]:
+    m = _read_manifest(spark, path, snap)
+    has_meta = "meta" in m.columns  # pre-stats tables stay readable
+    rows = sorted((r.asDict() for r in m.collect()), key=lambda r: r["seq"])
+    if not has_meta:
+        for r in rows:
+            r["meta"] = None
+    return rows
 
 
 def _manifest_entries(
     spark: SparkSession, path: str, snap: int
-) -> list[tuple[str, str, int]]:
-    rows = sorted(
-        _read_manifest(spark, path, snap).collect(), key=lambda r: r["seq"]
-    )
-    return [(r["file"], r["kind"], int(r["epoch_id"])) for r in rows]
+) -> list[tuple[str, str, int, str | None]]:
+    return [
+        (r["file"], r["kind"], int(r["epoch_id"]), r["meta"])
+        for r in _manifest_rows(spark, path, snap)
+    ]
 
 
-def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Initialize a versioned table with snapshot 1 holding ``df``."""
+def create_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Initialize a versioned table with snapshot 1 holding ``df``.
+    ``stats_cols`` declares the columns whose per-file [min, max] bounds
+    every commit records in the manifest (Iceberg's write.metadata
+    metrics) — the basis for file pruning in :func:`read_table`."""
     os.makedirs(path, exist_ok=True)
     if current_snapshot(path) is not None:
         raise ValueError(f"versioned table already exists at {path}")
+    if stats_cols:
+        with open(os.path.join(path, _PROPS), "w") as f:
+            json.dump({"stats_cols": list(stats_cols)}, f)
     files = _write_files(df, path, "data")
-    _commit(spark, path, 1, [(f, "data", -1) for f in files])
+    sc = _stats_cols(path)
+    _commit(
+        spark, path, 1, [(f, "data", -1, _bounds_meta(spark, f, sc)) for f in files]
+    )
     return 1
 
 
@@ -134,27 +371,27 @@ def append_snapshot(
     and ``df``'s new files join them. ``replace=True`` starts the manifest
     empty instead — the compaction path that folds merge-on-read deletes
     away (pass ``read_table(spark, path)`` as ``df``)."""
-    cur = current_snapshot(path)
-    if cur is None:
+    if current_snapshot(path) is None:
         return create_table(spark, path, df)
-    if replace:
-        # epoch markers carry the applied-epoch set through compaction:
-        # the rewritten files are epoch -1, but a restarting stream's
-        # applied-check reads the CURRENT manifest — dropping the epoch
-        # history here would make it re-append the last batches
-        applied = sorted(
-            {
-                e
-                for _, _, e in _manifest_entries(spark, path, cur)
-                if e >= 0
-            }
-        )
-        prev = [("", "epoch_marker", e) for e in applied]
-    else:
-        prev = _manifest_entries(spark, path, cur)
     files = _write_files(df, path, "data")
-    _commit(spark, path, cur + 1, prev + [(f, "data", -1) for f in files])
-    return cur + 1
+    sc = _stats_cols(path)
+    new = [(f, "data", -1, _bounds_meta(spark, f, sc)) for f in files]
+
+    def build(cur):
+        if replace:
+            # epoch markers carry the applied-epoch set through compaction:
+            # the rewritten files are epoch -1, but a restarting stream's
+            # applied-check reads the CURRENT manifest — dropping the epoch
+            # history here would make it re-append the last batches
+            applied = sorted(
+                {e for _, _, e, _ in _manifest_entries(spark, path, cur) if e >= 0}
+            )
+            prev = [("", "epoch_marker", e, None) for e in applied]
+        else:
+            prev = _manifest_entries(spark, path, cur)
+        return prev + new
+
+    return _retrying_commit(spark, path, build)
 
 
 def delete_where(
@@ -164,15 +401,22 @@ def delete_where(
     table, persist the matching keys as a delete file, commit a snapshot
     whose reads anti-join them. No data file is touched — old snapshots
     still contain the rows (time travel), and the write cost is the
-    matched-key set, not a rewrite."""
+    matched-key set, not a rewrite. The key column is recorded in the
+    manifest so readers never open delete files during planning. Keys are
+    matched once, at call time — a concurrent commit between evaluation
+    and the (retried) commit does not re-evaluate the condition."""
     cur = current_snapshot(path)
     if cur is None:
         raise ValueError(f"no versioned table at {path}")
     keys = read_table(spark, path).filter(condition).select(key_col).distinct()
-    prev = _manifest_entries(spark, path, cur)
     files = _write_files(keys, path, "deletes")
-    _commit(spark, path, cur + 1, prev + [(f, "delete", -1) for f in files])
-    return cur + 1
+    meta = json.dumps({"key_col": key_col})
+    new = [(f, "delete", -1, meta) for f in files]
+
+    def build(cur_):
+        return _manifest_entries(spark, path, cur_) + new
+
+    return _retrying_commit(spark, path, build)
 
 
 def upsert_snapshot(
@@ -190,22 +434,21 @@ def upsert_snapshot(
     delete files only to data files from EARLIER manifest positions
     (Iceberg's sequence-number rule, emulated with the manifest row
     order)."""
-    cur = current_snapshot(path)
-    if cur is None:
+    if current_snapshot(path) is None:
         return create_table(spark, path, df)
     keys = df.select(key_col).distinct()
-    prev = _manifest_entries(spark, path, cur)
     dfiles = _write_files(keys, path, "deletes")
     afiles = _write_files(df, path, "data")
-    _commit(
-        spark,
-        path,
-        cur + 1,
-        prev
-        + [(f, "delete", -1) for f in dfiles]
-        + [(f, "data", -1) for f in afiles],
-    )
-    return cur + 1
+    sc = _stats_cols(path)
+    dmeta = json.dumps({"key_col": key_col})
+    new = [(f, "delete", -1, dmeta) for f in dfiles] + [
+        (f, "data", -1, _bounds_meta(spark, f, sc)) for f in afiles
+    ]
+
+    def build(cur):
+        return _manifest_entries(spark, path, cur) + new
+
+    return _retrying_commit(spark, path, build)
 
 
 def read_table(
@@ -213,49 +456,83 @@ def read_table(
     path: str,
     snapshot: int | None = None,
     key_col: str | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read the table AS OF ``snapshot`` (default: current). Data files
     union under one parquet scan (pushdown/pruning intact); delete keys
-    anti-join on ``key_col`` (inferred from the delete files' single
-    column when not given). Reading a historical snapshot costs the same
-    as reading the current one — nothing is reconstructed."""
+    anti-join on the manifest-recorded key column (falling back to
+    ``key_col``/schema inference for pre-metadata tables). Reading a
+    historical snapshot costs the same as reading the current one —
+    nothing is reconstructed.
+
+    ``prune`` maps column -> (lo, hi) (either bound may be None): the
+    result contains exactly the rows satisfying the range predicate, but
+    files whose manifest-recorded bounds cannot intersect it are dropped
+    at PLANNING time — the parquet reader never sees their paths. On a
+    table whose stats_cols cover the predicate this makes scan planning
+    O(matching files); without recorded bounds it degrades gracefully to
+    a plain filtered read."""
     snap = current_snapshot(path) if snapshot is None else int(snapshot)
     if snap is None:
         raise ValueError(f"no versioned table at {path}")
-    entries = sorted(
-        _read_manifest(spark, path, snap).collect(), key=lambda r: r["seq"]
-    )
-    data = [(r["file"], r["seq"]) for r in entries if r["kind"] == "data"]
-    dels = [(r["file"], r["seq"]) for r in entries if r["kind"] == "delete"]
+    rows = _manifest_rows(spark, path, snap)
+    data = [
+        (r["file"], r["seq"], r["meta"]) for r in rows if r["kind"] == "data"
+    ]
+    dels = [
+        (r["file"], r["seq"], r["meta"]) for r in rows if r["kind"] == "delete"
+    ]
     # kind == "epoch_marker" rows carry stream idempotence state only
+    if prune:
+        kept = [(f, s, m) for f, s, m in data if _may_contain(m, prune)]
+        if not kept:
+            # bounds excluded everything: an empty frame with the right
+            # schema (borrow the newest file — schema evolution widens)
+            src = data[-1][0] if data else None
+            if src is None:
+                raise ValueError(f"versioned table at {path} has no data files")
+            base = spark.read.option("mergeSchema", "true").parquet(src)
+            return base.filter(F.lit(False))
+        data = kept
+    # mergeSchema: snapshots may span a schema evolution (an append with a
+    # widened schema is just new data files) — the union schema with nulls
+    # for pre-evolution rows; old snapshots keep their narrower schema
     if not dels:
-        # mergeSchema: snapshots may span a schema evolution (an append
-        # with a widened schema is just new data files) — the union schema
-        # with nulls for pre-evolution rows; old snapshots keep their
-        # narrower schema untouched
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[f for f, _ in data]
+        out = spark.read.option("mergeSchema", "true").parquet(
+            *[f for f, _, _ in data]
         )
+        return out.filter(_range_condition(prune)) if prune else out
     # the sequence rule (Iceberg's): a delete file suppresses rows only in
     # data files committed BEFORE it — an upsert's own rows must survive
     # its own delete keys. Data files sharing the same applicable-delete
     # set scan together; the group count is bounded by the delete-file
     # count (compaction via append_snapshot(replace=True) resets both).
+    del_meta = {f: m for f, _, m in dels}
     out = None
     groups: dict[tuple, list[str]] = {}
-    for f, seq in data:
-        applicable = tuple(df_ for df_, ds in dels if ds > seq)
+    for f, seq, _ in data:
+        applicable = tuple(df_ for df_, ds, _ in dels if ds > seq)
         groups.setdefault(applicable, []).append(f)
     for applicable, files in groups.items():
         part = spark.read.option("mergeSchema", "true").parquet(*files)
         # delete files may be keyed by DIFFERENT columns (delete_where on
         # doc_id, then on lang): group them by key column and anti-join
         # once per column — one mixed-schema scan would null out every
-        # file's missing column and silently stop deleting
+        # file's missing column and silently stop deleting. The key column
+        # comes from the manifest; the per-dir schema sniff survives only
+        # as the fallback for pre-metadata tables.
         by_col: dict[str, list[str]] = {}
         for d in applicable:
-            cols = spark.read.parquet(d).columns
-            kc = key_col if (key_col and key_col in cols) else cols[0]
+            kc = None
+            m = del_meta.get(d)
+            if m:
+                try:
+                    kc = json.loads(m).get("key_col")
+                except (ValueError, TypeError):
+                    kc = None
+            if kc is None:
+                cols = spark.read.parquet(d).columns
+                kc = key_col if (key_col and key_col in cols) else cols[0]
             by_col.setdefault(kc, []).append(d)
         for kc, dirs in by_col.items():
             keys = spark.read.parquet(*dirs)
@@ -263,11 +540,15 @@ def read_table(
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )
-    return out
+    return out.filter(_range_condition(prune)) if prune else out
 
 
 def read_appends_since(
-    spark: SparkSession, path: str, since_snapshot: int, snapshot: int | None = None
+    spark: SparkSession,
+    path: str,
+    since_snapshot: int,
+    snapshot: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Incremental consumption: rows in data files ADDED after
     ``since_snapshot`` (exclusive) up to ``snapshot`` (default current) —
@@ -276,21 +557,21 @@ def read_appends_since(
     calls an incremental scan: consumers checkpoint the snapshot id they
     last processed and poll. Exact for append-only flows; merge-on-read
     deletes that landed in the window affect the CURRENT view, not what
-    was appended (query read_table for the net state)."""
+    was appended (query read_table for the net state). ``prune`` applies
+    the same manifest-bounds file pruning + range filter as
+    :func:`read_table`."""
     hi = current_snapshot(path) if snapshot is None else int(snapshot)
     if hi is None:
         raise ValueError(f"no versioned table at {path}")
     old = {
         r["file"]
-        for r in _read_manifest(spark, path, since_snapshot).collect()
+        for r in _manifest_rows(spark, path, since_snapshot)
         if r["kind"] == "data"
     }
-    hi_rows = sorted(
-        _read_manifest(spark, path, hi).collect(), key=lambda r: r["seq"]
-    )
-    hi_data = [r["file"] for r in hi_rows if r["kind"] == "data"]
-    new = [f for f in hi_data if f not in old]
-    if old and hi_data and not (old & set(hi_data)):
+    hi_rows = _manifest_rows(spark, path, hi)
+    hi_data = [(r["file"], r["meta"]) for r in hi_rows if r["kind"] == "data"]
+    new = [(f, m) for f, m in hi_data if f not in old]
+    if old and hi_data and not (old & {f for f, _ in hi_data}):
         # a replace-compaction rewrote history between the checkpoints:
         # every "new" file would actually re-deliver old rows. Refuse
         # loudly — the consumer must re-baseline from a full read_table
@@ -300,12 +581,15 @@ def read_appends_since(
             "survives from the base snapshot — the window spans a "
             "replace-compaction; re-baseline with read_table"
         )
+    if prune:
+        new = [(f, m) for f, m in new if _may_contain(m, prune)]
     if not new:
         # empty window: borrow the NEWEST file's schema (a pre-evolution
         # file would intermittently drop evolved columns)
-        src = hi_data[-1:] or sorted(old)[-1:]
+        src = [f for f, _ in hi_data[-1:]] or sorted(old)[-1:]
         return spark.read.option("mergeSchema", "true").parquet(*src).limit(0)
-    return spark.read.option("mergeSchema", "true").parquet(*new)
+    out = spark.read.option("mergeSchema", "true").parquet(*[f for f, _ in new])
+    return out.filter(_range_condition(prune)) if prune else out
 
 
 def snapshot_diff(
@@ -356,13 +640,29 @@ def rollback(path: str, snapshot: int) -> None:
 
 
 def expire_snapshots(
-    spark: SparkSession, path: str, keep_last: int = 1
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    vacuum_older_than_seconds: float = 0.0,
 ) -> dict:
     """Drop manifests older than the last ``keep_last`` (current snapshot
     always retained) and VACUUM files no retained manifest references —
     crash-window orphans (written but never committed) go with them.
     Returns counts. Time travel beyond the retention is gone; that is the
-    point (storage reclamation)."""
+    point (storage reclamation).
+
+    Liveness is decided on ``os.path.abspath``-normalized paths on BOTH
+    sides, so a relative-vs-absolute spelling mismatch between the write
+    path and the expire path can never make live data look unreferenced.
+
+    ``vacuum_older_than_seconds`` is Iceberg remove_orphan_files'
+    ``older_than`` grace period: unreferenced directories younger than the
+    cutoff are LEFT ALONE, because a concurrent writer mid-commit has
+    written its files but not yet swapped the pointer — sweeping them
+    would let its commit succeed with a manifest pointing at deleted
+    files. The default (0 = vacuum everything unreferenced now) is only
+    safe when no writer runs concurrently; production callers with
+    concurrent writers should pass hours."""
     import shutil
 
     cur = current_snapshot(path)
@@ -376,23 +676,31 @@ def expire_snapshots(
     keep = set(snaps[-max(1, keep_last):]) | {cur}
     referenced: set[str] = set()
     for snap in keep:
-        for r in _read_manifest(spark, path, snap).collect():
-            referenced.add(r["file"])
+        for r in _manifest_rows(spark, path, snap):
+            if r["file"]:  # epoch_marker rows carry no path
+                referenced.add(os.path.abspath(r["file"]))
     removed_snaps = 0
     for snap in snaps:
         if snap not in keep:
             shutil.rmtree(_manifest_path(path, snap))
             removed_snaps += 1
     removed_files = 0
+    cutoff = time.time() - max(0.0, vacuum_older_than_seconds)
     for kind in ("data", "deletes"):
         base = os.path.join(path, kind)
         if not os.path.isdir(base):
             continue
         for d in os.listdir(base):
             full = os.path.join(base, d)
-            if full not in referenced:
-                shutil.rmtree(full)
-                removed_files += 1
+            if os.path.abspath(full) in referenced:
+                continue
+            try:
+                if vacuum_older_than_seconds > 0 and os.path.getmtime(full) > cutoff:
+                    continue  # inside the grace period: possible in-flight commit
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(full)
+            removed_files += 1
     return {"snapshots_removed": removed_snaps, "files_removed": removed_files}
 
 
@@ -419,12 +727,16 @@ def append_snapshot_epoch(
             return None
     os.makedirs(path, exist_ok=True)
     files = _write_files(batch_df, path, "data")
-    prev = [] if cur is None else _manifest_entries(spark, path, cur)
-    snap = 1 if cur is None else cur + 1
-    _commit(
-        spark, path, snap, prev + [(f, "data", int(epoch_id)) for f in files]
-    )
-    return snap
+    sc = _stats_cols(path)
+    new = [(f, "data", int(epoch_id), _bounds_meta(spark, f, sc)) for f in files]
+    if cur is None:
+        _commit(spark, path, 1, new)
+        return 1
+
+    def build(cur_):
+        return _manifest_entries(spark, path, cur_) + new
+
+    return _retrying_commit(spark, path, build)
 
 
 def write_stream_to_versioned(
@@ -447,6 +759,36 @@ def write_stream_to_versioned(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def rewrite_table_layout(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+    bits: int = 16,
+    n_files: int = 8,
+) -> int:
+    """Iceberg's rewrite_data_files as a snapshot commit: re-cluster the
+    CURRENT committed view (Z-order over ``zorder_by``, else range sort
+    over ``order_by``) and commit the rewritten files through the replace
+    path — one atomic, rollback-able snapshot that also folds accumulated
+    merge-on-read deletes away and carries the applied-epoch markers
+    forward. Time travel to every pre-rewrite snapshot is untouched; the
+    new snapshot's row-group min/max stats are tight on the cluster
+    columns, so both parquet footer pruning AND (when stats_cols cover
+    them) manifest file pruning get sharper from this commit on."""
+    from .layout import range_cluster, zorder_cluster
+
+    if bool(zorder_by) == bool(order_by):
+        raise ValueError("pass exactly one of zorder_by / order_by")
+    cur = read_table(spark, path)
+    clustered = (
+        zorder_cluster(cur, zorder_by, bits=bits, n_files=n_files)
+        if zorder_by
+        else range_cluster(cur, order_by, n_files=n_files)
+    )
+    return append_snapshot(spark, path, clustered, replace=True)
 
 
 def snapshot_history(spark: SparkSession, path: str) -> list[dict]:

@@ -1100,6 +1100,79 @@ FROM sc ORDER BY doc_id
 """
 
 
+def q_classifier_eval(spark, sf_dir):
+    """Held-out classifier evaluation (operator: text.classifier_eval):
+    score every document with the dyadic pseudo-weight classifier
+    (q_classifier_quality's serving path — exact partial sums, ranking on
+    raw_score needs no transcendental), label each doc by the lang=='en'
+    proxy, and emit rank-sum (Mann-Whitney) AUC plus precision/recall at
+    the 0 decision boundary as ONE engine-side aggregate — training
+    quality as a queryable number, no collect. The AUC numerator and
+    denominator are bigint-exact; the final value is one bigint/bigint
+    division (the cross-engine ratio-of-sums pattern)."""
+    scored = q_classifier_quality(spark, sf_dir).select("doc_id", "raw_score")
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return X.classifier_eval(
+        scored.join(labels, "doc_id"), score_col="raw_score", label_col="label"
+    )
+
+
+SQL_CLASSIFIER_EVAL = rf"""
+WITH w AS (
+  SELECT b::INT AS bucket,
+         ((('0x' || substr(md5(b::VARCHAR), 1, 7))::BIGINT % 2049) - 1024)
+           / 1024.0 AS weight
+  FROM (SELECT unnest(range({CLS_BUCKETS})) AS b)
+),
+tk AS (
+  SELECT doc_id, unnest({SQL_TOKS_RAW}) AS t FROM documents
+),
+bk AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 7))::BIGINT % {CLS_BUCKETS})::INT AS bucket
+  FROM tk WHERE t <> ''
+),
+sc AS (
+  SELECT doc_id,
+         sum(coalesce(w.weight, 0.0)) / count(*) + 0.0 AS raw_score
+  FROM bk LEFT JOIN w USING (bucket)
+  GROUP BY doc_id
+),
+lab AS (
+  SELECT sc.doc_id, sc.raw_score,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+),
+by_s AS (
+  SELECT raw_score, count(*)::BIGINT AS n_s, sum(label)::BIGINT AS p_s
+  FROM lab GROUP BY raw_score
+),
+r AS (
+  SELECT raw_score, n_s, p_s,
+         coalesce(sum(n_s) OVER (
+           ORDER BY raw_score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS cum
+  FROM by_s
+),
+agg AS (
+  SELECT sum(p_s)::BIGINT AS n_pos,
+         sum(n_s - p_s)::BIGINT AS n_neg,
+         sum(p_s * (2 * cum + n_s + 1))::BIGINT AS rs2,
+         sum(CASE WHEN raw_score > 0 THEN p_s ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN raw_score > 0 THEN n_s ELSE 0 END)::BIGINT AS pp
+  FROM r
+)
+SELECT n_pos, n_neg,
+       (rs2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg) AS auc,
+       CASE WHEN pp > 0 THEN tp / pp END AS precision_at_0,
+       CASE WHEN n_pos > 0 THEN tp / n_pos END AS recall_at_0
+FROM agg
+"""
+
+
 # --- Composite pipeline v2: gopher gate -> line dedup -> decontaminate -> mixture --
 
 # v2 mixes by LANGUAGE (the eval sources src0/src1 are removed by
@@ -2793,6 +2866,7 @@ QUERIES = {
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "corpus_pipeline_v2": (q_corpus_pipeline_v2, SQL_CORPUS_PIPELINE_V2),
     "classifier_quality": (q_classifier_quality, SQL_CLASSIFIER_QUALITY),
+    "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
     "snapshot_table": (q_snapshot_table, SQL_SNAPSHOT_TABLE),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),

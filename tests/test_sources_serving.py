@@ -760,3 +760,185 @@ def test_versioned_table_review_fixes(spark, tmp_path):
     rep = expire_snapshots(spark, ep_path, keep_last=0)
     assert rep["snapshots_removed"] >= 1
     assert read_table(spark, ep_path).count() == n + ev.count()
+
+
+def test_versioned_table_commit_claims_and_vacuum_safety(spark, tmp_path):
+    """Round-7 ADVICE items, pinned: (1) two writers that computed the
+    same next-snapshot id cannot silently overwrite each other — the
+    commit claim raises CommitConflictError for the loser, and the public
+    writers retry against the NEW current (optimistic concurrency); (2) a
+    stale claim from a crashed writer is stolen, not wedged forever; (3)
+    expire_snapshots compares abspath-normalized paths, so an equivalent
+    but differently spelled table path cannot make live data look
+    unreferenced; (4) the vacuum grace period leaves young unreferenced
+    dirs alone (in-flight commit protection)."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "cas")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, n long")
+    S.create_table(spark, path, base)
+
+    # (1) a FRESH foreign claim on the next id blocks a direct _commit
+    nxt = S.current_snapshot(path) + 1
+    claim = S._claim_path(path, nxt)
+    _os.close(_os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY))
+    with _pytest.raises(S.CommitConflictError):
+        S._commit(spark, path, nxt, [("", "epoch_marker", 0, None)])
+    # ... and an id at-or-below current conflicts outright
+    _os.remove(claim)
+    with _pytest.raises(S.CommitConflictError):
+        S._acquire_claim(path, S.current_snapshot(path))
+
+    # (2) a STALE claim (crashed writer: pointer never advanced) is stolen
+    _os.close(_os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY))
+    old = _time.time() - 2 * S._STALE_CLAIM_SECONDS
+    _os.utime(claim, (old, old))
+    s = S.append_snapshot(
+        spark, path, spark.createDataFrame([(3, 30)], base.schema)
+    )
+    assert s == nxt and S.read_table(spark, path).count() == 3
+
+    # (3) abspath normalization: expire through a "./"-spelled alias of
+    # the same table must NOT vacuum live data
+    alias = str(tmp_path) + "/./cas"
+    rep = S.expire_snapshots(spark, alias, keep_last=100)
+    assert rep["files_removed"] == 0
+    assert S.read_table(spark, path).count() == 3
+
+    # (4) grace period: a young orphan survives, then falls to cutoff 0
+    orphan = path + "/data/youngorphan"
+    _os.makedirs(orphan)
+    open(orphan + "/part-x.parquet", "wb").close()
+    rep = S.expire_snapshots(
+        spark, path, keep_last=100, vacuum_older_than_seconds=3600
+    )
+    assert _os.path.exists(orphan)
+    rep = S.expire_snapshots(spark, path, keep_last=100)
+    assert rep["files_removed"] >= 1 and not _os.path.exists(orphan)
+
+
+def test_versioned_table_manifest_stats_prune_files(spark, tmp_path):
+    """Round-7 VERDICT item 1, pinned: a table created with stats_cols
+    records per-file [min, max] bounds in the manifest; a date-predicate
+    read_table(prune=...) plans ONLY the files whose bounds intersect the
+    window (checked via inputFiles on the returned plan), returns exactly
+    the filtered rows, and read_appends_since prunes the same way. Delete
+    files record their key column in the manifest (no schema sniff)."""
+    import datetime
+    import json as _json
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "stats")
+
+    def month(m, base):
+        rows = [
+            (base + i, datetime.date(2024, m, 1 + (i % 27)), f"v{m}")
+            for i in range(20)
+        ]
+        return spark.createDataFrame(rows, "k long, d date, v string")
+
+    S.create_table(spark, path, month(1, 0), stats_cols=["d", "k"])
+    S.append_snapshot(spark, path, month(2, 100))
+    S.append_snapshot(spark, path, month(3, 200))
+
+    # manifest carries bounds for every data file
+    rows = S._manifest_rows(spark, path, S.current_snapshot(path))
+    datas = [r for r in rows if r["kind"] == "data"]
+    assert len(datas) == 3
+    assert all(_json.loads(r["meta"])["bounds"]["d"] for r in datas)
+
+    # a February window plans exactly ONE of the three file groups
+    pruned = S.read_table(
+        spark,
+        path,
+        prune={"d": (datetime.date(2024, 2, 1), datetime.date(2024, 2, 28))},
+    )
+    dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+    assert len(dirs) == 1
+    got = {r.k for r in pruned.collect()}
+    assert got == set(range(100, 120))
+
+    # pruning composes with merge-on-read deletes (drop one Feb key)
+    S.delete_where(spark, path, "k", F.col("k") == 101)
+    pruned2 = S.read_table(
+        spark,
+        path,
+        prune={"d": (datetime.date(2024, 2, 1), datetime.date(2024, 2, 28))},
+    )
+    assert {r.k for r in pruned2.collect()} == set(range(100, 120)) - {101}
+    # the delete file's key column came from the manifest
+    mrows = S._manifest_rows(spark, path, S.current_snapshot(path))
+    dmeta = [r["meta"] for r in mrows if r["kind"] == "delete"]
+    assert dmeta and _json.loads(dmeta[0])["key_col"] == "k"
+
+    # an empty window prunes EVERYTHING and keeps the schema
+    none = S.read_table(
+        spark,
+        path,
+        prune={"d": (datetime.date(2030, 1, 1), None)},
+    )
+    assert none.count() == 0 and set(none.columns) == {"k", "d", "v"}
+
+    # incremental scan prunes by the same bounds: appends since snapshot 1
+    # are Feb+Mar files; a k-window covering only March plans one file
+    inc = S.read_appends_since(spark, path, 1, prune={"k": (200, None)})
+    assert len({f.rsplit("/", 2)[-2] for f in inc.inputFiles()}) == 1
+    assert {r.k for r in inc.collect()} == set(range(200, 220))
+
+
+def test_versioned_table_rewrite_layout_commit(spark, tmp_path):
+    """Round-7 VERDICT item 4, pinned: rewrite_table_layout is Iceberg's
+    rewrite_data_files — a layout rewrite committed as an atomic snapshot:
+    history gains a rewrite snapshot with zero delete files, pre-rewrite
+    time travel is intact, applied-epoch markers survive, and row-group
+    skipping on the cluster column IMPROVES across the commit."""
+    import random
+
+    from demo_bigdata_spark.sources import snapshots as S
+    from demo_bigdata_spark.sources.layout import skipping_report
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(10_000)) for i in range(8_000)]
+    df = spark.createDataFrame(rows, "k long, x long").repartition(8)
+
+    path = str(tmp_path / "rw")
+    S.append_snapshot_epoch(spark, path, df, 0)
+    S.delete_where(spark, path, "k", F.col("k") < 100)
+    pre_snap = S.current_snapshot(path)
+    pre_count = S.read_table(spark, path).count()
+    assert pre_count == 8_000 - 100
+
+    # shuffled layout: almost every row group overlaps every probe
+    data_dirs_pre = sorted(
+        d for d in __import__("os").listdir(path + "/data")
+    )
+    before = skipping_report(
+        spark, path + "/data/" + data_dirs_pre[0], "x", [5, 5000, 9990]
+    )
+
+    s = S.rewrite_table_layout(spark, path, order_by=["x"], n_files=8)
+    assert s == pre_snap + 1
+    # history: rewrite snapshot folded the deletes away
+    hist = {h["snapshot"]: h for h in S.snapshot_history(spark, path)}
+    assert hist[s].get("delete", 0) == 0
+    assert S.read_table(spark, path).count() == pre_count
+    # pre-rewrite time travel intact (deletes still applied there)
+    assert S.read_table(spark, path, snapshot=pre_snap).count() == pre_count
+    # epoch markers carried: the stream's epoch 0 still reads as applied
+    assert S.append_snapshot_epoch(spark, path, df, 0) is None
+
+    new_dirs = sorted(
+        set(__import__("os").listdir(path + "/data")) - set(data_dirs_pre)
+    )
+    assert len(new_dirs) == 1
+    after = skipping_report(
+        spark, path + "/data/" + new_dirs[0], "x", [5, 5000, 9990]
+    )
+    assert after["skipped_frac"] > before["skipped_frac"]
+    assert after["skipped_frac"] > 0.5

@@ -951,3 +951,103 @@ def test_versioned_sink_feeds_incremental_consumers(spark, sf_dir, tmp_path):
         consumed |= inc
     everything = {tuple(r) for r in read_table(spark, table).collect()}
     assert consumed == everything
+
+
+def test_snapshot_appends_stream_source(spark, tmp_path):
+    """Round-7 VERDICT item 6, pinned: the versioned table as a
+    STREAMING SOURCE (sources/snapshot_cdc.py) — a downstream pipeline
+    subscribes with readStream.format("snapshot_appends") instead of
+    hand-rolling the checkpoint-and-poll loop. live==batch: the streamed
+    rows equal the committed table; a checkpointed restart delivers ONLY
+    commits that landed while the stream was down (no gaps, no
+    re-delivery); rate limiting advances at most max_snapshots_per_trigger
+    commits per micro-batch; a window spanning a replace-compaction fails
+    loudly instead of re-delivering rewritten history."""
+    import pytest as _pytest
+
+    from demo_bigdata_spark.sources import snapshots as S
+    from demo_bigdata_spark.sources.snapshot_cdc import read_snapshot_stream
+
+    path = str(tmp_path / "cdc_table")
+
+    def frame(lo, n):
+        return spark.createDataFrame(
+            [(i, f"v{i}", float(i) / 2) for i in range(lo, lo + n)],
+            "k long, v string, x double",
+        )
+
+    S.create_table(spark, path, frame(0, 10))
+    S.append_snapshot(spark, path, frame(10, 10))
+    S.append_snapshot(spark, path, frame(20, 10))
+
+    # phase 1: fresh subscription delivers the whole committed table
+    ckpt = str(tmp_path / "cdc_ckpt")
+    out1: list = []
+    q = (
+        read_snapshot_stream(spark, path, max_snapshots_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: out1.extend(tuple(r) for r in b.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    batch = {tuple(r) for r in S.read_table(spark, path).collect()}
+    assert set(out1) == batch and len(out1) == len(batch)
+    # rate limit: 3 snapshots at 1/trigger -> at least 3 non-empty batches
+    assert n_batches >= 3
+
+    # phase 2: commits land while the stream is DOWN; restart from the
+    # checkpoint delivers exactly the new rows
+    S.append_snapshot(spark, path, frame(30, 5))
+    S.append_snapshot(spark, path, frame(35, 5))
+    out2: list = []
+    q2 = (
+        read_snapshot_stream(spark, path)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: out2.extend(tuple(r) for r in b.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    expected_new = {tuple(r) for r in frame(30, 10).collect()}
+    assert set(out2) == expected_new and len(out2) == len(expected_new)
+
+    # phase 3: replace-compaction breaks file lineage -> the stream
+    # refuses the window instead of re-delivering rewritten history
+    S.append_snapshot(spark, path, S.read_table(spark, path), replace=True)
+    S.append_snapshot(spark, path, frame(45, 3))
+    q3 = (
+        read_snapshot_stream(spark, path)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: None)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with _pytest.raises(Exception, match="replace-compaction"):
+        try:
+            q3.processAllAvailable()
+        finally:
+            q3.stop()
+
+    # a fresh subscription AFTER the compaction re-baselines cleanly
+    out4: list = []
+    q4 = (
+        read_snapshot_stream(spark, path)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: out4.extend(tuple(r) for r in b.collect()))
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt2"))
+        .start()
+    )
+    try:
+        q4.processAllAvailable()
+    finally:
+        q4.stop()
+    assert set(out4) == {tuple(r) for r in S.read_table(spark, path).collect()}
