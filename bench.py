@@ -89,6 +89,11 @@ HEADLINE = [
     # r6 composed contamination-aware pipeline + classifier filter
     "corpus_pipeline_v2",
     "classifier_quality",
+    # r7: classifier-filtered pipeline, in-engine AUC eval, manifest-pruned
+    # versioned-table scan
+    "corpus_pipeline_v3",
+    "classifier_eval",
+    "snapshot_prune",
 ]
 
 

@@ -339,7 +339,17 @@ def bpe_apply(
                 yield pdf
 
         return df.mapInPandas(gen, out_schema)
-    sym = _initial_symbols(F.col(word_col))
-    for _, pair, merged, _ in rules:
-        sym = _merge_pair(sym, pair, merged)
-    return df.withColumn(out_col, F.split(sym, " "))
+    # stack the folds in chunks of 16 per projection: a single projection
+    # nesting ~100 F.aggregate HOFs exceeds the analyzer's resolution
+    # iteration limit (Max iterations reached for batch Resolution);
+    # chunked projections collapse to the same narrow no-shuffle stage
+    tmp_col = f"_{out_col}_sym"
+    cur = df.withColumn(tmp_col, _initial_symbols(F.col(word_col)))
+    for i in range(0, len(rules), 16):
+        col = F.col(tmp_col)
+        for _, pair, merged, _ in rules[i : i + 16]:
+            col = _merge_pair(col, pair, merged)
+        cur = cur.select(
+            *[c for c in cur.columns if c != tmp_col], col.alias(tmp_col)
+        )
+    return cur.withColumn(out_col, F.split(F.col(tmp_col), " ")).drop(tmp_col)

@@ -705,7 +705,11 @@ def expire_snapshots(
 
 
 def append_snapshot_epoch(
-    spark: SparkSession, path: str, batch_df: DataFrame, epoch_id: int
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    stats_cols: list[str] | None = None,
 ) -> int | None:
     """Exactly-once streaming append into the versioned table: one
     SNAPSHOT per micro-batch, idempotent per ``epoch_id`` (the reference's
@@ -715,7 +719,11 @@ def append_snapshot_epoch(
     that could disagree with it. The pointer swap is the atomic commit:
     a crash anywhere before it leaves the previous snapshot current and
     the replay redoes the batch with identical content; the first
-    attempt's unreferenced files are vacuumed by expire_snapshots."""
+    attempt's unreferenced files are vacuumed by expire_snapshots.
+
+    ``stats_cols`` (honored when THIS call creates the table) declares the
+    manifest-statistics columns, so a stream-born table gets pruned
+    incremental scans from its first commit."""
     cur = current_snapshot(path)
     if cur is not None:
         applied = (
@@ -726,6 +734,11 @@ def append_snapshot_epoch(
         if applied:
             return None
     os.makedirs(path, exist_ok=True)
+    if cur is None and stats_cols and not os.path.exists(
+        os.path.join(path, _PROPS)
+    ):
+        with open(os.path.join(path, _PROPS), "w") as f:
+            json.dump({"stats_cols": list(stats_cols)}, f)
     files = _write_files(batch_df, path, "data")
     sc = _stats_cols(path)
     new = [(f, "data", int(epoch_id), _bounds_meta(spark, f, sc)) for f in files]
@@ -740,17 +753,25 @@ def append_snapshot_epoch(
 
 
 def write_stream_to_versioned(
-    df: DataFrame, path: str, checkpoint: str, trigger_seconds: int = 2
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_seconds: int = 2,
+    stats_cols: list[str] | None = None,
 ):
     """[EXT] the reference's streaming sink with transactional semantics:
     every micro-batch commits one snapshot of the versioned table
     (append_snapshot_epoch — idempotent under foreachBatch's at-least-once
     replay). Readers always see a committed snapshot; history/rollback/
-    time travel work on the live table."""
+    time travel work on the live table. ``stats_cols`` declares the
+    manifest-statistics columns when the sink creates the table, so
+    downstream pruned reads work on stream-born tables too."""
     spark = df.sparkSession
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
-        append_snapshot_epoch(spark, path, batch_df, epoch_id)
+        append_snapshot_epoch(
+            spark, path, batch_df, epoch_id, stats_cols=stats_cols
+        )
 
     return (
         df.writeStream.outputMode("append")
@@ -805,3 +826,40 @@ def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
         }
         out.append({"snapshot": int(d), **counts})
     return out
+
+
+def table_files(
+    spark: SparkSession, path: str, snapshot: int | None = None
+) -> DataFrame:
+    """Iceberg's ``files`` metadata table: the manifest AS a queryable
+    DataFrame — (file, kind, epoch_id, seq, meta) per entry, meta holding
+    the recorded bounds/key-column JSON. Operators debug pruning and audit
+    commits with SQL instead of spelunking the directory tree."""
+    snap = current_snapshot(path) if snapshot is None else int(snapshot)
+    if snap is None:
+        raise ValueError(f"no versioned table at {path}")
+    m = _read_manifest(spark, path, snap)
+    if "meta" not in m.columns:  # pre-metadata manifests
+        m = m.withColumn("meta", F.lit(None).cast("string"))
+    return m.orderBy("seq")
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg's ``history``/``snapshots`` metadata table: one row per
+    retained snapshot with per-kind file counts and the current flag."""
+    cur = current_snapshot(path)
+    rows = [
+        (
+            h["snapshot"],
+            int(h.get("data", 0)),
+            int(h.get("delete", 0)),
+            int(h.get("epoch_marker", 0)),
+            h["snapshot"] == cur,
+        )
+        for h in snapshot_history(spark, path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot int, n_data_files int, n_delete_files int, "
+        "n_epoch_markers int, is_current boolean",
+    )

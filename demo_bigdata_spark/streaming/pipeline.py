@@ -912,6 +912,91 @@ def read_contamination_flags(spark, out_path: str, id_col: str = "doc_id") -> Da
     )
 
 
+def append_quality_scores(
+    spark,
+    batch_df: DataFrame,
+    out_path: str,
+    weights: DataFrame,
+    epoch_id: int,
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Exactly-once per-epoch classifier scoring AT INGEST: score one
+    micro-batch with the hashed-feature linear classifier
+    (operators.text.classifier_quality_score — broadcast weight join, no
+    corpus-level state, so each doc's score is independent of every other
+    doc) and append the (doc, n_tokens, raw_score, quality_prob, epoch)
+    rows under the same committed-view epoch-ledger discipline as every
+    incremental fold here. A trained-weight refresh is a pure data swap —
+    later epochs score with the new table, already-committed epochs keep
+    the scores they shipped with (the auditable production behavior)."""
+    from demo_bigdata_spark.operators.text import classifier_quality_score
+
+    epochs_path = out_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    (
+        classifier_quality_score(
+            batch_df, weights, n_buckets, bias, text_col, id_col
+        )
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .parquet(out_path)
+    )
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_quality_scores(
+    spark, out_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Committed view of the incrementally-maintained quality scores:
+    ledger semi-join + (doc, epoch) dedup — the exactly-once read the
+    downstream quality filter consumes."""
+    return committed_view(
+        spark,
+        out_path,
+        out_path + "_epochs",
+        [id_col, "epoch_id"],
+        f"{id_col} long, n_tokens bigint, raw_score double, "
+        "quality_prob double, epoch_id long",
+    )
+
+
+def incremental_quality_scoring(
+    df: DataFrame,
+    out_path: str,
+    weights: DataFrame,
+    checkpoint: str,
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous learned-quality scoring — the classifier twin of
+    incremental_decontamination: every ingested micro-batch is scored
+    exactly once against the (broadcast) weight table, so the corpus
+    quality filter is maintained AT INGEST instead of as a full-corpus
+    pass before each training run. Query with read_quality_scores."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_quality_scores(
+            spark, batch_df, out_path, weights, epoch_id, n_buckets, bias,
+            text_col, id_col
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def incremental_decontamination(
     df: DataFrame,
     out_path: str,

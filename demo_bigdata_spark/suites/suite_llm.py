@@ -1035,25 +1035,85 @@ ORDER BY lang
 """
 
 
+def q_snapshot_prune(spark, sf_dir):
+    """Manifest-statistics scan planning on the versioned table
+    (sources.snapshots, round-7): the table is created with
+    stats_cols=["doc_id"], committed in three doc_id-range thirds (so each
+    commit's files carry disjoint [min, max] bounds in the manifest), the
+    English docs are merge-on-read deleted, and the read asks for the
+    MIDDLE third via prune={"doc_id": (lo, hi)} — which drops the other
+    thirds' files at PLANNING time from the manifest alone (Iceberg's
+    file pruning; plan-pinned in test_versioned_table_manifest_stats_
+    prune_files) and is value-checked here against an oracle computing
+    the same slice straight from the documents table."""
+    import os
+    import shutil
+
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        delete_where,
+        read_table,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    path = (
+        "/tmp/spark_graft_vprune_"
+        + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        + f"_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    create_table(
+        spark, path, docs.filter(F.col("doc_id") <= cut1), stats_cols=["doc_id"]
+    )
+    append_snapshot(
+        spark, path, docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))
+    )
+    append_snapshot(spark, path, docs.filter(F.col("doc_id") > cut2))
+    delete_where(spark, path, "doc_id", F.col("lang") == "en")
+    pruned = read_table(spark, path, prune={"doc_id": (cut1 + 1, cut2)})
+    return (
+        pruned.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SNAPSHOT_PRUNE = """
+WITH cuts AS (
+  SELECT max(doc_id) // 3 AS cut1, 2 * max(doc_id) // 3 AS cut2
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents, cuts
+WHERE doc_id > cut1 AND doc_id <= cut2 AND lang <> 'en'
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --- Hashed-feature linear quality classifier ---------------------------------
 
 CLS_BUCKETS = 1024
 
 
-def q_classifier_quality(spark, sf_dir):
-    """Learned-quality-filter serving path (operator:
-    text.classifier_quality_score): tokens hash to 1024 feature buckets,
-    bucket weights come from a broadcast weight table, doc score =
-    sigmoid(mean weight). The weight table here is deterministic
-    pseudo-weights k/1024 with k = md5(bucket) % 2049 - 1024 — dyadic
-    rationals, so every partial float sum is EXACT (an integer multiple
-    of 2^-10 well under 2^53) and accumulation order cannot matter; the
-    mean is then one int-exact division and sigmoid the one
-    transcendental (the accepted pattern). A production deployment swaps
-    in trained weights — pure data change, same plan."""
+def _cls_weights(spark):
+    """Deterministic pseudo-weight table k/1024 with
+    k = md5(bucket) % 2049 - 1024 — dyadic rationals, so every partial
+    float sum is EXACT (an integer multiple of 2^-10 well under 2^53) and
+    accumulation order cannot matter. Shared by the classifier queries; a
+    production deployment swaps in trained weights — pure data change,
+    same plan."""
     from demo_bigdata_spark.operators.sampling import _HEX_CHARS
 
-    weights = spark.range(CLS_BUCKETS).select(
+    return spark.range(CLS_BUCKETS).select(
         F.col("id").cast("int").alias("bucket"),
         (
             (
@@ -1068,8 +1128,17 @@ def q_classifier_quality(spark, sf_dir):
             / F.lit(1024.0)
         ).alias("weight"),
     )
+
+
+def q_classifier_quality(spark, sf_dir):
+    """Learned-quality-filter serving path (operator:
+    text.classifier_quality_score): tokens hash to 1024 feature buckets,
+    bucket weights come from a broadcast weight table (_cls_weights —
+    exact dyadic pseudo-weights), doc score = sigmoid(mean weight); the
+    mean is one int-exact division and sigmoid the one transcendental
+    (the accepted pattern)."""
     return X.classifier_quality_score(
-        _docs(spark, sf_dir), weights, n_buckets=CLS_BUCKETS
+        _docs(spark, sf_dir), _cls_weights(spark), n_buckets=CLS_BUCKETS
     )  # unordered: see q_near_duplicates
 
 
@@ -1256,7 +1325,10 @@ def q_corpus_pipeline_v2(spark, sf_dir):
 _SQL_CLEAN_TOKS = r"regexp_split_to_array(trim(clean_text), '\s+')"
 _V2_WMAP_SQL = "MAP " + str({k: float(v) for k, v in sorted(V2_MIX_WEIGHTS.items())})
 
-SQL_CORPUS_PIPELINE_V2 = rf"""
+# Shared CTE chain for the composed pipelines: gate -> line dedup ->
+# decontaminate (ends at `decon`); v2 appends the mixture tail directly,
+# v3 inserts the classifier-score filter between them.
+_SQL_PIPE_PREFIX = rf"""
 WITH {_SQL_GOPHER_BASE},
 {_SQL_GOPHER_FEAT},
 gated AS (SELECT doc_id FROM feat WHERE {_SQL_GOPHER_KEEP}),
@@ -1320,12 +1392,18 @@ decon AS (
   FROM cleaned c
   WHERE c.source NOT IN ('src0', 'src1')
     AND c.doc_id NOT IN (SELECT doc_id FROM cont)
-),
+)"""
+
+
+def _sql_pipe_tail(src: str) -> str:
+    """Token-budget mixture tail over ``src`` (a CTE with doc_id, lang,
+    clean_text) + the per-language volume report."""
+    return rf""",
 nt AS (
   SELECT doc_id, lang,
          (CASE WHEN trim(clean_text) = '' THEN 0
                ELSE len({_SQL_CLEAN_TOKS}) END)::BIGINT AS n_tokens
-  FROM decon
+  FROM {src}
 ),
 sizes AS (SELECT lang, greatest(sum(n_tokens), 1)::BIGINT AS gw FROM nt GROUP BY lang),
 cuts AS (
@@ -1344,6 +1422,88 @@ SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
        min(doc_id) AS min_doc
 FROM mixkept GROUP BY lang ORDER BY lang
 """
+
+
+SQL_CORPUS_PIPELINE_V2 = _SQL_PIPE_PREFIX + _sql_pipe_tail("decon")
+
+
+def q_corpus_pipeline_v3(spark, sf_dir):
+    """[EXT] The full CCNet/GPT-3 ordering as one composed plan: Gopher
+    gate -> common-line dedup -> decontaminate -> **learned-classifier
+    quality filter** -> token-budget mixture by language. v3 adds the
+    train-then-serve stage the production pipelines run between
+    decontamination and mixing: every surviving doc is scored by the
+    hashed-feature linear classifier (text.classifier_quality_score with
+    the exact-dyadic _cls_weights table — a trained table is a pure data
+    swap) and only docs with raw_score > 0 (sigmoid > 0.5) enter the
+    mixture.
+
+    Composition cost = sum of stages (plan-pinned like v2): the cleaned
+    corpus is the session-cached artifact, the decontaminated frame is
+    pinned ONCE because the classifier stage necessarily references it
+    twice (score + filter-join — Spark has no cross-DAG CSE), and the
+    classifier adds one explode + broadcast join + per-doc aggregate, no
+    new corpus-wide shuffle beyond the score's doc_id aggregate."""
+    from demo_bigdata_spark.operators.sampling import mixture_sample_weighted
+
+    docs = _docs(spark, sf_dir)
+    cleaned = _cleaned_corpus(spark, sf_dir)
+    is_eval = F.col("source").isin("src0", "src1")
+    train = cleaned.filter(~is_eval)
+    tsh = D.shingle_hashes(train, n=8, text_col="clean_text")
+    esh = D.shingle_hashes(docs.filter(is_eval), n=8)
+    cont = D.decontaminate(train_shingles=tsh, eval_shingles=esh, n=8).select(
+        F.col("train_id").alias("doc_id")
+    )
+    decon = train.join(cont, "doc_id", "left_anti").localCheckpoint(eager=False)
+    scored = X.classifier_quality_score(
+        decon, _cls_weights(spark), n_buckets=CLS_BUCKETS, text_col="clean_text"
+    )
+    qual = decon.join(
+        scored.filter(F.col("raw_score") > 0).select("doc_id"), "doc_id"
+    )
+    budget = qual.withColumn(
+        "_nt", X.token_count(F.col("clean_text")).cast("bigint")
+    ).localCheckpoint(eager=False)
+    mixed = mixture_sample_weighted(
+        budget, "lang", "doc_id", V2_MIX_WEIGHTS, V2_MIX_TARGET_TOKENS, "_nt"
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_PIPELINE_V3 = _SQL_PIPE_PREFIX + rf""",
+w AS (
+  SELECT b::INT AS bucket,
+         ((('0x' || substr(md5(b::VARCHAR), 1, 7))::BIGINT % 2049) - 1024)
+           / 1024.0 AS weight
+  FROM (SELECT unnest(range({CLS_BUCKETS})) AS b)
+),
+tkc AS (
+  SELECT doc_id, unnest({_SQL_CLEAN_TOKS}) AS t FROM decon
+),
+bkc AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 7))::BIGINT % {CLS_BUCKETS})::INT AS bucket
+  FROM tkc WHERE t <> ''
+),
+scc AS (
+  SELECT doc_id, sum(coalesce(w.weight, 0.0)) / count(*) + 0.0 AS raw_score
+  FROM bkc LEFT JOIN w USING (bucket)
+  GROUP BY doc_id
+),
+qual AS (
+  SELECT d.doc_id, d.lang, d.clean_text
+  FROM decon d JOIN scc USING (doc_id)
+  WHERE scc.raw_score > 0
+)""" + _sql_pipe_tail("qual")
 
 # --- Deterministic sampling / splitting (operators.sampling) ----------------------
 
@@ -2865,9 +3025,11 @@ QUERIES = {
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "corpus_pipeline_v2": (q_corpus_pipeline_v2, SQL_CORPUS_PIPELINE_V2),
+    "corpus_pipeline_v3": (q_corpus_pipeline_v3, SQL_CORPUS_PIPELINE_V3),
     "classifier_quality": (q_classifier_quality, SQL_CLASSIFIER_QUALITY),
     "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
     "snapshot_table": (q_snapshot_table, SQL_SNAPSHOT_TABLE),
+    "snapshot_prune": (q_snapshot_prune, SQL_SNAPSHOT_PRUNE),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),

@@ -222,11 +222,33 @@ def main() -> None:
     # rounds, not 100 — wall time should land in single-digit MINUTES at
     # x30, where one-merge-per-round would be ~10x the 10-merge row x10
     t0 = time.perf_counter()
-    B.bpe_train(bdocs, n_merges=100)
+    rules100, _ = B.bpe_train(bdocs, n_merges=100)
     rank_results.append(
         (
             f"bpe_train_100_merges ({B.LAST_TRAIN_ROUNDS} batched rounds)",
             round(time.perf_counter() - t0, 2),
+        )
+    )
+    # r7 production path (VERDICT r6 #2): the same 100 merges with the
+    # merge rewrite as Arrow-batched mapInPandas instead of the
+    # interpreted Catalyst fold — identical rules (parity-pinned in
+    # tests), the row measures the constant-factor win per round
+    t0 = time.perf_counter()
+    arrow_rules, _ = B.bpe_train(bdocs, n_merges=100, engine="arrow")
+    assert arrow_rules == rules100, "arrow/catalyst BPE rule divergence"
+    rank_results.append(
+        (
+            f"bpe_train_100_merges_arrow ({B.LAST_TRAIN_ROUNDS} rounds)",
+            round(time.perf_counter() - t0, 2),
+        )
+    )
+    bwords = B.word_frequencies(bdocs).localCheckpoint(eager=True)
+    rank_results.append(
+        timed("bpe_apply_100_catalyst", B.bpe_apply(bwords, rules100))
+    )
+    rank_results.append(
+        timed(
+            "bpe_apply_100_arrow", B.bpe_apply(bwords, rules100, engine="arrow")
         )
     )
     rank_results.append(timed("cdc_chunks", X.cdc_chunks(bdocs)))
@@ -414,7 +436,114 @@ def main() -> None:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"))
     )
-    rel_results.append(timed_warm("scd2_point_lookup_x30", lookup))
+    rel_results.append(timed_warm("scd2_rollup_x30", lookup))
+
+    # r7 (VERDICT r6 #7): the POINT lookup proper — "what was this
+    # customer's segment when each of their orders shipped". Range-cluster
+    # the fact ONCE on the lookup key (pay-once write row), then a keyed
+    # probe answers from row-group-pruned scans + a broadcast dim slice:
+    # near-flat in the fact size, vs the rollup's full shuffle join.
+    from demo_bigdata_spark.sources.layout import (
+        skipping_report as _skiprep,
+        sort_for_skipping as _sortskip,
+    )
+
+    fact_cols = bord_cust.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("_d"),
+    )
+    t0 = time.perf_counter()
+    _sortskip(fact_cols, f"{tmp}/orders_by_cust", ["o_custkey"], n_files=32)
+    rel_results.append(
+        ("scd2_fact_cluster_write_x30", round(time.perf_counter() - t0, 2))
+    )
+    facts_c = spark.read.parquet(f"{tmp}/orders_by_cust")
+    probe_keys = [i * ck_span * FACTOR // 12 for i in range(1, 11)]
+    dim_slice = versioned_p.filter(versioned_p.c_custkey.isin(probe_keys))
+    point = (
+        facts_c.filter(F.col("o_custkey").isin(probe_keys))
+        .join(
+            F.broadcast(dim_slice),
+            (F.col("o_custkey") == dim_slice.c_custkey)
+            & (F.col("valid_from") <= F.col("_d"))
+            & (dim_slice.valid_to.isNull() | (F.col("_d") < dim_slice.valid_to)),
+        )
+        .select("o_orderkey", "c_mktsegment")
+    )
+    rel_results.append(timed_warm("scd2_point_lookup_x30", point))
+    srep = _skiprep(spark, f"{tmp}/orders_by_cust", "o_custkey", probe_keys)
+    rel_results.append(
+        ("scd2_point_skip_frac", f"{srep['skipped_frac']:.2f}")
+    )
+
+    # r7 versioned-table tier: the S4 emulation at x30 — 12 commits over
+    # the x30 orders (one per o_orderdate year-slice), then the reads the
+    # 100 TB story depends on: a full committed read, a manifest-PRUNED
+    # read of one slice (must cost ~the slice), an incremental scan of the
+    # last commit (O(new files)), and a layout rewrite committed as one
+    # atomic snapshot.
+    import shutil as _sh2
+
+    from demo_bigdata_spark.sources import snapshots as SN
+
+    vt = f"{tmp}/vtable_x30"
+    _sh2.rmtree(vt, ignore_errors=True)
+    slices = bord_cust.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    import datetime as _dt
+
+    qts = slices.selectExpr(
+        "cast(unix_timestamp(to_date(d)) as double) AS u"
+    ).approxQuantile("u", [i / 12 for i in range(1, 12)], 0.001)
+    bounds = sorted(
+        {
+            _dt.datetime.utcfromtimestamp(u).strftime("%Y-%m-%d")
+            for u in qts
+        }
+    )
+    cuts = ["0000-01-01"] + bounds + ["9999-12-31"]
+    n_commits = len(cuts) - 1
+    t0 = time.perf_counter()
+    for i in range(n_commits):
+        part = slices.filter(
+            (F.col("d") >= cuts[i]) & (F.col("d") < cuts[i + 1])
+        )
+        if i == 0:
+            SN.create_table(spark, vt, part, stats_cols=["d", "o_custkey"])
+        else:
+            SN.append_snapshot(spark, vt, part)
+    rel_results.append(
+        (
+            f"vtable_{n_commits}_commits_x30 (18M rows, per-file bounds)",
+            round(time.perf_counter() - t0, 2),
+        )
+    )
+    rel_results.append(
+        timed_warm("vtable_read_full_x30", SN.read_table(spark, vt))
+    )
+    mid = len(cuts) // 2
+    rel_results.append(
+        timed_warm(
+            f"vtable_read_pruned_1_of_{n_commits}_x30",
+            SN.read_table(spark, vt, prune={"d": (cuts[mid], cuts[mid + 1])}),
+        )
+    )
+    rel_results.append(
+        timed_warm(
+            "vtable_incremental_last_commit_x30",
+            SN.read_appends_since(spark, vt, n_commits - 1),
+        )
+    )
+    t0 = time.perf_counter()
+    SN.rewrite_table_layout(spark, vt, order_by=["o_custkey"], n_files=32)
+    rel_results.append(
+        ("vtable_rewrite_commit_x30", round(time.perf_counter() - t0, 2))
+    )
 
     # backfill: dynamic partition overwrite of TWO dates out of the x30
     # partitioned events table — cost must track the slice, not the table
@@ -556,10 +685,31 @@ def main() -> None:
         "what matters, and 100 merges lands in seconds at x30, not the",
         "days a 32k-vocab one-job-per-merge loop would cost.",
         "scd2_merge_x30dim grows with the open-row count (one full-outer",
-        "join keyed by the dimension key); scd2_point_lookup_x30 with the",
-        "x30 fact side. backfill_2_of_900_dates rewrites only the named",
-        "date partitions — its cost tracks the 2-day slice while the table",
-        "is 900 days wide.",
+        "join keyed by the dimension key); scd2_rollup_x30 is the batch",
+        "report over the x30 fact side (an honest shuffle join — it grows",
+        "with the facts). scd2_point_lookup_x30 is the keyed probe: after",
+        "the pay-once range-cluster of the fact on the lookup key",
+        "(scd2_fact_cluster_write_x30), ten customer probes answer from",
+        "row-group-pruned scans (scd2_point_skip_frac, footer-measured) +",
+        "a broadcast dim slice — near-flat in the fact size.",
+        "backfill_2_of_900_dates rewrites only the named date partitions —",
+        "its cost tracks the 2-day slice while the table is 900 days wide.",
+        "The bpe_train_100_merges vs ..._arrow pair measures the r7",
+        "production rewrite path (mapInPandas) against the interpreted",
+        "Catalyst fold on identical rules, as do the bpe_apply_100 rows",
+        "over the word-type table.",
+        "",
+        "Versioned-table tier (r7): 18M rows committed as ~12 date-sliced",
+        "snapshots with per-file [min,max] bounds recorded in the manifest",
+        "(stats_cols). vtable_read_full_x30 is the whole committed view;",
+        "vtable_read_pruned_1_of_N_x30 asks for ONE slice via",
+        "read_table(prune=...) — files are dropped at scan planning from",
+        "the manifest alone, so its cost must track the slice, not the",
+        "table (Iceberg's manifest pruning, the S4 100 TB story).",
+        "vtable_incremental_last_commit_x30 is the manifest file-diff",
+        "consumer (O(new files)); vtable_rewrite_commit_x30 is",
+        "rewrite_table_layout — an atomic re-clustering commit",
+        "(rewrite_data_files) over the full 18M rows.",
         "",
         "Layout tier: one range shuffle rewrites 18M rows for either",
         "clustering; the skip_frac rows are footer-only pruning estimates —",

@@ -347,6 +347,45 @@ def test_corpus_pipeline_v2_stage_sum_shuffles(spark, sf_dir):
     assert po.count("Scan parquet") == 0, po
 
 
+def test_corpus_pipeline_v3_classifier_stage_shuffles(spark, sf_dir):
+    """v3's new seam (round-7 VERDICT item 3): the classifier-score filter
+    between decontamination and the mixture must add only its own bounded
+    cost — one explode + BROADCAST weight join + doc_id aggregate + the
+    filter-join back — and the shipped composition's outer plan past the
+    pinned budget table stays the mixture + final aggregate with no
+    corpus re-scan (the stages before the classifier are pinned exactly
+    as in v2, covered by test_corpus_pipeline_v2_stage_sum_shuffles)."""
+    from demo_bigdata_spark.operators import text as X
+    from demo_bigdata_spark.suites.suite_llm import (
+        CLS_BUCKETS,
+        _cls_weights,
+        q_corpus_pipeline_v3,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # the classifier stage in isolation: score + threshold-join back
+    base = docs.select(
+        "doc_id", "lang", F.col("text").alias("clean_text")
+    ).localCheckpoint(eager=True)
+    scored = X.classifier_quality_score(
+        base, _cls_weights(spark), n_buckets=CLS_BUCKETS, text_col="clean_text"
+    )
+    qual = base.join(
+        scored.filter(F.col("raw_score") > 0).select("doc_id"), "doc_id"
+    )
+    pq_ = executed_plan(qual)
+    assert "BroadcastHashJoin" in pq_, pq_  # the weight lookup never shuffles
+    assert pq_.count("Exchange") <= 4 and not has_cartesian(qual), pq_
+
+    # the shipped composition: outer plan past the pinned budget table is
+    # mixture + final aggregate only — no corpus re-scan above the pin
+    out = q_corpus_pipeline_v3(spark, sf_dir)
+    po = executed_plan(out)
+    assert po.count("Exchange") <= 6 and not has_cartesian(out), po
+    assert po.count("Scan parquet") == 0, po
+
+
 def test_classifier_quality_broadcasts_weights(spark, sf_dir):
     """The classifier's weight lookup must be a BroadcastHashJoin (weights
     are KBs; shuffling the exploded token table against them would be a

@@ -158,3 +158,75 @@ def test_aqe_splits_skewed_join_partitions(spark):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         ):
             spark.conf.unset(k)
+
+
+def test_scd2_point_lookup_clustered_fact_prunes(spark, sf_dir, tmp_path):
+    """Round-7 VERDICT item 7, pinned: the SCD2 point lookup over a fact
+    table range-clustered on the lookup key must (a) push the key filter
+    to the parquet scan, (b) broadcast the sliced dimension (no fact
+    shuffle), (c) actually skip most row groups (footer-measured), and
+    (d) return the same rows as the unclustered plan."""
+    from demo_bigdata_spark.operators.relational import scd2_merge
+    from demo_bigdata_spark.sources.layout import (
+        skipping_report,
+        sort_for_skipping,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("1996-01-01").alias("ts"),
+    )
+    versioned = scd2_merge(
+        dim, updates, "c_custkey", ["c_mktsegment"], "ts"
+    ).localCheckpoint(eager=True)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("_d"),
+    )
+    path = str(tmp_path / "orders_by_cust")
+    sort_for_skipping(orders, path, ["o_custkey"], n_files=8)
+    facts = spark.read.parquet(path)
+
+    hi = cust.agg(F.max("c_custkey")).first()[0]
+    probes = [hi // 7, hi // 3, hi - 1]
+    dim_slice = versioned.filter(versioned.c_custkey.isin(probes))
+    point = (
+        facts.filter(F.col("o_custkey").isin(probes))
+        .join(
+            F.broadcast(dim_slice),
+            (F.col("o_custkey") == dim_slice.c_custkey)
+            & (F.col("valid_from") <= F.col("_d"))
+            & (dim_slice.valid_to.isNull() | (F.col("_d") < dim_slice.valid_to)),
+        )
+        .select("o_orderkey", "c_mktsegment")
+    )
+    plan = executed_plan(point)
+    assert "BroadcastHashJoin" in plan, plan  # (b) no fact shuffle
+    assert "PushedFilters: [In(o_custkey" in plan, plan  # (a) scan-level
+    rep = skipping_report(spark, path, "o_custkey", probes)
+    assert rep["skipped_frac"] > 0.5, rep  # (c) clustering pays
+
+    # (d) same answer as the plain unclustered join
+    plain = (
+        orders.filter(F.col("o_custkey").isin(probes))
+        .join(
+            versioned,
+            (F.col("o_custkey") == versioned.c_custkey)
+            & (F.col("valid_from") <= F.col("_d"))
+            & (versioned.valid_to.isNull() | (F.col("_d") < versioned.valid_to)),
+        )
+        .select("o_orderkey", "c_mktsegment")
+    )
+    assert sorted(map(tuple, point.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
