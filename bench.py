@@ -94,6 +94,11 @@ HEADLINE = [
     "corpus_pipeline_v3",
     "classifier_eval",
     "snapshot_prune",
+    # r7: exact-substring span dedup, CCNet bigram-LM perplexity gate,
+    # DSIR importance weights
+    "span_dedup",
+    "lm_perplexity",
+    "dsir_weights",
 ]
 
 

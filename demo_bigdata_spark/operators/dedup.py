@@ -1098,3 +1098,150 @@ def remove_common_lines(
             .alias("n_removed"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    window: int = 20,
+    min_count: int = 2,
+    keep: str = "first",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """[EXT] exact-substring span deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``window``-token span whose exact text occurs at least ``min_count``
+    times across the corpus is a duplicated span; every flagged
+    occurrence's tokens are cut from its document and the survivors are
+    reassembled in order. ``keep="first"`` (the paper's release-tool
+    semantics scaled to spans) exempts the corpus-wide first occurrence —
+    min (doc_id, position) per span hash, computed as a min-struct
+    aggregate (no per-hash sort; dup-farm hashes don't create a sort
+    skew). ``keep="none"`` removes every occurrence.
+
+    Distributed shape (the suffix array of the paper is a single-machine
+    structure; this is the shuffle-bounded equivalent):
+    1. per-doc pinned token array; rolling ``window``-gram md5 per start
+       position (each position hashed once — posexplode over the pinned
+       array, no HOF re-inlining, no shuffle);
+    2. hash-aggregate span counts keyed by the 16-byte digest (one
+       shuffle, map-side combine collapses repeats);
+    3. flagged starts = occurrences of dup hashes (semi join) minus the
+       per-hash min-struct first occurrence under keep="first";
+    4. coverage: tokens posexploded, flagged starts joined on
+       (doc, position), and one per-doc running max over start positions
+       marks every token t with a flagged start p in (t-window, t] —
+       windows partition by doc_id, so state is bounded by document
+       length, never corpus length;
+    5. ordered reassembly via array_sort(collect_list(struct(pos, tok)))
+       — the remove_common_lines shape.
+
+    Output: (id, n_tokens, n_removed, clean_text) — clean_text is
+    whitespace-normalized (tokens joined by single spaces; reassembly
+    cannot preserve the original whitespace it tokenized away). Documents
+    shorter than ``window`` tokens pass through untouched; documents whose
+    every token was covered survive with empty text (dropping them would
+    silently change corpus size).
+
+    100 TB posture: every stage is an explode + equi-shuffle keyed by
+    digest or doc_id — no all-pairs, no corpus-sized window, no driver
+    state. The dominant cost is the per-position gram hash (genuine CPU,
+    the cdc_chunks price) and the token-count-sized coverage shuffle.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    from demo_bigdata_spark.functions.scalar import pin
+
+    # byte-thin scan, CPU-heavy per row (W-token gram concat + md5 per
+    # position): spread to cores first or the hashing lands on the few
+    # scan splits (the cdc_chunks fix)
+    base = spread_for_cpu(df).select(
+        F.col(id_col), pin(tokens(text_col)).alias("_tok"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = int(window)
+    # (doc, start, gram hash) — one row per window position
+    # portable=True: md5 digests (DuckDB-oracle twin); portable=False:
+    # xxhash64 — the production hash, ~10x cheaper per gram, same
+    # flag/keep semantics (the dedup-family convention; fast-path parity
+    # pinned in tests/test_fast_hash_path.py)
+    def _gram_hash(i: Column) -> Column:
+        gram = F.concat_ws(" ", F.slice(F.col("_tok"), i + 1, w))
+        return F.md5(gram) if portable else F.xxhash64(gram).cast("string")
+
+    grams = base.filter(F.col("n_tokens") >= w).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - w), _gram_hash
+            )
+        ).alias("_p", "_h"),
+    )
+    occs = grams.groupBy("_h").agg(
+        F.count("*").alias("_c"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_p").alias("p"))).alias("_first"),
+    ).filter(F.col("_c") >= int(min_count))
+    flagged = grams.join(occs, "_h")
+    if keep == "first":
+        flagged = flagged.filter(
+            ~(
+                (F.col(id_col) == F.col("_first.i"))
+                & (F.col("_p") == F.col("_first.p"))
+            )
+        )
+    flagged = flagged.select(
+        F.col(id_col).alias("_fid"), F.col("_p").alias("_start")
+    )
+
+    # empty-text docs carry a [''] token array from split('') — exclude
+    # them here (they rejoin with clean_text='' via the left join below)
+    toks = base.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col), "n_tokens", F.posexplode("_tok").alias("_t", "_w")
+    )
+    from pyspark.sql import Window as W
+
+    cover = (
+        toks.join(
+            flagged,
+            (F.col(id_col) == F.col("_fid")) & (F.col("_t") == F.col("_start")),
+            "left",
+        )
+        .select(id_col, "n_tokens", "_t", "_w", "_start")
+        .withColumn(
+            "_cov",
+            F.max("_start").over(
+                W.partitionBy(id_col).orderBy("_t").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_rm", F.col("_cov").isNotNull() & (F.col("_cov") + w > F.col("_t")))
+    )
+    rebuilt = (
+        cover.filter(~F.col("_rm"))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_t", "_w"))),
+                    lambda x: x["_w"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -295,3 +295,164 @@ def mixture_sample_repeat(
         .drop("_gn", "_nc")
     )
     return out
+
+
+def dsir_bucketed_features(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """[EXT] the shared DSIR feature frame: one row per token-bigram
+    occurrence, bucketed — (id[, extras], bucket). The expensive part of
+    every DSIR stage is this explode; materialize it ONCE (the
+    dedup.shingle_hashes precedent — Spark has no cross-DAG CSE, so a
+    lazily-rebuilt frame would re-explode the corpus per consumer) and
+    feed it to dsir_logratio_table (raw_features/target_features) and
+    dsir_weights (features). ``extra_cols`` carries the columns the
+    caller filters the target slice by (e.g. lang)."""
+    from demo_bigdata_spark.operators.text import _doc_bigrams
+
+    extras = list(extra_cols or [])
+    bg = _doc_bigrams(df, text_col=text_col, id_col=id_col, extra_cols=extras)
+    return bg.select(
+        id_col,
+        *extras,
+        hash_bucket(F.concat_ws(" ", "w1", "w2"), n_buckets=n_buckets).alias(
+            "bucket"
+        ),
+    )
+
+
+def dsir_logratio_table(
+    raw: DataFrame | None = None,
+    target: DataFrame | None = None,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    raw_features: DataFrame | None = None,
+    target_features: DataFrame | None = None,
+) -> DataFrame:
+    """[EXT] per-bucket log importance ratios for DSIR (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    token bigrams hash into ``n_buckets`` feature buckets; each bucket's
+    ratio is log2 of its add-one-smoothed probability under the TARGET
+    distribution (the domain you want more of) over the RAW distribution
+    (the crawl you're selecting from). Returns (bucket, log_ratio) —
+    ``n_buckets`` rows, a broadcastable model artifact like the
+    classifier's weight table.
+
+    Two hash-aggregate passes (one per corpus), each one shuffle keyed by
+    the bucket id — at 100 TB the aggregate is map-side-combined down to
+    n_buckets rows per partition before the exchange. Pass
+    ``raw_features``/``target_features`` (dsir_bucketed_features frames,
+    usually one pinned frame and a filter of it) to share the corpus
+    explode across stages instead of re-running it per count table.
+    """
+    from demo_bigdata_spark.operators.text import _doc_bigrams
+
+    def counts(df: DataFrame | None, feats: DataFrame | None, name: str) -> DataFrame:
+        if feats is None:
+            feats = _doc_bigrams(df, text_col=text_col).select(
+                hash_bucket(
+                    F.concat_ws(" ", "w1", "w2"), n_buckets=n_buckets
+                ).alias("bucket")
+            )
+        return feats.groupBy("bucket").agg(F.count("*").alias(name))
+
+    if (target is None) == (target_features is None):
+        raise ValueError("pass exactly one of target / target_features")
+    if (raw is None) == (raw_features is None):
+        raise ValueError("pass exactly one of raw / raw_features")
+    ct = counts(target, target_features, "ct")
+    cr = counts(raw, raw_features, "cr")
+    nt = ct.agg(F.sum("ct").alias("nt"))
+    nr = cr.agg(F.sum("cr").alias("nr"))
+    buckets = (raw if raw is not None else raw_features).sparkSession.range(
+        n_buckets
+    ).select(F.col("id").cast("long").alias("bucket"))
+    return (
+        buckets.join(F.broadcast(ct), "bucket", "left")
+        .join(F.broadcast(cr), "bucket", "left")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                F.log2(
+                    (F.coalesce("ct", F.lit(0)) + 1)
+                    / (F.col("nt") + n_buckets).cast("double")
+                )
+                - F.log2(
+                    (F.coalesce("cr", F.lit(0)) + 1)
+                    / (F.col("nr") + n_buckets).cast("double")
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame | None,
+    log_ratios: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    features: DataFrame | None = None,
+) -> DataFrame:
+    """[EXT] per-document DSIR importance weights: sum of the bucket
+    log-ratios over the document's hashed bigram occurrences (the log of
+    the paper's importance weight under the hashed-ngram generative
+    model), plus the occurrence count and the mean (rounded 4dp — the
+    logprob convention). Docs with more target-like n-gram mass than the
+    raw crawl score positive; DSIR resamples proportionally to the
+    exponentiated weight, and the deterministic engine twin of that
+    selection is ``dsir_select`` (top-k by weight, content-stable
+    tiebreak).
+
+    Shape: explode to bigram occurrences, broadcast-join the n_buckets-row
+    ratio table, one aggregate back per doc — the classifier_quality
+    plan. Pass ``features`` (a dsir_bucketed_features frame, usually the
+    pinned one shared with dsir_logratio_table) to skip the explode."""
+    from demo_bigdata_spark.operators.text import _doc_bigrams
+
+    if (df is None) == (features is None):
+        raise ValueError("pass exactly one of df / features")
+    if features is not None:
+        bg = features.select(id_col, "bucket")
+    else:
+        bg = _doc_bigrams(df, text_col=text_col, id_col=id_col).select(
+            F.col(id_col),
+            hash_bucket(
+                F.concat_ws(" ", "w1", "w2"), n_buckets=n_buckets
+            ).alias("bucket"),
+        )
+    return (
+        bg.join(F.broadcast(log_ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("log_ratio"), 4).alias("log_weight"),
+            F.round(F.avg("log_ratio"), 4).alias("mean_log_ratio"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] deterministic DSIR selection: the k highest-importance
+    documents, ties broken by id (content-stable — the paper's Gumbel
+    resampling is seed-dependent; a reproducible pipeline wants the same
+    k docs on every engine and run). TakeOrdered plan: no global sort
+    materialization, per-partition top-k then a k-row merge on the
+    driver-side exchange."""
+    picked = (
+        weights.orderBy(F.col("log_weight").desc(), F.col(id_col))
+        .limit(int(k))
+        .select(id_col, "log_weight")
+    )
+    return df.join(picked, id_col)

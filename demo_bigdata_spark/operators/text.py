@@ -1023,3 +1023,123 @@ def pmi_scores(
             ).alias("pmi"),
         )
     )
+
+
+# --- Bigram language model (CCNet-style perplexity filter) --------------------
+
+
+def _doc_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id[, extras], w1, w2) — consecutive token pairs within each
+    document. Pinned token array + one explode; docs with fewer than two
+    tokens contribute no rows (and therefore vanish from LM scoring — a
+    1-token document has no bigram evidence to score). ``extra_cols``
+    pass through unchanged (no join — they ride the explode). No
+    shuffle."""
+    from demo_bigdata_spark.functions.scalar import pin
+
+    extras = list(extra_cols or [])
+    base = df.select(
+        F.col(id_col),
+        *extras,
+        pin(tokens(text_col)).alias("_tok"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .alias("_n"),
+    )
+    return (
+        base.filter(F.col("_n") >= 2)
+        .select(
+            F.col(id_col),
+            *extras,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_tok", i).alias("w1"),
+                        F.element_at("_tok", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_bg"),
+        )
+        .select(
+            id_col,
+            *extras,
+            F.col("_bg.w1").alias("w1"),
+            F.col("_bg.w2").alias("w2"),
+        )
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """[EXT] train the CCNet-style bigram LM on a reference corpus (CCNet
+    trains KenLM on Wikipedia and scores CommonCrawl by perplexity;
+    Wenzek et al. 2020 §3.3). Returns three frames that together ARE the
+    model — all counts, no floats, so training is one pass of hash
+    aggregates and the model is storable/mergeable like every index here:
+
+    - bigram counts (w1, w2, c12): one shuffle keyed by the pair;
+    - context counts (w1, c1): rollup of the bigram table (c1 = number of
+      times w1 occurs as a context — the conditional's denominator);
+    - vocab (a single-row frame with ``v`` = distinct reference tokens):
+      the add-one smoothing mass.
+
+    Zipf keeps both count tables small relative to the corpus (they are
+    DISTINCT-keyed); at 100 TB they broadcast or shuffle-join fine either
+    way.
+    """
+    bg = _doc_bigrams(df, text_col, id_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    toks = df.select(F.explode(tokens(text_col)).alias("_t")).filter(
+        F.col("_t") != ""
+    )
+    vocab = toks.agg(F.count_distinct("_t").alias("v"))
+    return c12, c1, vocab
+
+
+def bigram_nll_score(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] score a corpus against a trained bigram LM (train_bigram_lm):
+    per-document mean -log2 p(w_i | w_{i-1}) with add-one smoothing,
+    p(w2|w1) = (c12 + 1) / (c1 + V) — unseen bigrams and unseen contexts
+    fall back to the smoothed floor, so out-of-domain text scores high.
+    This is the KenLM-perplexity quality gate of CCNet re-expressed as
+    joins: doc bigrams left-join the two count tables (equi-shuffles or
+    broadcasts — AQE's call; the model tables are vocabulary-sized), the
+    single-row vocab frame broadcast-crossed in, one aggregate back per
+    document. mean_nll is rounded to 4dp (the unigram_logprob_score
+    convention — sub-ULP sum-order noise cannot flip it).
+
+    Serving twin of the CCNet flow: the LM is a pure data artifact —
+    retraining on a new reference is a data swap, same plan.
+    """
+    bg = _doc_bigrams(df, text_col, id_col)
+    scored = (
+        bg.join(bigram_counts, ["w1", "w2"], "left")
+        .join(context_counts, "w1", "left")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "_nll",
+            -F.log2(
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_nll"), 4).alias("mean_nll"),
+    )

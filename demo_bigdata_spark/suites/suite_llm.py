@@ -95,6 +95,64 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY t.doc_id
 """
 
+
+# --- Exact-substring span dedup (Lee et al. 2022) -----------------------------
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact-substring span deduplication (operator: dedup.span_dedup —
+    Lee et al. 2022's ExactSubstr scaled to a shuffle-bounded Spark plan):
+    every 20-token span occurring >= 2 times corpus-wide is cut from all
+    but its corpus-first occurrence; docs reassembled from the surviving
+    tokens. Returns the audit row per doc — token counts, removed count,
+    md5 of the reassembled text (whitespace-normalized)."""
+    out = D.span_dedup(_docs(spark, sf_dir), window=20)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("kept_md5"),
+    )  # unordered: see q_near_duplicates
+
+
+SQL_SPAN_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tok
+  FROM documents
+),
+tn AS (SELECT doc_id, tok, len(tok)::BIGINT AS n FROM d),
+w AS (SELECT doc_id, unnest(range(n - 20 + 1)) AS p, tok FROM tn WHERE n >= 20),
+g AS (SELECT doc_id, p, md5(array_to_string(tok[p+1:p+20], ' ')) AS h FROM w),
+occ AS (
+  SELECT h, count(*) AS c,
+         min(struct_pack(i := doc_id, p := p)) AS first
+  FROM g GROUP BY h HAVING count(*) >= 2
+),
+flagged AS (
+  SELECT g.doc_id, g.p FROM g JOIN occ USING (h)
+  WHERE NOT (g.doc_id = occ.first.i AND g.p = occ.first.p)
+),
+tk AS (SELECT doc_id, n, unnest(range(n)) AS t, tok FROM tn WHERE n > 0),
+tok1 AS (SELECT doc_id, n, t, tok[t+1] AS wd FROM tk),
+cov AS (
+  SELECT tok1.doc_id, n, t, wd,
+         max(f.p) OVER (PARTITION BY tok1.doc_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+  FROM tok1 LEFT JOIN flagged f ON tok1.doc_id = f.doc_id AND tok1.t = f.p
+),
+reb AS (
+  SELECT doc_id, string_agg(wd, ' ' ORDER BY t) AS ct, count(*) AS nk
+  FROM cov WHERE cv IS NULL OR cv + 20 <= t GROUP BY doc_id
+)
+SELECT tn.doc_id, tn.n AS n_tokens,
+       (tn.n - coalesce(reb.nk, 0))::BIGINT AS n_removed,
+       md5(coalesce(reb.ct, '')) AS kept_md5
+FROM tn LEFT JOIN reb USING (doc_id)
+"""
+
+
 # --- MinHash signatures -----------------------------------------------------------
 
 def q_minhash_signature(spark, sf_dir):
@@ -1797,6 +1855,20 @@ def q_logprob_scores(spark, sf_dir):
     return X.unigram_logprob_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet's train-then-score perplexity gate (operators:
+    text.train_bigram_lm + bigram_nll_score; Wenzek et al. 2020 §3.3 —
+    KenLM trained on the target domain, the crawl scored against it):
+    the bigram LM is trained on the English slice (the reference domain)
+    and EVERY document is scored by mean -log2 p(w_i|w_{i-1}) with
+    add-one smoothing — out-of-domain docs surface with high mean_nll.
+    The model is three count frames (bigrams, contexts, vocab) — a pure
+    data artifact; retraining is a data swap, same plan."""
+    docs = _docs(spark, sf_dir)
+    c12, c1, vocab = X.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return X.bigram_nll_score(docs, c12, c1, vocab)  # unordered: see q_near_duplicates
+
+
 SQL_LOGPROB_SCORES = rf"""
 WITH toks AS (
   SELECT doc_id, unnest({SQL_TOKS_RAW}) AS tok FROM documents
@@ -1814,6 +1886,126 @@ FROM toks_ne t JOIN freqs f USING (tok) CROSS JOIN totals tt
 GROUP BY t.doc_id
 ORDER BY t.doc_id
 """
+
+SQL_LM_PERPLEXITY = r"""
+WITH rt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+  FROM documents WHERE trim(text) <> '' AND lang = 'en'
+),
+rb AS (
+  SELECT tok[p+1] AS w1, tok[p+2] AS w2
+  FROM (SELECT tok, unnest(range(len(tok)-1)) AS p FROM rt WHERE len(tok) >= 2)
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM rb GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT count(DISTINCT t)::BIGINT AS v
+      FROM (SELECT unnest(tok) AS t FROM rt) WHERE t <> ''),
+dt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+db AS (
+  SELECT doc_id, tok[p+1] AS w1, tok[p+2] AS w2
+  FROM (SELECT doc_id, tok, unnest(range(len(tok)-1)) AS p
+        FROM dt WHERE len(tok) >= 2)
+),
+sc AS (
+  SELECT db.doc_id,
+         -log2((coalesce(c12.c12, 0) + 1)
+               / (coalesce(c1.c1, 0) + v.v)::DOUBLE) AS nll
+  FROM db LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 4) AS mean_nll
+FROM sc GROUP BY doc_id
+"""
+
+
+# DSIR shared feature frame: the corpus is bigram-exploded and bucketed
+# exactly once per session; ratio training and scoring both filter/consume
+# the cached (doc_id, lang, bucket) frame. applicationId-keyed eviction
+# like every other suite cache.
+_DSIR_CACHE: dict = {}
+
+
+def _dsir_feats(spark, sf_dir):
+    from demo_bigdata_spark.operators.sampling import dsir_bucketed_features
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _DSIR_CACHE if k[0] != app_id]:
+        del _DSIR_CACHE[k]
+    key = (app_id, sf_dir)
+    if key not in _DSIR_CACHE:
+        _DSIR_CACHE[key] = dsir_bucketed_features(
+            _docs(spark, sf_dir), n_buckets=4096, extra_cols=["lang"]
+        ).localCheckpoint(eager=False)
+    return _DSIR_CACHE[key]
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators: sampling.dsir_logratio_table +
+    dsir_weights; Xie et al. 2023 "Data Selection for Language Models via
+    Importance Resampling"): token bigrams hash into 4096 feature
+    buckets, each bucket's log2 importance ratio compares its add-one
+    probability under the TARGET domain (the English slice) vs the RAW
+    corpus, and a doc's log-weight is the sum over its bigram
+    occurrences — the hashed-ngram importance weight the paper resamples
+    by. English docs score ~6 bits above the other languages here. The
+    ratio table is a 4096-row broadcast artifact (the classifier-weights
+    pattern); selection's deterministic twin is sampling.dsir_select.
+
+    The bucketed-feature frame is built once per session and cached
+    (_DSIR_CACHE, the _SH8_CACHE pay-once shape) — raw counts, target
+    counts, and scoring all consume it; Spark has no cross-DAG CSE, so
+    the lazy composition would explode the corpus three times."""
+    from demo_bigdata_spark.operators.sampling import (
+        dsir_logratio_table,
+        dsir_weights,
+    )
+
+    feats = _dsir_feats(spark, sf_dir)
+    lr = dsir_logratio_table(
+        raw_features=feats,
+        target_features=feats.filter(F.col("lang") == "en"),
+        n_buckets=4096,
+    )
+    return dsir_weights(
+        None, lr, n_buckets=4096, features=feats
+    )  # unordered: see q_near_duplicates
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH dt AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+db AS (
+  SELECT doc_id, lang, tok[p+1] AS w1, tok[p+2] AS w2
+  FROM (SELECT doc_id, lang, tok, unnest(range(len(tok)-1)) AS p
+        FROM dt WHERE len(tok) >= 2)
+),
+bk AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w1 || ' ' || w2), 1, 7))::BIGINT % 4096 AS bucket
+  FROM db
+),
+tgtc AS (SELECT bucket, count(*)::BIGINT AS ct FROM bk WHERE lang = 'en' GROUP BY bucket),
+rawc AS (SELECT bucket, count(*)::BIGINT AS cr FROM bk GROUP BY bucket),
+r AS (
+  SELECT b.bucket,
+         log2((coalesce(t.ct, 0) + 1) / (nt.nt + 4096)::DOUBLE)
+       - log2((coalesce(rw.cr, 0) + 1) / (nr.nr + 4096)::DOUBLE) AS log_ratio
+  FROM (SELECT unnest(range(4096)) AS bucket) b
+  LEFT JOIN tgtc t USING (bucket)
+  LEFT JOIN rawc rw USING (bucket)
+  CROSS JOIN (SELECT sum(ct)::BIGINT AS nt FROM tgtc) nt
+  CROSS JOIN (SELECT sum(cr)::BIGINT AS nr FROM rawc) nr
+)
+SELECT doc_id, count(*)::BIGINT AS n_feats,
+       round(sum(log_ratio), 4) AS log_weight,
+       round(avg(log_ratio), 4) AS mean_log_ratio
+FROM bk JOIN r USING (bucket) GROUP BY doc_id
+"""
+
 
 # --- Sentence-boundary segmentation (Python UDTF, recursive-CTE oracle) -------------
 
@@ -3018,6 +3210,7 @@ QUERIES = {
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "common_line_dedup": (q_common_line_dedup, SQL_COMMON_LINE_DEDUP),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "source_quality_report": (q_source_quality_report, SQL_SOURCE_QUALITY_REPORT),
     "png_decode_roundtrip": (q_png_decode_roundtrip, SQL_PNG_DECODE_ROUNDTRIP),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
@@ -3040,6 +3233,8 @@ QUERIES = {
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "pack_checksums": (q_pack_checksums, SQL_PACK_CHECKSUMS),
     "logprob_scores": (q_logprob_scores, SQL_LOGPROB_SCORES),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),

@@ -127,3 +127,13 @@ def test_gopher_filter_fast_bigram_path_matches(spark, sf_dir):
     slow = X.gopher_filter(docs).orderBy("doc_id").collect()
     fast = X.gopher_filter(docs, portable=False).orderBy("doc_id").collect()
     assert [tuple(r) for r in slow] == [tuple(r) for r in fast]
+
+
+def test_span_dedup_fast_hash_matches(spark, sf_dir):
+    """span_dedup's xxhash64 production path must produce the identical
+    removal decisions and rebuilt text as the md5 oracle path (a 64-bit
+    gram collision is the only possible divergence)."""
+    docs = _docs(spark, sf_dir)
+    slow = D.span_dedup(docs, window=20).orderBy("doc_id").collect()
+    fast = D.span_dedup(docs, window=20, portable=False).orderBy("doc_id").collect()
+    assert [tuple(r) for r in slow] == [tuple(r) for r in fast]

@@ -1124,3 +1124,106 @@ def test_train_quality_classifier_separates(spark, sf_dir):
     b = {r.bucket: r.weight for r in w2.collect()}
     assert set(a) == set(b)
     assert all(abs(a[k] - b[k]) <= 1e-9 * max(1.0, abs(a[k])) for k in a)
+
+
+def test_span_dedup_semantics(spark):
+    """Exact-substring span dedup (Lee et al. 2022 scaled to spans):
+    cross-doc shared spans are cut from all but the corpus-first
+    occurrence, overlapping flagged windows merge into one cut, within-doc
+    repeats are deduped too, short and empty docs pass through, and
+    keep='none' removes every occurrence including the first."""
+    from demo_bigdata_spark.operators.dedup import span_dedup
+
+    docs = [
+        (1, "a b c d e f g h"),        # first occurrence of both shared spans
+        (2, "x a b c d e f y"),        # shares "a b c d e" and "b c d e f"
+        (3, "short one"),              # < window tokens: untouched
+        (4, ""),                       # empty doc survives as empty
+        (5, "p q r s t z p q r s t"),  # within-doc repeat of "p q r s t"
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(df, window=5).collect()}
+
+    assert got[1]["clean_text"] == "a b c d e f g h" and got[1]["n_removed"] == 0
+    # doc 2: flagged starts 1 and 2 merge to cover tokens [1, 6]
+    assert got[2]["clean_text"] == "x y" and got[2]["n_removed"] == 6
+    assert got[3]["clean_text"] == "short one" and got[3]["n_removed"] == 0
+    assert got[4]["n_tokens"] == 0 and got[4]["n_removed"] == 0
+    assert got[4]["clean_text"] == ""
+    # doc 5: second in-doc occurrence (pos 6) cut, first kept
+    assert got[5]["clean_text"] == "p q r s t z" and got[5]["n_removed"] == 5
+
+    none = {r["doc_id"]: r for r in span_dedup(df, window=5, keep="none").collect()}
+    assert none[5]["clean_text"] == "z" and none[5]["n_removed"] == 10
+    assert none[2]["clean_text"] == "x y"
+    # doc 1's spans were also flagged under keep='none'
+    assert none[1]["n_removed"] > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        span_dedup(df, keep="second")
+
+
+def test_bigram_lm_exact_values(spark):
+    """train_bigram_lm + bigram_nll_score on a hand-checkable corpus:
+    in-domain bigrams score p=(c12+1)/(c1+V); unseen bigrams fall to the
+    smoothed floor 1/V and score higher — the CCNet perplexity gate."""
+    from demo_bigdata_spark.operators.text import (
+        bigram_nll_score,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat")], "doc_id long, text string"
+    )
+    c12, c1, vocab = train_bigram_lm(ref)
+    assert {tuple(r) for r in c12.collect()} == {
+        ("the", "cat", 1), ("cat", "sat", 1)
+    }
+    assert vocab.first()["v"] == 3
+
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "dog ran fast"), (12, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in bigram_nll_score(score, c12, c1, vocab).collect()
+    }
+    # seen bigrams: p = (1+1)/(1+3) = 0.5 -> nll = 1.0
+    assert got[10]["mean_nll"] == 1.0 and got[10]["n_bigrams"] == 2
+    # unseen bigram, unseen context: p = 1/V = 1/3 -> nll = log2(3)
+    assert got[11]["mean_nll"] == 1.585 and got[11]["n_bigrams"] == 2
+    # single-token docs have no bigram evidence and are not scored
+    assert 12 not in got
+
+
+def test_dsir_weights_and_select(spark):
+    """DSIR hashed-bigram importance weights: docs made of target-domain
+    bigrams outweigh junk docs, and dsir_select picks the top-k
+    deterministically (weight desc, id tiebreak)."""
+    from demo_bigdata_spark.operators.sampling import (
+        dsir_logratio_table,
+        dsir_select,
+        dsir_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "good clean prose flows here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    junk = spark.createDataFrame(
+        [(200 + i, "zz qq vv kk jj xx") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = target.union(junk)
+    lr = dsir_logratio_table(raw, target, n_buckets=256)
+    w = dsir_weights(raw, lr, n_buckets=256)
+    got = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+    assert got[100] > got[200]
+    assert got[100] > 0 > got[200]
+
+    picked = dsir_select(raw, w, k=6).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in picked)
+    # all five target docs (equal weight, id tiebreak) + the lowest-id junk
+    assert ids == [100, 101, 102, 103, 104, 200]

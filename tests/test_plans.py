@@ -432,3 +432,42 @@ def test_committed_view_keeps_partition_pruning(spark, sf_dir, tmp_path):
         if "Scan parquet" in ln or "PartitionFilters" in ln
     ]
     assert any("term_bucket" in ln for ln in scan_lines2), plan2
+
+
+def test_span_dedup_plan_shape(spark, sf_dir):
+    """span_dedup must stay shuffle-bounded: equi-joins only (no
+    cartesian), no corpus-sized single-partition window (the coverage
+    window partitions by doc_id), and the span-hash aggregate keyed by
+    digest. Exchange count is bounded by the stage structure, not the
+    corpus."""
+    from demo_bigdata_spark.operators.dedup import span_dedup
+
+    out = span_dedup(load_table(spark, sf_dir, "documents"), window=20)
+    plan = executed_plan(out)
+    assert not has_cartesian(out), plan
+    # every window partitions by doc_id — no global single-partition sort
+    assert "PartitionBy: []" not in plan.replace("partitionBy=[]", "PartitionBy: []"), plan
+    assert plan.count("Exchange") <= 10, plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """The DSIR per-doc weight join must broadcast the n_buckets-row
+    ratio table (the classifier-weights pattern): shuffling the exploded
+    bigram table against 4096 rows would be a corpus-sized exchange
+    bought for nothing."""
+    from demo_bigdata_spark.operators.sampling import (
+        dsir_logratio_table,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lr = dsir_logratio_table(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=4096
+    )
+    out = dsir_weights(docs, lr, n_buckets=4096)
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # the 1-row nt/nr totals fold in via the broadcast-scalar pattern
+    # (BroadcastNestedLoopJoin over 4096 rows — the pct_of_total shape);
+    # a true CartesianProduct would be a corpus-sized bug
+    assert "CartesianProduct" not in plan, plan
