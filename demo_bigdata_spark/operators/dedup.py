@@ -1100,6 +1100,99 @@ def remove_common_lines(
     )
 
 
+def _span_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _tok pinned token array, n_tokens) — the shared front of the
+    span-dedup family. Byte-thin scan, CPU-heavy per row (W-token gram
+    concat + digest per position downstream): spread to cores first or
+    the hashing lands on the few scan splits (the cdc_chunks fix)."""
+    from demo_bigdata_spark.functions.scalar import pin
+
+    return spread_for_cpu(df).select(
+        F.col(id_col),
+        pin(tokens(text_col)).alias("_tok"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def _span_grams(
+    base: DataFrame, window: int, id_col: str, portable: bool
+) -> DataFrame:
+    """(id, _p start position, _h span digest) — one row per window
+    position over a _span_base frame. Each position hashed once
+    (posexplode over the pinned array, no HOF re-inlining, no shuffle).
+    portable=True: md5 digests (DuckDB-oracle twin); portable=False:
+    xxhash64 — the production hash, ~10x cheaper per gram, same
+    flag/keep semantics (the dedup-family convention; fast-path parity
+    pinned in tests/test_fast_hash_path.py)."""
+    w = int(window)
+
+    def _gram_hash(i: Column) -> Column:
+        gram = F.concat_ws(" ", F.slice(F.col("_tok"), i + 1, w))
+        return F.md5(gram) if portable else F.xxhash64(gram).cast("string")
+
+    return base.filter(F.col("n_tokens") >= w).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - w), _gram_hash
+            )
+        ).alias("_p", "_h"),
+    )
+
+
+def _flag_grams(
+    grams: DataFrame, min_count: int, keep: str, id_col: str
+) -> DataFrame:
+    """Flag duplicated span occurrences in a grams frame: occurrences of
+    hashes with >= min_count total occurrences, minus the per-hash
+    min-struct first occurrence under keep='first' (no per-hash sort —
+    dup-farm hashes don't create a sort skew). Returns (id, _p)."""
+    occs = (
+        grams.groupBy("_h")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("_p").alias("p"))
+            ).alias("_first"),
+        )
+        .filter(F.col("_c") >= int(min_count))
+    )
+    flagged = grams.join(occs, "_h")
+    if keep == "first":
+        flagged = flagged.filter(
+            ~(
+                (F.col(id_col) == F.col("_first.i"))
+                & (F.col("_p") == F.col("_first.p"))
+            )
+        )
+    return flagged.select(id_col, "_p")
+
+
+def span_flagged_starts(
+    df: DataFrame,
+    window: int = 20,
+    min_count: int = 2,
+    keep: str = "first",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """[EXT] the audit view of :func:`span_dedup`: (id, start) per flagged
+    duplicated-span occurrence, before coverage merging — what the
+    incremental span index maintains at ingest and what
+    live==batch equivalence is stated over."""
+    base = _span_base(df, text_col, id_col)
+    return _flag_grams(
+        _span_grams(base, int(window), id_col, portable),
+        min_count,
+        keep,
+        id_col,
+    ).select(F.col(id_col), F.col("_p").alias("start"))
+
+
 def span_dedup(
     df: DataFrame,
     window: int = 20,
@@ -1151,51 +1244,11 @@ def span_dedup(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    from demo_bigdata_spark.functions.scalar import pin
-
-    # byte-thin scan, CPU-heavy per row (W-token gram concat + md5 per
-    # position): spread to cores first or the hashing lands on the few
-    # scan splits (the cdc_chunks fix)
-    base = spread_for_cpu(df).select(
-        F.col(id_col), pin(tokens(text_col)).alias("_tok"),
-        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
-        .otherwise(F.size(tokens(text_col)))
-        .cast("bigint")
-        .alias("n_tokens"),
-    )
+    base = _span_base(df, text_col, id_col)
     w = int(window)
-    # (doc, start, gram hash) — one row per window position
-    # portable=True: md5 digests (DuckDB-oracle twin); portable=False:
-    # xxhash64 — the production hash, ~10x cheaper per gram, same
-    # flag/keep semantics (the dedup-family convention; fast-path parity
-    # pinned in tests/test_fast_hash_path.py)
-    def _gram_hash(i: Column) -> Column:
-        gram = F.concat_ws(" ", F.slice(F.col("_tok"), i + 1, w))
-        return F.md5(gram) if portable else F.xxhash64(gram).cast("string")
-
-    grams = base.filter(F.col("n_tokens") >= w).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - w), _gram_hash
-            )
-        ).alias("_p", "_h"),
-    )
-    occs = grams.groupBy("_h").agg(
-        F.count("*").alias("_c"),
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("_p").alias("p"))).alias("_first"),
-    ).filter(F.col("_c") >= int(min_count))
-    flagged = grams.join(occs, "_h")
-    if keep == "first":
-        flagged = flagged.filter(
-            ~(
-                (F.col(id_col) == F.col("_first.i"))
-                & (F.col("_p") == F.col("_first.p"))
-            )
-        )
-    flagged = flagged.select(
-        F.col(id_col).alias("_fid"), F.col("_p").alias("_start")
-    )
+    flagged = _flag_grams(
+        _span_grams(base, w, id_col, portable), min_count, keep, id_col
+    ).select(F.col(id_col).alias("_fid"), F.col("_p").alias("_start"))
 
     # empty-text docs carry a [''] token array from split('') — exclude
     # them here (they rejoin with clean_text='' via the left join below)

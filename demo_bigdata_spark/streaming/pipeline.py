@@ -912,6 +912,122 @@ def read_contamination_flags(spark, out_path: str, id_col: str = "doc_id") -> Da
     )
 
 
+def append_span_batch(
+    spark,
+    batch_df: DataFrame,
+    out_path: str,
+    epoch_id: int,
+    window: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> None:
+    """Exactly-once incremental exact-substring span index (the streaming
+    twin of dedup.span_dedup, keep='first' semantics): per micro-batch,
+    flag every span occurrence whose digest already exists in the
+    COMMITTED history (an earlier batch holds the kept first occurrence)
+    or repeats within the batch (batch-local min-struct first exempted),
+    then append the batch's distinct span digests to the history. When
+    batches arrive in (id) order — the natural ingest order — the union
+    of per-batch flags is EXACTLY the one-shot span_flagged_starts of the
+    concatenated corpus: the corpus-global first occurrence by (id, pos)
+    is either in an earlier batch (history semi-join catches the rest) or
+    batch-local (the min-struct exemption catches it).
+
+    Storage: ``out_path`` holds (span_hash, epoch_id) history rows,
+    ``out_path + '_flags'`` holds (id, start, epoch_id) flag rows; ONE
+    ledger at ``out_path + '_epochs'`` commits both — a crash anywhere
+    before the ledger append leaves only uncommitted rows in either
+    table, and the deterministic replay (flags are a pure function of
+    batch + committed history) appends identical rows that the
+    committed-view dedup collapses.
+
+    100 TB posture: per-batch work is O(batch grams) — one digest
+    aggregate, one semi join against the history (digest-keyed shuffle or
+    broadcast at Zipf sizes), zero history rewrites (append-only)."""
+    from demo_bigdata_spark.operators.dedup import (
+        _flag_grams,
+        _span_base,
+        _span_grams,
+    )
+
+    epochs_path = out_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    base = _span_base(batch_df.select(id_col, text_col), text_col, id_col)
+    grams = _span_grams(base, int(window), id_col, portable).localCheckpoint(
+        eager=False
+    )
+    history = committed_view(
+        spark,
+        out_path,
+        epochs_path,
+        ["span_hash", "epoch_id"],
+        "span_hash string, epoch_id long",
+    ).select(F.col("span_hash").alias("_h")).distinct()
+    in_hist = grams.join(history, "_h", "left_semi").select(id_col, "_p")
+    fresh = grams.join(history, "_h", "left_anti")
+    in_batch = _flag_grams(fresh, min_count, "first", id_col)
+    flags = in_hist.unionByName(in_batch).select(
+        F.col(id_col),
+        F.col("_p").cast("long").alias("start"),
+        F.lit(int(epoch_id)).alias("epoch_id"),
+    )
+    flags.write.mode("append").parquet(out_path + "_flags")
+    grams.select(F.col("_h").alias("span_hash")).distinct().withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    ).write.mode("append").parquet(out_path)
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_span_flags(spark, out_path: str, id_col: str = "doc_id") -> DataFrame:
+    """Committed view of the incrementally-maintained span flags: ledger
+    semi-join + (id, start, epoch) dedup — feed these starts to the same
+    coverage/reassembly tail as the batch operator to materialize the
+    deduplicated text."""
+    return committed_view(
+        spark,
+        out_path + "_flags",
+        out_path + "_epochs",
+        [id_col, "start", "epoch_id"],
+        f"{id_col} long, start long, epoch_id long",
+    )
+
+
+def incremental_span_index(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    window: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous exact-substring span deduplication — Lee et al.'s
+    ExactSubstr maintained AT INGEST instead of as a full-corpus pass
+    before each training run: every micro-batch's duplicated spans are
+    flagged against (and folded into) the committed span history exactly
+    once. Query with read_span_flags."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_span_batch(
+            spark, batch_df, out_path, epoch_id, window, min_count,
+            text_col, id_col, portable,
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def append_quality_scores(
     spark,
     batch_df: DataFrame,
