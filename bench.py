@@ -99,6 +99,11 @@ HEADLINE = [
     "span_dedup",
     "lm_perplexity",
     "dsir_weights",
+    # r8: token-budget DSIR selection + the full composed pipeline
+    # (gate -> span dedup -> decon -> classifier -> perplexity buckets ->
+    # DSIR budget selection)
+    "dsir_select_budget",
+    "corpus_pipeline_v4",
 ]
 
 

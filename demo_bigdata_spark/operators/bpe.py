@@ -136,18 +136,23 @@ def _apply_rules_py(sym: str, rules: list) -> str:
     original positions). Measured 7.5x over the naive per-rule
     list-rebuild loop at 200k word types x 69 rules, bit-identical."""
     p = f" {sym} "
-    for _a, _b, merged, probe, pat in rules:
+    for _a, _b, repl, probe, pat in rules:
         if probe in p:
-            p = pat.sub(merged, p)
+            p = pat.sub(repl, p)
     return p[1:-1]
 
 
 def _split_rules(rules: list[tuple[str, str]]) -> list:
     """Preprocess (pair, merged) rules for :func:`_apply_rules_py`:
-    (a, b, merged, padded probe, compiled boundary-safe pattern). The
-    zero-width lookarounds assert full-symbol boundaries without
-    consuming the separators, so consecutive occurrences all match in one
-    pass ('a b a b' -> 'ab ab')."""
+    (a, b, escaped replacement, padded probe, compiled boundary-safe
+    pattern). The zero-width lookarounds assert full-symbol boundaries
+    without consuming the separators, so consecutive occurrences all
+    match in one pass ('a b a b' -> 'ab ab'). The replacement is
+    backslash-escaped HERE, once per rule: re.sub treats its repl string
+    as a template, so a merged symbol containing a backslash (code,
+    LaTeX, Windows paths) would otherwise raise 'bad escape' or silently
+    substitute group references like \\1 — the Catalyst fold has no such
+    metacharacters, and parity must hold on every vocabulary."""
     out = []
     for pair, merged in rules:
         a, b = pair.split(" ")
@@ -155,7 +160,7 @@ def _split_rules(rules: list[tuple[str, str]]) -> list:
             (
                 a,
                 b,
-                merged,
+                merged.replace("\\", "\\\\"),
                 f" {a} {b} ",
                 re.compile(rf"(?<!\S){re.escape(a)} {re.escape(b)}(?!\S)"),
             )

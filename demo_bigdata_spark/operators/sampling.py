@@ -438,6 +438,73 @@ def dsir_weights(
     )
 
 
+def dsir_select_budget(
+    df: DataFrame,
+    weights: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> DataFrame:
+    """[EXT] production DSIR selection: documents in importance order
+    (log_weight desc, id asc — the content-stable order of
+    :func:`dsir_select`) are taken until the TOKEN budget is filled —
+    every kept doc's cumulative token count (inclusive) fits within
+    ``token_budget``. This is how DSIR is actually applied (Xie et al.
+    2023 select to a pre-training token target, not a document count):
+    document lengths vary wildly, so a top-k by weight over- or
+    under-shoots the budget.
+
+    Returns (id, log_weight, n_tokens, cum_tokens) for the selected docs.
+
+    Scale shape — the global running sum WITHOUT a corpus-sized window:
+    ``repartitionByRange`` on the selection order makes physical
+    partition ids ascend with the global order, an intra-partition
+    window computes local prefix sums in parallel, and the per-partition
+    totals (``n_parts`` rows) take the one deliberate single-partition
+    window before broadcasting back — the pack_sequences two-level
+    prefix-sum, keyed by the importance order instead of doc id.
+    Exactness: token counts are bigint, so the cumulative sums are
+    order-exact and engine-reproducible."""
+    from pyspark.sql.window import Window
+
+    from demo_bigdata_spark.operators.text import token_count
+
+    base = df.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    ).join(weights.select(id_col, "log_weight"), id_col)
+    order = [F.col("log_weight").desc(), F.col(id_col)]
+    # pinned: BOTH consumers below (the per-pid window and the per-pid
+    # totals) must see the SAME physical range boundaries — an unpinned
+    # frame would replay the range exchange per consumer (2x the shuffle)
+    # and, worse, leave the two branches free to sample different
+    # boundaries, which would misalign local prefixes with their offsets
+    ranged = (
+        base.repartitionByRange(int(n_parts), *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_cum_local", F.sum("n_tokens").over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_pt"))
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.withColumn(
+        "_prefix", F.coalesce(F.sum("_pt").over(w_pid), F.lit(0))
+    ).select("_pid", "_prefix")
+    return (
+        local.join(F.broadcast(prefixes), "_pid")
+        .withColumn(
+            "cum_tokens", (F.col("_prefix") + F.col("_cum_local")).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= int(token_budget))
+        .select(id_col, "log_weight", "n_tokens", "cum_tokens")
+    )
+
+
 def dsir_select(
     df: DataFrame,
     weights: DataFrame,

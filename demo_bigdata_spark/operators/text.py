@@ -677,6 +677,7 @@ def gopher_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     _include_dup_line: bool = False,
+    stopwords: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """[EXT] the Gopher quality-rule feature vector (public heuristics):
     word count, mean word length, symbol-to-word ratio (# and ellipsis),
@@ -723,7 +724,7 @@ def gopher_features(
     lower_set = F.array_distinct(F.transform(toks, lambda t: F.lower(t)))
     stop_hits = F.size(
         F.filter(
-            F.array(*[F.lit(s) for s in REQUIRED_STOPWORDS]),
+            F.array(*[F.lit(s) for s in (stopwords or REQUIRED_STOPWORDS)]),
             lambda s: F.array_contains(lower_set, s),
         )
     )
@@ -758,13 +759,19 @@ def gopher_filter(
     max_dup_line_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
     portable: bool = True,
+    stopwords: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """[EXT] the combined Gopher keep/drop gate: every rule a named boolean
     column plus the conjunction ``keep`` — decomposed flags make the drop
     reasons auditable (the production pattern: persist flags, tune
     thresholds offline, re-filter without re-scanning text). Thresholds
     default to the published Gopher values where the synthetic corpus makes
-    them meaningful (word bounds scaled down from 50/100k).
+    them meaningful (word bounds scaled down from 50/100k). ``stopwords``
+    overrides the published required-stopword list (Gopher's rule assumes
+    English prose; a corpus whose register lacks those exact function
+    words — code, non-English, synthetic — needs a domain-appropriate
+    list or the rule rejects everything; round-8 found the composed
+    pipelines running vacuously empty for exactly this reason).
 
     Plan shape: ONE scan computes every projection feature (including
     dup_line_frac — fused via gopher_features(_include_dup_line=True))
@@ -772,7 +779,9 @@ def gopher_filter(
     features-join-repetition form, which scans the corpus twice and
     shuffles doc_id twice (measured 1.5x at the 30x scale probe:
     67.5s -> 44.9s)."""
-    feats = gopher_features(df, text_col, id_col, _include_dup_line=True).join(
+    feats = gopher_features(
+        df, text_col, id_col, _include_dup_line=True, stopwords=stopwords
+    ).join(
         _top_bigram_frac(df, text_col, id_col, portable=portable), id_col, "left"
     ).withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
     flags = {

@@ -33,9 +33,15 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #   keeps predicate pushdown alive (no cast wrapping the column) and is
 #   value-identical under the UTC session TZ
 # - UTC session TZ: timestamp formatting must match the TZ-naive DuckDB oracle
+# - outputTimestampType=TIMESTAMP_MICROS: the default INT96 is deprecated
+#   AND carries no parquet footer statistics, which would leave versioned-
+#   table manifest bounds (sources.snapshots._footer_meta) permanently
+#   fail-open on timestamp stats columns; micros is value-identical and
+#   footer-stats-complete
 RUNTIME_SQL_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -85,6 +91,9 @@ def get_spark(
         # timestamp[us]: read as LTZ at the scan (see RUNTIME_SQL_CONFS).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        # INT96 (the default) is deprecated and stats-less in parquet
+        # footers; micros keeps manifest timestamp bounds harvestable
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.ui.showConsoleProgress": "false",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),

@@ -50,42 +50,62 @@ from demo_bigdata_spark.sources.snapshots import (
 )
 
 
-def _manifest_files(path: str, snap: int) -> list[tuple[str, int]]:
-    """(data_dir, seq) entries of a manifest, read with pyarrow only — the
-    Data Source API runs outside any SparkSession."""
+def _manifest_files(path: str, snap: int) -> list[tuple[str, int, str | None]]:
+    """(data entry, seq, meta) rows of a manifest, read with pyarrow only —
+    the Data Source API runs outside any SparkSession. Entries are part
+    FILES on current tables (per-file statistics) or commit directories on
+    legacy manifests; meta carries the recorded bounds JSON."""
     if snap <= 0:
         return []
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        _manifest_path(path, snap), columns=["file", "kind", "seq"]
-    ).to_pylist()
+    manifest = pq.read_table(_manifest_path(path, snap))
+    cols = ["file", "kind", "seq"] + (
+        ["meta"] if "meta" in manifest.schema.names else []
+    )
+    t = manifest.select(cols).to_pylist()
     return sorted(
-        (r["file"], r["seq"]) for r in t if r["kind"] == "data"
+        (r["file"], r["seq"], r.get("meta")) for r in t if r["kind"] == "data"
     )
 
 
-def _part_files(d: str) -> list[str]:
+def _part_files(entry: str) -> list[str]:
+    """Expand a manifest entry to its part files: per-file entries pass
+    through; legacy directory entries list their directory."""
+    if not os.path.isdir(entry):
+        return [entry]
     return sorted(
-        os.path.join(d, f)
-        for f in os.listdir(d)
+        os.path.join(entry, f)
+        for f in os.listdir(entry)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
 
 
-def _new_part_files(path: str, start_snap: int, end_snap: int) -> list[str]:
-    old = {f for f, _ in _manifest_files(path, start_snap)}
+def _new_part_files(
+    path: str, start_snap: int, end_snap: int, prune: dict | None = None
+) -> list[str]:
+    """Part files appended between two snapshots, optionally dropped at
+    PLANNING time by the manifest-recorded per-file bounds (the same
+    :func:`snapshots._may_contain` rule batch reads use) — a pruned
+    stream plans O(matching new files), and the reader's row-level range
+    filter keeps live==batch exact."""
+    from demo_bigdata_spark.sources.snapshots import _may_contain
+
+    old = {f for f, _, _ in _manifest_files(path, start_snap)}
     new_entries = _manifest_files(path, end_snap)
-    if old and new_entries and not (old & {f for f, _ in new_entries}):
+    if old and new_entries and not (old & {f for f, _, _ in new_entries}):
         raise ValueError(
             f"snapshot_appends({start_snap}->{end_snap}): no data file "
             "survives from the base snapshot — the window spans a "
             "replace-compaction; re-baseline the consumer with read_table"
         )
     out: list[str] = []
-    for d, _ in new_entries:
-        if d not in old:
-            out.extend(_part_files(d))
+    for entry, _, meta in new_entries:
+        if entry in old:
+            continue
+        if prune and not _may_contain(meta, prune):
+            continue
+        out.extend(_part_files(entry))
     return out
 
 
@@ -151,7 +171,9 @@ class _SnapshotFilePartition(InputPartition):
 
 
 class _SnapshotAppendsStreamReader(DataSourceStreamReader):
-    def __init__(self, options, field_names):
+    def __init__(self, options, schema):
+        import json
+
         self.path = options["path"]
         self.max_snaps = int(options.get("max_snapshots_per_trigger", "10"))
         start = options.get("start_snapshot")
@@ -160,7 +182,17 @@ class _SnapshotAppendsStreamReader(DataSourceStreamReader):
         # snapshots <= N (the "subscribe from here" checkpoint seed)
         self._floor = int(start) if start is not None else 0
         self._last: int | None = None  # last offset THIS reader returned
-        self.field_names = field_names
+        # prune: {col: [lo, hi]} (bounds JSON/_plain-encoded — ISO strings
+        # for temporals). Planning drops part-files whose manifest bounds
+        # cannot intersect; read() applies the row-level range filter so
+        # the delivered rows are exactly the matching ones (live==batch
+        # with read_appends_since(prune=...)).
+        p = options.get("prune")
+        self.prune = (
+            {c: (b[0], b[1]) for c, b in json.loads(p).items()} if p else None
+        )
+        self.schema = schema
+        self.field_names = schema.fieldNames()
 
     def initialOffset(self):
         return {"snap": self._floor}
@@ -169,33 +201,90 @@ class _SnapshotAppendsStreamReader(DataSourceStreamReader):
         cur = current_snapshot(self.path) or 0
         base = self._last if self._last is not None else self._floor
         # rate limit: at most max_snaps commits per micro-batch. After a
-        # restart self._last is None and the first batch spans from the
-        # CHECKPOINTED offset (Spark passes it to partitions()), so the
-        # cap here only throttles forward progress, never correctness.
+        # restart self._last is None, so the FIRST latestOffset can sit
+        # below the checkpointed start until partitions()/commit() ratchet
+        # it up from the offsets Spark passes — bounded to at most one
+        # empty micro-batch (the file-set diff of a regressed window is
+        # empty, and the ratchet guarantees the next offset climbs from
+        # the checkpoint, not from _floor).
         nxt = min(cur, base + self.max_snaps) if cur > base else base
         self._last = max(base, nxt)
         return {"snap": self._last}
 
     def partitions(self, start: dict, end: dict):
-        files = _new_part_files(self.path, start["snap"], end["snap"])
-        self._last = max(self._last or 0, end["snap"])
+        # ratchet BEFORE planning: post-restart, Spark's start offset is
+        # the checkpointed position — never hand out offsets below it
+        # again (end may regress below start if latestOffset fired first)
+        self._last = max(self._last or 0, start["snap"], end["snap"])
+        if end["snap"] <= start["snap"]:
+            return []  # regressed/empty window: nothing appended
+        files = _new_part_files(
+            self.path, start["snap"], end["snap"], self.prune
+        )
         return [_SnapshotFilePartition(f) for f in files]
 
-    def read(self, partition: _SnapshotFilePartition):
-        # executor-side: open ONLY this part-file with pyarrow, yield rows
-        # in declared field order (absent columns -> None: pre-evolution
-        # files under a widened schema)
-        import pyarrow.parquet as pq
+    @staticmethod
+    def _range_scalar(bound, typ):
+        """Coerce a JSON-carried prune bound to an arrow scalar of the
+        column's type (ISO strings back to temporals)."""
+        import datetime
 
+        import pyarrow as pa
+
+        if isinstance(bound, str) and pa.types.is_timestamp(typ):
+            v = datetime.datetime.fromisoformat(bound)
+            if typ.tz is not None and v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            return pa.scalar(v, type=typ)
+        if isinstance(bound, str) and pa.types.is_date(typ):
+            return pa.scalar(datetime.date.fromisoformat(bound), type=typ)
+        return pa.scalar(bound, type=typ)
+
+    def read(self, partition: _SnapshotFilePartition):
+        # executor-side: open ONLY this part-file with pyarrow and yield
+        # its RECORD BATCHES — vectorized end-to-end (no per-row Python
+        # conversion on the ingest hot path). Columns are
+        # projected/reordered Arrow-side into the declared schema; absent
+        # columns become null arrays (pre-evolution files under a widened
+        # schema); the row-level prune filter runs as one pyarrow.compute
+        # kernel per bound.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
         t = pq.read_table(partition.file)
-        cols = set(t.schema.names)
-        for rec in t.to_pylist():
-            yield tuple(
-                rec[n] if n in cols else None for n in self.field_names
-            )
+        present = set(t.schema.names)
+        cols = []
+        for field in target:
+            if field.name in present:
+                col = t.column(field.name)
+                if col.type != field.type:
+                    col = col.cast(field.type)
+            else:
+                col = pa.nulls(t.num_rows, type=field.type)
+            cols.append(col)
+        out = pa.table(cols, schema=target)
+        if self.prune:
+            mask = None
+            for c, (lo, hi) in self.prune.items():
+                if c not in present:
+                    continue  # pre-evolution file: column is all-null
+                col = out.column(c)
+                for bound, op in ((lo, pc.greater_equal), (hi, pc.less_equal)):
+                    if bound is None:
+                        continue
+                    m = op(col, self._range_scalar(bound, col.type))
+                    mask = m if mask is None else pc.and_kleene(mask, m)
+            if mask is not None:
+                out = out.filter(pc.fill_null(mask, False))
+        yield from out.to_batches()
 
     def commit(self, end: dict):
-        pass  # progress lives in Spark's checkpoint; nothing table-side
+        # progress lives in Spark's checkpoint; table-side there is only
+        # the ratchet (a committed batch's end is a floor for new offsets)
+        self._last = max(self._last or 0, end["snap"])
 
 
 class SnapshotAppendsDataSource(DataSource):
@@ -210,7 +299,7 @@ class SnapshotAppendsDataSource(DataSource):
         return _infer_ddl(self.options["path"])
 
     def streamReader(self, schema):
-        return _SnapshotAppendsStreamReader(self.options, schema.fieldNames())
+        return _SnapshotAppendsStreamReader(self.options, schema)
 
 
 def register(spark) -> None:
@@ -223,9 +312,18 @@ def read_snapshot_stream(
     path: str,
     start_snapshot: int | None = None,
     max_snapshots_per_trigger: int = 10,
+    prune: dict | None = None,
 ):
     """Convenience: the versioned table at ``path`` as a streaming
-    DataFrame of committed appends."""
+    DataFrame of committed appends. ``prune`` maps column -> (lo, hi)
+    like :func:`snapshots.read_table`: part-files whose manifest bounds
+    cannot intersect are skipped at partition-planning time and the
+    delivered rows are exactly those satisfying the range — the streaming
+    twin of the batch pruned incremental scan."""
+    import json
+
+    from demo_bigdata_spark.sources.snapshots import _plain
+
     register(spark)
     r = (
         spark.readStream.format("snapshot_appends")
@@ -234,4 +332,11 @@ def read_snapshot_stream(
     )
     if start_snapshot is not None:
         r = r.option("start_snapshot", str(start_snapshot))
+    if prune:
+        r = r.option(
+            "prune",
+            json.dumps(
+                {c: [_plain(lo), _plain(hi)] for c, (lo, hi) in prune.items()}
+            ),
+        )
     return r.load()

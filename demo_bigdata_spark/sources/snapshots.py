@@ -72,7 +72,15 @@ _PROPS = "_PROPERTIES"
 # a commit claim this old whose pointer never advanced is a crashed
 # writer; the next claimant steals it (Iceberg: lock expiry on the catalog)
 _STALE_CLAIM_SECONDS = 60.0
-_COMMIT_ATTEMPTS = 5
+_COMMIT_ATTEMPTS = 8
+# exponential-backoff envelope for the optimistic commit loop: a live
+# winner holds its claim for the DURATION of its manifest-write Spark job
+# (seconds), so the retry window must comfortably exceed a typical commit —
+# 0.05 * 2^i capped at 2 s sums to ~10 s across 8 attempts, vs the ~0.1 s a
+# fixed 20 ms sleep allowed (which surfaced CommitConflictError for routine
+# transient contention). Jitter decorrelates herds of retrying writers.
+_BACKOFF_BASE_SECONDS = 0.05
+_BACKOFF_CAP_SECONDS = 2.0
 
 
 class CommitConflictError(RuntimeError):
@@ -224,8 +232,10 @@ def _retrying_commit(spark, path: str, build) -> int:
     cheap to re-run — data files are written ONCE before the loop (they
     are immutable and id-free, so they attach to whichever snapshot id the
     winning attempt gets)."""
+    import random
+
     last: Exception | None = None
-    for _ in range(_COMMIT_ATTEMPTS):
+    for attempt in range(_COMMIT_ATTEMPTS):
         cur = current_snapshot(path)
         if cur is None:
             raise ValueError(f"no versioned table at {path}")
@@ -234,17 +244,35 @@ def _retrying_commit(spark, path: str, build) -> int:
             return cur + 1
         except CommitConflictError as e:
             last = e
-            time.sleep(0.02)
+            delay = min(
+                _BACKOFF_CAP_SECONDS, _BACKOFF_BASE_SECONDS * (2**attempt)
+            )
+            time.sleep(delay * random.uniform(0.5, 1.0))
     raise last  # type: ignore[misc]
 
 
 def _write_files(df: DataFrame, path: str, kind: str) -> list[str]:
     """Write a frame as immutable content-addressed parquet files under
-    ``path/<kind>/<uuid>/`` and return the directory (one entry — Spark
-    writes many part files inside; the manifest tracks directories)."""
+    ``path/<kind>/<uuid>/`` and return the individual PART FILES — one
+    manifest entry per part file (Iceberg records per-data-file entries),
+    so statistics and pruning work at file granularity even inside one
+    large commit. Legacy manifests that recorded the directory stay
+    readable (parquet scans accept either; expire/CDC expand both)."""
+    import pyarrow.parquet as pq
+
     d = os.path.join(path, kind, uuid.uuid4().hex)
     df.write.mode("error").parquet(d)
-    return [d]
+    files = sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    # empty part files (written for empty partitions) carry no rows and
+    # would sit in every future scan plan as permanent fail-open entries;
+    # drop them from the manifest. An all-empty commit keeps ONE file as
+    # the schema carrier so the snapshot still reads as an empty frame.
+    nonempty = [f for f in files if pq.ParquetFile(f).metadata.num_rows > 0]
+    return nonempty or files[:1]
 
 
 def _plain(v):
@@ -254,31 +282,72 @@ def _plain(v):
     import datetime
     import decimal
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, datetime.datetime):
+        # footer statistics come back tz-aware (isAdjustedToUTC=true);
+        # Spark's collected values are naive UTC under the session TZ —
+        # normalize so footer-harvested bounds compare like Spark values
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
     return v
 
 
-def _bounds_meta(spark: SparkSession, d: str, cols: list[str]) -> str | None:
-    """Per-file [min, max] bounds for the declared stats columns, read
-    back from the just-written (immutable) files — one tiny agg job per
-    commit, the price of O(matching-files) scan planning forever after."""
+def _footer_meta(file: str, cols: list[str]) -> str | None:
+    """Per-part-file [min, max] bounds for the declared stats columns,
+    harvested from the parquet FOOTER (pyarrow metadata, KB-scale read) —
+    the just-written data is never re-scanned, so recording statistics
+    costs O(files) footer reads per commit instead of a second Spark job
+    over the commit's data (the round-7 stats tax, fixed).
+
+    Fail-open is explicit and observable: a column whose statistics are
+    absent in any row group (e.g. INT96 timestamps from a foreign writer,
+    oversized binary values parquet-mr dropped) records ``[null, null]``
+    bounds, and an unreadable footer records null bounds for every
+    declared column plus a ``stats_error`` marker — ``table_files`` shows
+    exactly which files :func:`_may_contain` must always read. Footer
+    min/max may be parquet-mr-truncated prefixes; truncation widens the
+    interval (min rounds down, max rounds up), so pruning on them stays
+    conservative."""
     if not cols:
         return None
-    df = spark.read.parquet(d)
-    present = [c for c in cols if c in df.columns]
-    if not present:
-        return None
-    row = df.agg(
-        *[F.min(c).alias(f"_lo_{c}") for c in present],
-        *[F.max(c).alias(f"_hi_{c}") for c in present],
-    ).first()
-    bounds = {
-        c: [_plain(row[f"_lo_{c}"]), _plain(row[f"_hi_{c}"])] for c in present
-    }
-    return json.dumps({"bounds": bounds})
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(file).metadata
+        idx = {}
+        for i in range(md.num_columns):
+            p = md.schema.column(i).path
+            if p in cols:
+                idx[p] = i
+        if not idx:
+            return None
+        bounds = {}
+        for c, i in idx.items():
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            bounds[c] = [_plain(lo), _plain(hi)] if ok else [None, None]
+        return json.dumps({"bounds": bounds})
+    except Exception as e:  # corrupted/unreadable footer: observable fail-open
+        return json.dumps(
+            {
+                "bounds": {c: [None, None] for c in cols},
+                "stats_error": type(e).__name__,
+            }
+        )
 
 
 def _may_contain(meta: str | None, prune: dict) -> bool:
@@ -359,7 +428,7 @@ def create_table(
     files = _write_files(df, path, "data")
     sc = _stats_cols(path)
     _commit(
-        spark, path, 1, [(f, "data", -1, _bounds_meta(spark, f, sc)) for f in files]
+        spark, path, 1, [(f, "data", -1, _footer_meta(f, sc)) for f in files]
     )
     return 1
 
@@ -375,7 +444,7 @@ def append_snapshot(
         return create_table(spark, path, df)
     files = _write_files(df, path, "data")
     sc = _stats_cols(path)
-    new = [(f, "data", -1, _bounds_meta(spark, f, sc)) for f in files]
+    new = [(f, "data", -1, _footer_meta(f, sc)) for f in files]
 
     def build(cur):
         if replace:
@@ -442,7 +511,7 @@ def upsert_snapshot(
     sc = _stats_cols(path)
     dmeta = json.dumps({"key_col": key_col})
     new = [(f, "delete", -1, dmeta) for f in dfiles] + [
-        (f, "data", -1, _bounds_meta(spark, f, sc)) for f in afiles
+        (f, "data", -1, _footer_meta(f, sc)) for f in afiles
     ]
 
     def build(cur):
@@ -563,11 +632,17 @@ def read_appends_since(
     hi = current_snapshot(path) if snapshot is None else int(snapshot)
     if hi is None:
         raise ValueError(f"no versioned table at {path}")
-    old = {
-        r["file"]
-        for r in _manifest_rows(spark, path, since_snapshot)
-        if r["kind"] == "data"
-    }
+    # since_snapshot=0: "everything ever committed" (the streaming
+    # source's initial-offset convention — no base manifest to diff)
+    old = (
+        {
+            r["file"]
+            for r in _manifest_rows(spark, path, since_snapshot)
+            if r["kind"] == "data"
+        }
+        if since_snapshot > 0
+        else set()
+    )
     hi_rows = _manifest_rows(spark, path, hi)
     hi_data = [(r["file"], r["meta"]) for r in hi_rows if r["kind"] == "data"]
     new = [(f, m) for f, m in hi_data if f not in old]
@@ -678,7 +753,14 @@ def expire_snapshots(
     for snap in keep:
         for r in _manifest_rows(spark, path, snap):
             if r["file"]:  # epoch_marker rows carry no path
-                referenced.add(os.path.abspath(r["file"]))
+                p = os.path.abspath(r["file"])
+                referenced.add(p)
+                # per-file manifest entries live inside a commit directory
+                # and vacuum sweeps at directory granularity — a referenced
+                # part file keeps its commit dir (whose files all belong to
+                # the same atomic commit). Legacy dir entries add path/<kind>
+                # here, which matches no vacuum candidate — harmless.
+                referenced.add(os.path.dirname(p))
     removed_snaps = 0
     for snap in snaps:
         if snap not in keep:
@@ -741,7 +823,7 @@ def append_snapshot_epoch(
             json.dump({"stats_cols": list(stats_cols)}, f)
     files = _write_files(batch_df, path, "data")
     sc = _stats_cols(path)
-    new = [(f, "data", int(epoch_id), _bounds_meta(spark, f, sc)) for f in files]
+    new = [(f, "data", int(epoch_id), _footer_meta(f, sc)) for f in files]
     if cur is None:
         _commit(spark, path, 1, new)
         return 1

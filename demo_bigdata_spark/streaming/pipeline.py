@@ -935,6 +935,15 @@ def append_span_batch(
     is either in an earlier batch (history semi-join catches the rest) or
     batch-local (the min-struct exemption catches it).
 
+    ``min_count`` must be 2 (the Lee et al. setting; raised otherwise):
+    the history stores distinct digests, not per-digest occurrence lists,
+    so with min_count=3 a span whose count crosses the threshold in a
+    LATER batch would need its earlier occurrences flagged retroactively —
+    an append-only index cannot do that, and silently flagging on
+    history-presence alone (2 total occurrences) would diverge from the
+    batch operator's semantics. The batch ``span_flagged_starts`` supports
+    arbitrary thresholds; the incremental path keeps exact equivalence.
+
     Storage: ``out_path`` holds (span_hash, epoch_id) history rows,
     ``out_path + '_flags'`` holds (id, start, epoch_id) flag rows; ONE
     ledger at ``out_path + '_epochs'`` commits both — a crash anywhere
@@ -952,6 +961,13 @@ def append_span_batch(
         _span_grams,
     )
 
+    if int(min_count) != 2:
+        raise ValueError(
+            "append_span_batch supports min_count=2 only (distinct-digest "
+            "history cannot flag earlier occurrences retroactively when a "
+            "higher threshold is crossed in a later batch); use the batch "
+            "span_flagged_starts for other thresholds"
+        )
     epochs_path = out_path + "_epochs"
     if epoch_already_applied(spark, epochs_path, epoch_id):
         return
@@ -1011,6 +1027,11 @@ def incremental_span_index(
     before each training run: every micro-batch's duplicated spans are
     flagged against (and folded into) the committed span history exactly
     once. Query with read_span_flags."""
+    if int(min_count) != 2:  # fail at build time, not inside the stream
+        raise ValueError(
+            "incremental_span_index supports min_count=2 only; see "
+            "append_span_batch"
+        )
     spark = df.sparkSession
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1102,6 +1123,112 @@ def incremental_quality_scoring(
         append_quality_scores(
             spark, batch_df, out_path, weights, epoch_id, n_buckets, bias,
             text_col, id_col
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def append_bigram_lm_batch(
+    spark,
+    batch_df: DataFrame,
+    out_path: str,
+    epoch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Exactly-once incremental bigram-LM maintenance (round-8 — the LM is
+    three COUNT frames, text.train_bigram_lm, so it folds like every index
+    family here): per micro-batch, append the batch's (w1, w2, c12) bigram
+    counts and its distinct tokens, committed by ONE epoch ledger. The
+    folded model (read_bigram_lm) is EXACTLY the batch-trained model on
+    the union of committed batches: bigram counts are sums of per-batch
+    integer counts, the context counts roll up from the folded bigram
+    table, and the vocabulary is a distinct union — no floats anywhere in
+    the model, so fold order cannot matter.
+
+    A crash between the appends and the ledger commit leaves uncommitted
+    rows in either table; the deterministic replay appends identical rows
+    and the committed-view (key, epoch) dedup collapses them — the
+    append_span_batch two-table/one-ledger discipline.
+
+    100 TB posture: per-batch work is one bigram hash-aggregate + one
+    distinct over the batch (Zipf keeps both vocabulary-sized); history is
+    append-only, folded at READ time by a count-keyed aggregate over
+    tables that grow with vocabulary x batches, never corpus tokens."""
+    from demo_bigdata_spark.operators.text import _doc_bigrams, tokens
+
+    epochs_path = out_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    bg = _doc_bigrams(batch_df, text_col, id_col)
+    (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .parquet(out_path)
+    )
+    (
+        batch_df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .parquet(out_path + "_vocab")
+    )
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_bigram_lm(spark, out_path: str):
+    """Committed view of the incrementally-maintained bigram LM, folded to
+    the same three frames text.train_bigram_lm returns — (bigram counts,
+    context counts, vocab) — so bigram_nll_score serves from the streamed
+    model unchanged (retraining is a data swap, and now so is streaming
+    maintenance)."""
+    c12_rows = committed_view(
+        spark,
+        out_path,
+        out_path + "_epochs",
+        ["w1", "w2", "epoch_id"],
+        "w1 string, w2 string, c12 bigint, epoch_id long",
+    )
+    c12 = c12_rows.groupBy("w1", "w2").agg(F.sum("c12").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_rows = committed_view(
+        spark,
+        out_path + "_vocab",
+        out_path + "_epochs",
+        ["token", "epoch_id"],
+        "token string, epoch_id long",
+    )
+    vocab = vocab_rows.agg(F.count_distinct("token").alias("v"))
+    return c12, c1, vocab
+
+
+def incremental_bigram_lm(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous bigram-LM training — the CCNet reference LM
+    maintained AT INGEST: every micro-batch of reference-domain documents
+    folds into the count model exactly once, so the perplexity gate's
+    model tracks the reference corpus without full retrains. Serve with
+    read_bigram_lm + bigram_nll_score."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_bigram_lm_batch(
+            spark, batch_df, out_path, epoch_id, text_col, id_col
         )
 
     return (

@@ -594,6 +594,56 @@ def main() -> None:
         ("vtable_rewrite_commit_x30", round(time.perf_counter() - t0, 2))
     )
 
+    # r8: commit cost with vs without statistics — footer harvest must make
+    # recording per-file bounds ~free (the r7 design re-scanned the fresh
+    # commit with a Spark agg job, paying the data twice)
+    one_slice = slices.filter(
+        (F.col("d") >= cuts[mid]) & (F.col("d") < cuts[mid + 1])
+    ).localCheckpoint(eager=True)
+    for label, sc in (
+        ("vtable_commit_with_stats_x30slice", ["d", "o_custkey"]),
+        ("vtable_commit_no_stats_x30slice", None),
+    ):
+        p = f"{tmp}/vtable_commit_probe"
+        _sh2.rmtree(p, ignore_errors=True)
+        t0 = time.perf_counter()
+        SN.create_table(spark, p, one_slice, stats_cols=sc)
+        rel_results.append((label, round(time.perf_counter() - t0, 2)))
+
+    # r8: Arrow-vectorized CDC stream source throughput — consume the LAST
+    # commit (a ~1.5M-row append window) through the snapshot_appends
+    # DataSource; the reader yields RecordBatches, so this measures the
+    # vectorized executor path end to end (was row-at-a-time to_pylist)
+    from demo_bigdata_spark.sources.snapshot_cdc import read_snapshot_stream
+
+    cdc_ck = f"{tmp}/cdc_probe_ck"
+    _sh2.rmtree(cdc_ck, ignore_errors=True)
+    counted = spark.sparkContext.accumulator(0)
+
+    def _count_batch(b, _e):
+        counted.add(b.count())
+
+    base_snap = SN.current_snapshot(vt)  # post-rewrite baseline
+    SN.append_snapshot(spark, vt, one_slice)
+    t0 = time.perf_counter()
+    q = (
+        read_snapshot_stream(spark, vt, start_snapshot=base_snap)
+        .writeStream.outputMode("append")
+        .foreachBatch(_count_batch)
+        .option("checkpointLocation", cdc_ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    dt_cdc = time.perf_counter() - t0
+    rel_results.append(
+        (
+            f"cdc_stream_last_commit_x30 ({counted.value} rows, "
+            f"{int(counted.value / max(dt_cdc, 1e-9)):,} rows/s)",
+            round(dt_cdc, 2),
+        )
+    )
+
     # backfill: dynamic partition overwrite of TWO dates out of the x30
     # partitioned events table — cost must track the slice, not the table
     from demo_bigdata_spark.sources.maintenance import backfill_partitions
@@ -771,6 +821,16 @@ def main() -> None:
         "consumer (O(new files)); vtable_rewrite_commit_x30 is",
         "rewrite_table_layout — an atomic re-clustering commit",
         "(rewrite_data_files) over the full 18M rows.",
+        "r8: manifest bounds are now PER PART FILE, harvested from parquet",
+        "FOOTERS at commit time — vtable_commit_with_stats_x30slice vs",
+        "..._no_stats_... must be ~equal (the r7 design re-read the fresh",
+        "commit with a Spark agg, roughly doubling stats-table commit",
+        "cost), and pruning now works inside large commits, not just",
+        "across range-disjoint ones. cdc_stream_last_commit_x30 drives a",
+        "~1.5M-row append window through the snapshot_appends streaming",
+        "source — the reader yields Arrow RecordBatches (was per-row",
+        "Python tuples), so the rows/s figure is the vectorized ingest",
+        "path end to end.",
         "",
         "Layout tier: one range shuffle rewrites 18M rows for either",
         "clustering; the skip_frac rows are footer-only pruning estimates —",

@@ -933,6 +933,40 @@ def test_bpe_arrow_engine_parity(spark, sf_dir):
     assert merged_syms & flat
 
 
+def test_bpe_arrow_parity_with_backslash_symbols(spark):
+    """Round-8 ADVICE item, pinned: a merged symbol containing a BACKSLASH
+    (code, LaTeX, Windows paths) must survive the Arrow fast path — re.sub
+    treats its replacement as a template, so an unescaped '\\1' would be a
+    group reference and a trailing '\\' a 'bad escape' crash. Parity with
+    the Catalyst fold on a backslash-bearing vocabulary is the guarantee
+    the bit-identical claim rests on."""
+    import demo_bigdata_spark.operators.bpe as bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, r"\1x \1x \1x \\y \\y \section \section \section"),
+            (2, r"\1x \\y \section \1x \section"),
+        ],
+        "doc_id long, text string",
+    )
+    cat_rules, _ = bpe.bpe_train(docs, n_merges=6, engine="catalyst")
+    arr_rules, _ = bpe.bpe_train(docs, n_merges=6, engine="arrow")
+    assert arr_rules == cat_rules
+    assert any("\\" in m for _, _, m, _ in cat_rules), (
+        "fixture failed to learn a backslash-bearing merge symbol"
+    )
+    words = bpe.word_frequencies(docs)
+    cat = {
+        r.word: tuple(r.pieces)
+        for r in bpe.bpe_apply(words, cat_rules).collect()
+    }
+    arr = {
+        r.word: tuple(r.pieces)
+        for r in bpe.bpe_apply(words, cat_rules, engine="arrow").collect()
+    }
+    assert arr == cat
+
+
 def test_cdc_chunks_edit_locality(spark):
     """The CDC property: prepending text must leave every chunk after the
     first original boundary byte-identical (boundaries depend only on the

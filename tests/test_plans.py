@@ -471,3 +471,80 @@ def test_dsir_ratio_table_broadcasts(spark, sf_dir):
     # (BroadcastNestedLoopJoin over 4096 rows — the pct_of_total shape);
     # a true CartesianProduct would be a corpus-sized bug
     assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_pipeline_v4_stage_shuffles(spark, sf_dir):
+    """v4's new seams (round-8 VERDICT item 3): the perplexity-bucket
+    stage must derive its per-language terciles from the QUANTIZED-NLL
+    HISTOGRAM (value-range-bounded window, broadcast threshold join back
+    — never an ntile window over per-language corpus-sized partitions),
+    and the DSIR budget stage must run the two-level prefix sum (range
+    partition + per-partition windows + a tiny offset table, no global
+    single-partition sort of the corpus). The shipped composition's outer
+    plan past the pinned kept-frame is the budget selection + final
+    aggregate with no corpus re-scan."""
+    from pyspark.sql.window import Window as W
+
+    from demo_bigdata_spark.operators.sampling import dsir_select_budget
+    from demo_bigdata_spark.suites.suite_llm import q_corpus_pipeline_v4
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # perplexity-bucket stage in isolation over a stand-in scored frame
+    nq = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 997).cast("bigint").alias("_nq"),
+    ).localCheckpoint(eager=True)
+    hist = nq.groupBy("lang", "_nq").agg(F.count("*").alias("_c"))
+    w_nll = (
+        W.partitionBy("lang").orderBy("_nq").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w_nll))
+    tot = hist.groupBy("lang").agg(F.sum("_c").alias("_n"))
+    th = (
+        cum.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("_nq"))).alias("_t1"),
+            F.min(F.when(F.col("_cum") * 3 >= 2 * F.col("_n"), F.col("_nq"))).alias("_t2"),
+        )
+    )
+    bucketed = nq.join(F.broadcast(th), "lang").withColumn(
+        "b",
+        F.when(F.col("_nq") <= F.col("_t1"), "head")
+        .when(F.col("_nq") <= F.col("_t2"), "middle")
+        .otherwise("tail"),
+    )
+    pb = executed_plan(bucketed)
+    # the threshold join back is a broadcast, the histogram window runs
+    # over (lang, _nq) aggregates, and the whole stage stays bounded
+    assert "BroadcastHashJoin" in pb and not has_cartesian(bucketed), pb
+    assert pb.count("Exchange") <= 6, pb
+    # the window input is the AGGREGATED histogram, not the corpus: the
+    # plan's window sits above a HashAggregate, and no window partitions
+    # by lang alone over raw rows
+    assert "ntile" not in pb.lower(), pb
+
+    # DSIR budget stage: two-level prefix sum — a range repartition, two
+    # windows (per-pid and the tiny pid-offset one), broadcast offsets
+    wts = docs.select(
+        "doc_id", (F.col("doc_id") % 101 / 7.0).alias("log_weight")
+    ).localCheckpoint(eager=True)
+    sel = dsir_select_budget(docs, wts, 10_000)
+    ps = executed_plan(sel)
+    # the running sum is per-PID windows over the pinned range-partitioned
+    # frame (the range exchange lives inside the checkpoint), plus exactly
+    # one deliberate SinglePartition exchange — the n_parts-row pid-offset
+    # window — broadcast back; never a corpus-wide single-partition sort
+    assert "windowspecdefinition(_pid" in ps, ps
+    assert ps.count("Exchange SinglePartition") == 1, ps
+    assert "BroadcastHashJoin" in ps and not has_cartesian(sel), ps
+    assert ps.count("Exchange") <= 8, ps
+
+    # the shipped composition: bounded outer plan, no corpus re-scan
+    # above the pinned stages, no cartesian anywhere
+    out = q_corpus_pipeline_v4(spark, sf_dir)
+    po = executed_plan(out)
+    assert po.count("Exchange") <= 10 and not has_cartesian(out), po
+    assert po.count("Scan parquet") == 0, po

@@ -831,6 +831,7 @@ def test_versioned_table_manifest_stats_prune_files(spark, tmp_path):
     files record their key column in the manifest (no schema sniff)."""
     import datetime
     import json as _json
+    import os as _os
 
     from demo_bigdata_spark.sources import snapshots as S
 
@@ -847,11 +848,16 @@ def test_versioned_table_manifest_stats_prune_files(spark, tmp_path):
     S.append_snapshot(spark, path, month(2, 100))
     S.append_snapshot(spark, path, month(3, 200))
 
-    # manifest carries bounds for every data file
+    # manifest carries bounds for every data file — one entry per PART
+    # FILE (round-8: per-file footer-harvested statistics), spanning the
+    # three commit directories
     rows = S._manifest_rows(spark, path, S.current_snapshot(path))
     datas = [r for r in rows if r["kind"] == "data"]
-    assert len(datas) == 3
-    assert all(_json.loads(r["meta"])["bounds"]["d"] for r in datas)
+    assert len({r["file"].rsplit("/", 2)[-2] for r in datas}) == 3
+    assert all(not _os.path.isdir(r["file"]) for r in datas)
+    assert all(
+        _json.loads(r["meta"])["bounds"]["d"][0] is not None for r in datas
+    )
 
     # a February window plans exactly ONE of the three file groups
     pruned = S.read_table(
@@ -892,13 +898,15 @@ def test_versioned_table_manifest_stats_prune_files(spark, tmp_path):
     assert {r.k for r in inc.collect()} == set(range(200, 220))
 
     # metadata tables: `files` lists every manifest entry in seq order,
-    # `history` flags the current snapshot
-    tf = [r["kind"] for r in S.table_files(spark, path).collect()]
-    assert tf.count("data") == 3 and tf.count("delete") == 1
+    # `history` flags the current snapshot (file counts are per PART FILE)
+    trows = S.table_files(spark, path).collect()
+    n_data = sum(1 for r in trows if r["kind"] == "data")
+    n_del = sum(1 for r in trows if r["kind"] == "delete")
+    assert n_data == len(datas) and n_del >= 1
     th = {r.snapshot: r for r in S.table_history(spark, path).collect()}
     cur = S.current_snapshot(path)
-    assert th[cur].is_current and th[cur].n_delete_files == 1
-    assert not th[1].is_current and th[1].n_data_files == 1
+    assert th[cur].is_current and th[cur].n_delete_files == n_del
+    assert not th[1].is_current and th[1].n_data_files >= 1
 
 
 def test_stream_born_table_declares_stats_cols(spark, tmp_path):
@@ -913,9 +921,12 @@ def test_stream_born_table_declares_stats_cols(spark, tmp_path):
     S.append_snapshot_epoch(spark, path, df, 0, stats_cols=["k"])
     S.append_snapshot_epoch(spark, path, df.withColumn("k", F.col("k") + 10), 1)
     rows = S._manifest_rows(spark, path, S.current_snapshot(path))
-    metas = [r["meta"] for r in rows if r["kind"] == "data"]
-    assert len(metas) == 2
-    assert all(m and _json.loads(m)["bounds"]["k"] for m in metas)
+    datas = [r for r in rows if r["kind"] == "data"]
+    assert len({r["file"].rsplit("/", 2)[-2] for r in datas}) == 2
+    assert all(
+        r["meta"] and _json.loads(r["meta"])["bounds"]["k"][0] is not None
+        for r in datas
+    )
     pr = S.read_table(spark, path, prune={"k": (11, None)})
     assert len({f.rsplit("/", 2)[-2] for f in pr.inputFiles()}) == 1
     assert {r.k for r in pr.collect()} == {11, 12}
@@ -971,3 +982,155 @@ def test_versioned_table_rewrite_layout_commit(spark, tmp_path):
     )
     assert after["skipped_frac"] > before["skipped_frac"]
     assert after["skipped_frac"] > 0.5
+
+
+def test_versioned_table_commit_retry_outlasts_live_contention(spark, tmp_path):
+    """Round-8 ADVICE item, pinned: a live winner holds its commit claim
+    for the duration of its manifest-write Spark job (hundreds of ms), so
+    the optimistic retry loop must ride out that window instead of
+    exhausting in ~0.1 s. A foreign claim held for ~0.6 s and then
+    released mid-loop must end in a successful commit, not
+    CommitConflictError."""
+    import os as _os
+    import threading
+    import time as _time
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "retry")
+    S.create_table(spark, path, spark.createDataFrame([(1,)], "k long"))
+
+    claim = S._claim_path(path, S.current_snapshot(path) + 1)
+    _os.close(_os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY))
+    t = threading.Timer(0.6, lambda: _os.remove(claim))
+    t.start()
+    try:
+        snap = S.append_snapshot(
+            spark, path, spark.createDataFrame([(2,)], "k long")
+        )
+    finally:
+        t.cancel()
+    assert snap == 2
+    got = {r.k for r in S.read_table(spark, path).collect()}
+    assert got == {1, 2}
+
+
+def test_versioned_table_per_file_stats_prune_inside_commit(spark, tmp_path):
+    """Round-8 VERDICT item 1, pinned: manifest statistics are PER PART
+    FILE, harvested from parquet footers (no second scan of the data) —
+    so pruning works INSIDE one large commit, not just across range-
+    disjoint commits. One 8-file commit clustered on k: a narrow k-window
+    must plan a strict subset of the commit's files and return exactly
+    the matching rows. Timestamp bounds are harvestable too
+    (TIMESTAMP_MICROS writer — INT96 carries no footer stats)."""
+    import datetime
+    import json as _json
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "perfile")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i), i * 2)
+        for i in range(800)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k long, ts timestamp, v long")
+        .repartitionByRange(8, "k")
+    )
+    S.create_table(spark, path, df, stats_cols=["k", "ts"])
+
+    datas = [
+        r
+        for r in S._manifest_rows(spark, path, 1)
+        if r["kind"] == "data"
+    ]
+    assert len(datas) == 8  # one manifest entry per part file
+    for r in datas:
+        b = _json.loads(r["meta"])["bounds"]
+        assert b["k"][0] is not None and b["ts"][0] is not None
+
+    # a window covering ~1/8 of the key space plans a strict file subset
+    pr = S.read_table(spark, path, prune={"k": (100, 199)})
+    assert 1 <= len(pr.inputFiles()) <= 3 < len(datas)
+    assert {r.k for r in pr.collect()} == set(range(100, 200))
+
+    # timestamp pruning works off the footer-harvested ISO bounds
+    lo = datetime.datetime(2024, 1, 22)
+    tpr = S.read_table(spark, path, prune={"ts": (lo, None)})
+    assert 0 < len(tpr.inputFiles()) < len(datas)
+    assert tpr.count() == sum(1 for _, ts, _ in rows if ts >= lo)
+
+
+def test_versioned_table_footer_stats_fail_open_observable(spark, tmp_path):
+    """Round-8 VERDICT item 7, pinned: _footer_meta fails OPEN and
+    OBSERVABLY — a corrupted part-file footer records explicit null
+    bounds plus a stats_error marker in the manifest (visible via
+    table_files), and _may_contain treats null bounds as must-read, so a
+    stats-table commit with an unreadable footer still reads correctly
+    instead of silently dropping files."""
+    import json as _json
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    # corrupted footer: _footer_meta on a non-parquet path
+    meta = S._footer_meta(__file__, ["k", "d"])
+    parsed = _json.loads(meta)
+    assert parsed["bounds"] == {"k": [None, None], "d": [None, None]}
+    assert "stats_error" in parsed
+    # null bounds are must-read under ANY predicate
+    assert S._may_contain(meta, {"k": (5, 10)}) is True
+
+    # end to end: a table whose commit recorded fail-open metadata still
+    # answers pruned reads correctly (row filter does the work)
+    path = str(tmp_path / "failopen")
+    df = spark.createDataFrame([(1, 5), (2, 6), (3, 7)], "k long, v long")
+    S.create_table(spark, path, df, stats_cols=["k"])
+    # simulate a legacy/foreign commit whose stats could not be read:
+    # rewrite the manifest rows with the fail-open meta
+    snap = S.current_snapshot(path)
+    entries = [
+        (f, kind, e, meta if kind == "data" else m)
+        for f, kind, e, m in S._manifest_entries(spark, path, snap)
+    ]
+    S._commit(spark, path, snap + 1, entries)
+    pr = S.read_table(spark, path, prune={"k": (2, None)})
+    assert {r.k for r in pr.collect()} == {2, 3}
+    tf = [
+        r["meta"]
+        for r in S.table_files(spark, path).collect()
+        if r["kind"] == "data"
+    ]
+    assert all("stats_error" in _json.loads(m) for m in tf)
+
+
+def test_versioned_table_legacy_dir_manifests_still_read(spark, tmp_path):
+    """Backward compatibility: manifests whose data entries are commit
+    DIRECTORIES (pre-round-8 layout) still read, diff, vacuum, and carry
+    forward next to per-file entries."""
+    import os as _os
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "legacy")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    S.create_table(spark, path, a)
+
+    # hand-commit a LEGACY directory entry (what round-7 wrote)
+    d = _os.path.dirname(
+        [r["file"] for r in S._manifest_rows(spark, path, 1)][0]
+    )
+    S._commit(spark, path, 2, [(d, "data", -1, None)])
+    assert {r.k for r in S.read_table(spark, path)
+            .collect()} == {1, 2}
+
+    # appends on top of the legacy manifest mix file + dir entries
+    S.append_snapshot(
+        spark, path, spark.createDataFrame([(3, "c")], "k long, v string")
+    )
+    assert {r.k for r in S.read_table(spark, path).collect()} == {1, 2, 3}
+    inc = S.read_appends_since(spark, path, 2)
+    assert {r.k for r in inc.collect()} == {3}
+
+    # vacuum keeps data referenced through either entry style
+    res = S.expire_snapshots(spark, path, keep_last=1)
+    assert {r.k for r in S.read_table(spark, path).collect()} == {1, 2, 3}
