@@ -1298,3 +1298,40 @@ def span_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def soft_dedup_weights(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Soft dedup (SoftDedup, He et al., ACL 2024): reweight duplicated
+    content instead of dropping it. Each document's *commonness* is the
+    mean document-frequency of its distinct n-gram shingles; its sampling
+    weight is the inverse — a document of corpus-unique shingles keeps
+    weight 1.0, one whose every shingle appears in k documents is
+    attenuated to ~1/k. Downstream, ``sampling.mixture_sample_weighted``
+    consumes the weights, so near-duplicate mass shrinks in expectation
+    rather than being hard-cut at a threshold (the paper's measured win
+    over drop-dedup on perplexity at matched token budgets).
+
+    Input is the shared ``shingle_hashes`` frame (materialized once per
+    corpus snapshot — the _SH8_CACHE pattern), so soft dedup costs two
+    hash-partitioned aggregates over it: document-frequency per shingle,
+    then mean-df per document. Both are map-side combinable; raw text is
+    never touched again. The weight is emitted as an exact bigint/bigint
+    ratio (n_shingles / sum_df) rounded at ``scale`` — engine-portable.
+    """
+    sh = shingles.select(id_col, "shingle_hash")
+    dfreq = sh.groupBy("shingle_hash").agg(F.count("*").alias("_df"))
+    per_doc = (
+        sh.join(dfreq, "shingle_hash")
+        .groupBy(id_col)
+        .agg(F.sum("_df").alias("sum_df"), F.count("*").alias("n_shingles"))
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "sum_df",
+        F.round(F.col("n_shingles") / F.col("sum_df"), scale).alias("weight"),
+    )

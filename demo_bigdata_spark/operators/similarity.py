@@ -540,3 +540,54 @@ def quantized_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    cluster-then-compare — cosine comparisons run only WITHIN a cluster,
+    and a row is dropped when a lower-id row in the same cluster sits at
+    cosine >= threshold (keep-first, deterministic).
+
+    This is the scale path next to the exact ``all_pairs_above`` dedup:
+    the O(n^2) pair space shrinks to sum_c |cluster_c|^2, and the
+    within-cluster comparison is a shuffle-partitionable equi-join on the
+    cluster id — never a cartesian product. Cluster assignment here is
+    deterministic sign-LSH (``lsh_bucket`` over seed-frozen hyperplanes)
+    so the operator is oracle-checkable end to end; a production corpus
+    swaps in k-means cluster ids (``train_ivf_centroids`` +
+    ``assign_clusters``) with the identical downstream shape. Pairs split
+    across clusters are missed — that is SemDeDup's documented recall
+    trade (the paper's k-means clustering has the same property); recall
+    against the exact operator is pytest-pinned, and survivors are always
+    a SUPERSET of the exact dedup's survivors (the semantic neighbor set
+    of any row is a subset of its global neighbor set).
+
+    Returns the surviving rows of ``df`` plus their ``cluster`` id.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    keyed = df.withColumn("cluster", lsh_bucket(F.col(vec_col), planes))
+    a = keyed.select(
+        F.col("cluster").alias("_ca"),
+        F.col(id_col).alias("_ida"),
+        _as_double(vec_col).alias("_va"),
+    )
+    b = keyed.select(
+        F.col("cluster").alias("_cb"),
+        F.col(id_col).alias("_idb"),
+        _as_double(vec_col).alias("_vb"),
+    )
+    dropped = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .filter(F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return keyed.join(dropped, id_col, "left_anti")

@@ -3654,6 +3654,96 @@ ORDER BY doc_id
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup cluster-scoped semantic dedup (operator:
+    similarity.semantic_dedup): sign-LSH clusters (6 seed-frozen planes =
+    64 buckets), within-cluster keep-first drop at cosine >=
+    PAIR_THRESHOLD. Per-cluster survivor rollup; the twin replays the
+    bucketing from the same float64 plane literals (the lsh_pairs oracle
+    pattern), so cluster ids, the drop set, and the rollup must all match
+    exactly — the scale-path counterpart of the exact `embedding_dedup`."""
+    emb = _emb(spark, sf_dir)
+    surv = S.semantic_dedup(emb, PAIR_THRESHOLD, n_planes=6)
+    return (
+        surv.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    """Single-table twin of the lsh_pairs bucket replay: 6 planes of
+    float64 literals, identical left-to-right IEEE dot-product fold."""
+    n_planes, dim = 6, 64
+    planes = S.hyperplanes(dim, n_planes, seed=42)
+
+    def plane_lit(plane):
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    terms = []
+    for i, plane in enumerate(planes):
+        d = (
+            f"list_reduce(list_transform(range({dim}), "
+            f"j -> v[j+1] * ({plane_lit(plane)})[j+1]), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = "(" + " + ".join(terms) + ")::BIGINT"
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+keyed AS (SELECT vec_id, label, v, {bucket} AS cluster FROM v),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM keyed a JOIN keyed b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {PAIR_THRESHOLD}
+)
+SELECT cluster, count(*) AS n_survivors, count(DISTINCT label) AS n_labels
+FROM keyed
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
+def q_soft_dedup(spark, sf_dir):
+    """Soft dedup weights (operator: dedup.soft_dedup_weights): per-doc
+    sampling weight = 1 / mean document-frequency of its distinct 8-token
+    shingles — duplicated content is attenuated, not dropped. Reads the
+    shared _SH8_CACHE shingle frame (corpus shingled once per session);
+    adds two map-side-combinable aggregates on top of it."""
+    sh = _sh8(spark, sf_dir)
+    return D.soft_dedup_weights(sh.select("doc_id", "shingle_hash")).orderBy("doc_id")
+
+
+SQL_SOFT_DEDUP = rf"""
+WITH raw AS (SELECT doc_id, {SQL_TOKS_RAW} AS tkr FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tkr) >= 8
+              THEN list_distinct(list_transform(range(0, len(tkr) - 7),
+                                                i -> array_to_string(tkr[i+1:i+8], ' ')))
+              ELSE [array_to_string(tkr, ' ')] END) AS s
+  FROM raw
+),
+hashed AS (SELECT DISTINCT doc_id, md5(s) AS shingle_hash FROM sh),
+dfreq AS (SELECT shingle_hash, count(*) AS _df FROM hashed GROUP BY 1),
+per_doc AS (
+  SELECT doc_id, sum(_df)::BIGINT AS sum_df, count(*)::BIGINT AS n_shingles
+  FROM hashed JOIN dfreq USING (shingle_hash)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, sum_df,
+       round(n_shingles / sum_df, 6) AS weight
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
@@ -3700,6 +3790,8 @@ QUERIES = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "soft_dedup": (q_soft_dedup, SQL_SOFT_DEDUP),
     "lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     "ivf_topk": (q_ivf_topk, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

@@ -1801,8 +1801,44 @@ LIMIT 20
 """
 
 
+def q_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 analog on the reduced schema (no l_shipmode/receiptdate:
+    l_returnflag stands in for the ship mode): lines shipped in 1997,
+    split per flag into high- vs low-priority order line counts. Fact-fact
+    equi-join on the order key; the priority CASE folds inside the
+    aggregate, so the join output never widens past the two keys."""
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PRIORITY_SHIPPING = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "priority_shipping": (q_priority_shipping, SQL_PRIORITY_SHIPPING),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "market_share": (q_market_share, SQL_MARKET_SHARE),

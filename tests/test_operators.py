@@ -1261,3 +1261,53 @@ def test_dsir_weights_and_select(spark):
     ids = sorted(r["doc_id"] for r in picked)
     # all five target docs (equal weight, id tiebreak) + the lowest-id junk
     assert ids == [100, 101, 102, 103, 104, 200]
+
+
+def test_semantic_dedup_survivors_superset_of_exact(spark, sf_dir):
+    """SemDeDup's within-cluster neighbor set is a subset of the global
+    one, so its drop set must be a SUBSET of the exact all-pairs drop set
+    (survivors a superset) — with nonzero recall at the suite threshold
+    (sign-LSH theory: per-plane collision (1 - theta/pi); six planes at
+    cosine 0.35 -> single-digit-percent recall, rising steeply as the
+    threshold tightens toward near-identical pairs)."""
+    from demo_bigdata_spark.operators.similarity import all_pairs_above, semantic_dedup
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    exact_dropped = {
+        r["id_b"]
+        for r in all_pairs_above(emb, 0.35).select("id_b").distinct().collect()
+    }
+    surv = semantic_dedup(emb, 0.35, n_planes=6)
+    surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert len(all_ids) == n_total
+    sem_dropped = all_ids - surv_ids
+    assert sem_dropped <= exact_dropped, "semantic dedup dropped a non-near-dup"
+    assert exact_dropped, "threshold too high: exact dedup found nothing"
+    recall = len(sem_dropped) / len(exact_dropped)
+    assert recall >= 0.05, f"recall {recall:.3f} below floor"
+    # every survivor carries its cluster id
+    assert surv.columns[-1] == "cluster" or "cluster" in surv.columns
+
+
+def test_soft_dedup_weights_exact_on_hand_corpus(spark):
+    """Hand-checkable commonness: docs shorter than the shingle width
+    collapse to one whole-text shingle, so two identical short docs share
+    one shingle of df=2 (weight 1/2) and a unique doc keeps weight 1."""
+    from demo_bigdata_spark.operators.dedup import shingle_hashes, soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),
+            (3, "gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_hashes(docs, n=8)
+    got = {r["doc_id"]: r for r in soft_dedup_weights(sh).collect()}
+    assert got[1]["n_shingles"] == 1 and got[1]["sum_df"] == 2
+    assert got[1]["weight"] == 0.5 and got[2]["weight"] == 0.5
+    assert got[3]["weight"] == 1.0 and got[3]["sum_df"] == 1

@@ -548,3 +548,15 @@ def test_corpus_pipeline_v4_stage_shuffles(spark, sf_dir):
     po = executed_plan(out)
     assert po.count("Exchange") <= 10 and not has_cartesian(out), po
     assert po.count("Scan parquet") == 0, po
+
+
+def test_semantic_dedup_is_cluster_equi_join(spark, sf_dir):
+    """SemDeDup's within-cluster comparison must plan as an equi join on
+    the cluster id (shuffle-partitionable) — never a cartesian/nested-loop
+    pair scan; that bound on the pair space is the whole point of the
+    cluster-then-compare shape."""
+    from demo_bigdata_spark.suites.suite_llm import q_semantic_dedup
+
+    plan = executed_plan(q_semantic_dedup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
