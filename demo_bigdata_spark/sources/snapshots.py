@@ -48,6 +48,15 @@ same commit discipline Iceberg uses:
 - **rewrite_table_layout** is Iceberg's rewrite_data_files: a Z-order or
   range re-clustering of the current view committed as a snapshot through
   the replace path — atomic, rollback-able, history preserved.
+- **Branches and tags** are named refs (one file per ref under ``refs/``;
+  ``main`` stays the ``_CURRENT`` pointer): writers take ``branch=`` and
+  advance only that ref, readers take ``ref=``, tags are immutable
+  retention anchors, and ``fast_forward`` publishes a staged branch onto
+  main after validating ancestry — Iceberg's write-audit-publish. With
+  branches, snapshot ids are allocated table-globally (per-id O_EXCL
+  claims on top of the per-(branch, parent) commit claim), and every
+  commit records its parent in a ``_commit.json`` beside the manifest,
+  the chain fast-forward walks.
 
 Scale shape: manifests hold file PATHS + KB-scale metadata per snapshot,
 never data; a read plans ``spark.read.parquet(*files)`` over the pruned
@@ -97,8 +106,28 @@ def _manifest_path(path: str, snap: int) -> str:
     return os.path.join(_snap_dir(path), f"{snap:08d}")
 
 
-def _claim_path(path: str, snap: int) -> str:
-    return os.path.join(_snap_dir(path), f".claim-{snap:08d}")
+def _claim_path(path: str, snap: int, branch: str = "main") -> str:
+    """Per-(branch, parent) commit claim: ``snap`` is the SLOT (parent+1),
+    so two writers that built on the same branch head race this file. The
+    main branch keeps the historical name (no ``-main-`` infix) so
+    existing tables and tests are untouched."""
+    if branch == "main":
+        return os.path.join(_snap_dir(path), f".claim-{snap:08d}")
+    return os.path.join(_snap_dir(path), f".claim-{branch}-{snap:08d}")
+
+
+def _idclaim_path(path: str, snap: int) -> str:
+    return os.path.join(_snap_dir(path), f".idclaim-{snap:08d}")
+
+
+def _refs_dir(path: str) -> str:
+    return os.path.join(path, "refs")
+
+
+def _ref_path(path: str, kind: str, name: str) -> str:
+    if not name or not all(c.isalnum() or c in "_-." for c in name):
+        raise ValueError(f"invalid ref name {name!r}")
+    return os.path.join(_refs_dir(path), f"{kind}-{name}")
 
 
 def current_snapshot(path: str) -> int | None:
@@ -108,6 +137,118 @@ def current_snapshot(path: str) -> int | None:
             return int(f.read().strip())
     except FileNotFoundError:
         return None
+
+
+def _ref_head(path: str, branch: str) -> int | None:
+    """The branch's committed head snapshot id. ``main`` is the
+    ``_CURRENT`` pointer; every other branch is one file under ``refs/``
+    (one file PER ref, so concurrent updates to different refs never
+    rewrite each other — the reason this is not a single refs.json)."""
+    if branch == "main":
+        return current_snapshot(path)
+    try:
+        with open(_ref_path(path, "branch", branch)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _advance_ref(path: str, branch: str, snap: int) -> None:
+    if branch == "main":
+        _swap_pointer(path, snap)
+        return
+    ref = _ref_path(path, "branch", branch)
+    if not os.path.exists(ref):
+        raise ValueError(f"no branch {branch!r} at {path}")
+    tmp = ref + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(snap))
+    os.replace(tmp, ref)
+
+
+def list_refs(path: str) -> dict:
+    """All named refs: ``{"branch": {name: head}, "tag": {name: snap}}``.
+    ``main`` (the pointer) is included as a branch when the table exists."""
+    out: dict = {"branch": {}, "tag": {}}
+    cur = current_snapshot(path)
+    if cur is not None:
+        out["branch"]["main"] = cur
+    d = _refs_dir(path)
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".tmp") or ".tmp-" in f:
+                continue
+            kind, _, name = f.partition("-")
+            if kind in ("branch", "tag") and name:
+                with open(os.path.join(d, f)) as fh:
+                    out[kind][name] = int(fh.read().strip())
+    return out
+
+
+def _resolve_ref(path: str, ref: str) -> int:
+    if ref == "main":
+        cur = current_snapshot(path)
+        if cur is None:
+            raise ValueError(f"no versioned table at {path}")
+        return cur
+    for kind in ("branch", "tag"):
+        try:
+            with open(_ref_path(path, kind, ref)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            continue
+    raise ValueError(f"no branch or tag {ref!r} at {path}")
+
+
+def create_branch(path: str, name: str, at_snapshot: int | None = None) -> int:
+    """Create a branch pointing at ``at_snapshot`` (default: main head).
+    Branches receive commits via the writers' ``branch=`` parameter and
+    advance independently of main — Iceberg's branch refs, the basis of
+    the write-audit-publish pattern. Creation is O_EXCL: racing creators
+    of the same name lose loudly, never silently re-point."""
+    snap = current_snapshot(path) if at_snapshot is None else int(at_snapshot)
+    if snap is None:
+        raise ValueError(f"no versioned table at {path}")
+    if name == "main":
+        raise ValueError("'main' is the table pointer, not a creatable branch")
+    if not os.path.exists(_manifest_path(path, snap)):
+        raise ValueError(f"snapshot {snap} does not exist at {path}")
+    os.makedirs(_refs_dir(path), exist_ok=True)
+    ref = _ref_path(path, "branch", name)
+    fd = os.open(ref, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        f.write(str(snap))
+    return snap
+
+
+def create_tag(path: str, name: str, at_snapshot: int | None = None) -> int:
+    """Create an immutable tag naming a snapshot (Iceberg tags): a
+    retention anchor and a stable name for time travel —
+    ``read_table(..., ref="v1")``. No API ever advances a tag."""
+    snap = current_snapshot(path) if at_snapshot is None else int(at_snapshot)
+    if snap is None:
+        raise ValueError(f"no versioned table at {path}")
+    if not os.path.exists(_manifest_path(path, snap)):
+        raise ValueError(f"snapshot {snap} does not exist at {path}")
+    os.makedirs(_refs_dir(path), exist_ok=True)
+    ref = _ref_path(path, "tag", name)
+    fd = os.open(ref, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        f.write(str(snap))
+    return snap
+
+
+def drop_ref(path: str, name: str) -> None:
+    """Delete a branch or tag. The snapshots it pointed at stay readable
+    by id until expired (expire keeps only LIVE ref heads)."""
+    if name == "main":
+        raise ValueError("cannot drop the main pointer")
+    for kind in ("branch", "tag"):
+        p = _ref_path(path, kind, name)
+        if os.path.exists(p):
+            os.remove(p)
+            return
+    raise ValueError(f"no branch or tag {name!r} at {path}")
 
 
 def table_properties(path: str) -> dict:
@@ -133,18 +274,19 @@ def _swap_pointer(path: str, snap: int) -> None:
     os.replace(tmp, os.path.join(path, _POINTER))
 
 
-def _acquire_claim(path: str, snap: int) -> str:
-    """Claim the right to commit ``snap`` via O_CREAT|O_EXCL — the CAS
-    that keeps two live writers from silently overwriting each other's
-    manifest. Raises :class:`CommitConflictError` when the id is already
-    committed or a live writer holds the claim; steals claims older than
-    ``_STALE_CLAIM_SECONDS`` whose pointer never advanced (crashed
-    writer)."""
+def _acquire_claim(path: str, snap: int, branch: str = "main") -> str:
+    """Claim the right to commit slot ``snap`` (= parent head + 1) on
+    ``branch`` via O_CREAT|O_EXCL — the CAS that keeps two live writers
+    who built on the same branch head from silently losing an update.
+    Raises :class:`CommitConflictError` when the branch already advanced
+    past the parent or a live writer holds the claim; steals claims older
+    than ``_STALE_CLAIM_SECONDS`` whose branch head never advanced
+    (crashed writer)."""
     os.makedirs(_snap_dir(path), exist_ok=True)
-    claim = _claim_path(path, snap)
+    claim = _claim_path(path, snap, branch)
 
     def _already_committed() -> bool:
-        cur = current_snapshot(path)
+        cur = _ref_head(path, branch)
         return cur is not None and cur >= snap
 
     if _already_committed():
@@ -186,12 +328,57 @@ def _acquire_claim(path: str, snap: int) -> str:
     return claim
 
 
+def _max_snapshot_id(path: str) -> int:
+    """Highest allocated snapshot id across ALL branches: manifests on
+    disk plus every ref head (a head whose manifest write is mid-flight
+    still counts via the idclaim loop)."""
+    ids = [0]
+    sd = _snap_dir(path)
+    if os.path.isdir(sd):
+        ids += [int(d) for d in os.listdir(sd) if d.isdigit()]
+    refs = list_refs(path)
+    ids += list(refs["branch"].values()) + list(refs["tag"].values())
+    return max(ids)
+
+
+def _acquire_id(path: str, floor: int) -> tuple[int, str]:
+    """Allocate a globally-unique manifest id >= ``floor`` via O_EXCL id
+    claims. Snapshot ids are global across branches (Iceberg: snapshot
+    ids are table-global; refs are just named pointers), so two branches
+    committing concurrently must not pick the same manifest directory —
+    the per-branch parent claim cannot prevent that, this CAS does. On a
+    main-only table the loop returns ``floor`` (== parent+1) untouched,
+    preserving the historical id sequence exactly. Stale id claims from
+    crashed writers are stolen when no live ref names the id."""
+    n = max(floor, _max_snapshot_id(path) + 1) if os.path.isdir(
+        _refs_dir(path)
+    ) else floor
+    for _ in range(100_000):
+        idclaim = _idclaim_path(path, n)
+        try:
+            os.close(os.open(idclaim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return n, idclaim
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(idclaim)
+            except FileNotFoundError:
+                continue  # released mid-check: same id is free now
+            refs = list_refs(path)
+            live = set(refs["branch"].values()) | set(refs["tag"].values())
+            if age >= _STALE_CLAIM_SECONDS and n not in live:
+                os.utime(idclaim)  # crashed writer: take over
+                return n, idclaim
+            n += 1
+    raise CommitConflictError(f"could not allocate a snapshot id at {path}")
+
+
 def _commit(
     spark: SparkSession,
     path: str,
     snap: int,
     entries: list[tuple[str, str, int, str | None]],
-) -> None:
+    branch: str = "main",
+) -> int:
     """Claim the snapshot id, write the manifest, atomically swap the
     pointer, release the claim. Every manifest row carries:
 
@@ -212,36 +399,58 @@ def _commit(
     leaves a stale, unreferenced manifest at the target id — the redo must
     replace it or the table is permanently wedged on 'path already
     exists'. Live-writer overwrites are excluded by the claim, not by the
-    write mode."""
-    claim = _acquire_claim(path, snap)
+    write mode.
+
+    ``snap`` is the commit SLOT (parent head + 1) — the per-branch claim
+    key. The MANIFEST id actually written may be larger when other
+    branches allocated ids in between (``_acquire_id``); on a main-only
+    table it is always ``snap`` itself. Returns the manifest id. A
+    ``_commit.json`` beside the manifest (ignored by parquet readers —
+    ``_``-prefixed) records branch + parent: the ancestry chain
+    ``fast_forward`` walks."""
+    claim = _acquire_claim(path, snap, branch)
+    try:
+        nid, idclaim = _acquire_id(path, snap)
+    except CommitConflictError:
+        try:
+            os.remove(claim)
+        except FileNotFoundError:
+            pass
+        raise
     seqd = [(f, k, e, i, m) for i, (f, k, e, m) in enumerate(entries)]
     spark.createDataFrame(
         seqd, "file string, kind string, epoch_id long, seq int, meta string"
-    ).coalesce(1).write.mode("overwrite").parquet(_manifest_path(path, snap))
-    _swap_pointer(path, snap)
-    try:
-        os.remove(claim)
-    except FileNotFoundError:
-        pass
+    ).coalesce(1).write.mode("overwrite").parquet(_manifest_path(path, nid))
+    with open(os.path.join(_manifest_path(path, nid), "_commit.json"), "w") as f:
+        json.dump(
+            {"branch": branch, "parent": snap - 1, "committed_at": time.time()},
+            f,
+        )
+    _advance_ref(path, branch, nid)
+    for c in (idclaim, claim):
+        try:
+            os.remove(c)
+        except FileNotFoundError:
+            pass
+    return nid
 
 
-def _retrying_commit(spark, path: str, build) -> int:
+def _retrying_commit(spark, path: str, build, branch: str = "main") -> int:
     """Optimistic-concurrency loop (Iceberg's commit retry): re-read the
-    current snapshot, rebuild the manifest entries against it, attempt the
+    branch head, rebuild the manifest entries against it, attempt the
     claimed commit; on conflict, loop. ``build(cur) -> entries`` must be
     cheap to re-run — data files are written ONCE before the loop (they
     are immutable and id-free, so they attach to whichever snapshot id the
-    winning attempt gets)."""
+    winning attempt gets). Returns the committed manifest id."""
     import random
 
     last: Exception | None = None
     for attempt in range(_COMMIT_ATTEMPTS):
-        cur = current_snapshot(path)
+        cur = _ref_head(path, branch)
         if cur is None:
-            raise ValueError(f"no versioned table at {path}")
+            raise ValueError(f"no versioned table or branch {branch!r} at {path}")
         try:
-            _commit(spark, path, cur + 1, build(cur))
-            return cur + 1
+            return _commit(spark, path, cur + 1, build(cur), branch=branch)
         except CommitConflictError as e:
             last = e
             delay = min(
@@ -434,13 +643,22 @@ def create_table(
 
 
 def append_snapshot(
-    spark: SparkSession, path: str, df: DataFrame, replace: bool = False
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    replace: bool = False,
+    branch: str = "main",
 ) -> int:
     """Commit a new snapshot: previous data + delete files carry forward
     and ``df``'s new files join them. ``replace=True`` starts the manifest
     empty instead — the compaction path that folds merge-on-read deletes
-    away (pass ``read_table(spark, path)`` as ``df``)."""
+    away (pass ``read_table(spark, path)`` as ``df``). ``branch`` commits
+    onto that branch's head and advances ONLY its ref — main readers never
+    see the rows until a ``fast_forward`` publishes them (the
+    write-audit-publish staging leg)."""
     if current_snapshot(path) is None:
+        if branch != "main":
+            raise ValueError(f"no versioned table at {path}")
         return create_table(spark, path, df)
     files = _write_files(df, path, "data")
     sc = _stats_cols(path)
@@ -460,24 +678,30 @@ def append_snapshot(
             prev = _manifest_entries(spark, path, cur)
         return prev + new
 
-    return _retrying_commit(spark, path, build)
+    return _retrying_commit(spark, path, build, branch=branch)
 
 
 def delete_where(
-    spark: SparkSession, path: str, key_col: str, condition
+    spark: SparkSession, path: str, key_col: str, condition, branch: str = "main"
 ) -> int:
     """Merge-on-read delete: evaluate ``condition`` against the CURRENT
-    table, persist the matching keys as a delete file, commit a snapshot
-    whose reads anti-join them. No data file is touched — old snapshots
-    still contain the rows (time travel), and the write cost is the
-    matched-key set, not a rewrite. The key column is recorded in the
-    manifest so readers never open delete files during planning. Keys are
-    matched once, at call time — a concurrent commit between evaluation
-    and the (retried) commit does not re-evaluate the condition."""
-    cur = current_snapshot(path)
+    table (of ``branch``), persist the matching keys as a delete file,
+    commit a snapshot whose reads anti-join them. No data file is touched —
+    old snapshots still contain the rows (time travel), and the write cost
+    is the matched-key set, not a rewrite. The key column is recorded in
+    the manifest so readers never open delete files during planning. Keys
+    are matched once, at call time — a concurrent commit between
+    evaluation and the (retried) commit does not re-evaluate the
+    condition."""
+    cur = _ref_head(path, branch)
     if cur is None:
-        raise ValueError(f"no versioned table at {path}")
-    keys = read_table(spark, path).filter(condition).select(key_col).distinct()
+        raise ValueError(f"no versioned table or branch {branch!r} at {path}")
+    keys = (
+        read_table(spark, path, snapshot=cur)
+        .filter(condition)
+        .select(key_col)
+        .distinct()
+    )
     files = _write_files(keys, path, "deletes")
     meta = json.dumps({"key_col": key_col})
     new = [(f, "delete", -1, meta) for f in files]
@@ -485,11 +709,15 @@ def delete_where(
     def build(cur_):
         return _manifest_entries(spark, path, cur_) + new
 
-    return _retrying_commit(spark, path, build)
+    return _retrying_commit(spark, path, build, branch=branch)
 
 
 def upsert_snapshot(
-    spark: SparkSession, path: str, df: DataFrame, key_col: str
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key_col: str,
+    branch: str = "main",
 ) -> int:
     """MERGE INTO semantics in ONE commit: ``df``'s rows replace any
     existing rows with the same key and insert the rest — implemented as
@@ -504,6 +732,8 @@ def upsert_snapshot(
     (Iceberg's sequence-number rule, emulated with the manifest row
     order)."""
     if current_snapshot(path) is None:
+        if branch != "main":
+            raise ValueError(f"no versioned table at {path}")
         return create_table(spark, path, df)
     keys = df.select(key_col).distinct()
     dfiles = _write_files(keys, path, "deletes")
@@ -517,7 +747,7 @@ def upsert_snapshot(
     def build(cur):
         return _manifest_entries(spark, path, cur) + new
 
-    return _retrying_commit(spark, path, build)
+    return _retrying_commit(spark, path, build, branch=branch)
 
 
 def read_table(
@@ -526,6 +756,7 @@ def read_table(
     snapshot: int | None = None,
     key_col: str | None = None,
     prune: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read the table AS OF ``snapshot`` (default: current). Data files
     union under one parquet scan (pushdown/pruning intact); delete keys
@@ -534,6 +765,10 @@ def read_table(
     historical snapshot costs the same as reading the current one —
     nothing is reconstructed.
 
+    ``ref`` names a branch or tag to read instead (``read_table(...,
+    ref="audit")`` — Iceberg's branch/tag reads); mutually exclusive with
+    ``snapshot``.
+
     ``prune`` maps column -> (lo, hi) (either bound may be None): the
     result contains exactly the rows satisfying the range predicate, but
     files whose manifest-recorded bounds cannot intersect it are dropped
@@ -541,7 +776,12 @@ def read_table(
     table whose stats_cols cover the predicate this makes scan planning
     O(matching files); without recorded bounds it degrades gracefully to
     a plain filtered read."""
-    snap = current_snapshot(path) if snapshot is None else int(snapshot)
+    if ref is not None:
+        if snapshot is not None:
+            raise ValueError("pass snapshot= or ref=, not both")
+        snap = _resolve_ref(path, ref)
+    else:
+        snap = current_snapshot(path) if snapshot is None else int(snapshot)
     if snap is None:
         raise ValueError(f"no versioned table at {path}")
     rows = _manifest_rows(spark, path, snap)
@@ -714,6 +954,59 @@ def rollback(path: str, snapshot: int) -> None:
     _swap_pointer(path, snapshot)
 
 
+def _parents_of(path: str, snap: int) -> int | None:
+    """The recorded parent of ``snap`` from its ``_commit.json``, or None
+    when unknown (pre-refs commits carry no ancestry record)."""
+    try:
+        with open(os.path.join(_manifest_path(path, snap), "_commit.json")) as f:
+            return int(json.load(f)["parent"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def fast_forward(path: str, to_ref: str, branch: str = "main") -> int:
+    """Publish: advance ``branch`` to another ref's head — Iceberg's
+    fast-forward, the final leg of write-audit-publish (stage commits on
+    an ``audit`` branch, run checks against ``read_table(ref="audit")``,
+    then ``fast_forward(path, "audit")`` makes main readers see the whole
+    staged lineage atomically — one pointer swap, no data rewritten).
+
+    Fast-forward ONLY: the target's ancestry chain (each commit's
+    ``_commit.json`` parent record) must reach the current branch head;
+    otherwise the branch has commits the target lacks and advancing would
+    silently drop them — that case raises, like Iceberg's
+    fast_forward procedure. The advance itself is serialized through the
+    same per-(branch, parent) commit claim every writer uses, so it cannot
+    race a concurrent commit on the branch."""
+    target = _resolve_ref(path, to_ref)
+    head = _ref_head(path, branch)
+    if head is None:
+        raise ValueError(f"no versioned table or branch {branch!r} at {path}")
+    if target == head:
+        return head
+    walk = target
+    while walk is not None and walk > head:
+        walk = _parents_of(path, walk)
+    if walk != head:
+        raise ValueError(
+            f"{to_ref!r} (snapshot {target}) is not a descendant of "
+            f"{branch!r} (snapshot {head}) — not a fast-forward"
+        )
+    claim = _acquire_claim(path, head + 1, branch)
+    try:
+        if _ref_head(path, branch) != head:
+            raise CommitConflictError(
+                f"branch {branch!r} advanced during fast-forward at {path}"
+            )
+        _advance_ref(path, branch, target)
+    finally:
+        try:
+            os.remove(claim)
+        except FileNotFoundError:
+            pass
+    return target
+
+
 def expire_snapshots(
     spark: SparkSession,
     path: str,
@@ -747,8 +1040,13 @@ def expire_snapshots(
         int(d) for d in os.listdir(_snap_dir(path)) if d.isdigit()
     )
     # max(1, ..): keep_last=0 would slice [-0:] == the WHOLE list and
-    # silently retain everything; the current snapshot is the floor
-    keep = set(snaps[-max(1, keep_last):]) | {cur}
+    # silently retain everything; the current snapshot is the floor.
+    # Every live ref head (branch or tag) is likewise retained — a tag is
+    # precisely a retention anchor, and expiring a branch head would
+    # leave its ref dangling (Iceberg never expires ref heads).
+    refs = list_refs(path)
+    heads = set(refs["branch"].values()) | set(refs["tag"].values())
+    keep = set(snaps[-max(1, keep_last):]) | {cur} | heads
     referenced: set[str] = set()
     for snap in keep:
         for r in _manifest_rows(spark, path, snap):
@@ -944,4 +1242,19 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "snapshot int, n_data_files int, n_delete_files int, "
         "n_epoch_markers int, is_current boolean",
+    )
+
+
+def table_refs(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg's ``refs`` metadata table: one row per named ref (main +
+    branches + tags) with its head snapshot and that commit's recorded
+    parent — the audit view of a write-audit-publish flow."""
+    refs = list_refs(path)
+    rows = [
+        (name, kind, int(snap), _parents_of(path, int(snap)))
+        for kind in ("branch", "tag")
+        for name, snap in sorted(refs[kind].items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, kind string, snapshot int, parent int"
     )

@@ -1134,3 +1134,115 @@ def test_versioned_table_legacy_dir_manifests_still_read(spark, tmp_path):
     # vacuum keeps data referenced through either entry style
     res = S.expire_snapshots(spark, path, keep_last=1)
     assert {r.k for r in S.read_table(spark, path).collect()} == {1, 2, 3}
+
+
+def test_versioned_table_branches_tags_and_wap(spark, tmp_path):
+    """Iceberg refs on the emulated table: branch commits advance only
+    their ref (main readers never see staged rows), tags are immutable
+    time-travel anchors, fast_forward publishes a staged lineage onto main
+    atomically (write-audit-publish), non-ancestor fast-forwards are
+    refused, and expire keeps every live ref head."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "refs")
+    S.create_table(spark, path, spark.createDataFrame([(1, "a")], "k long, v string"))
+    S.append_snapshot(spark, path, spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert S.current_snapshot(path) == 2
+
+    # tag the published state; stage work on an audit branch
+    S.create_tag(path, "v1")
+    S.create_branch(path, "audit")
+    s3 = S.append_snapshot(
+        spark, path, spark.createDataFrame([(3, "c")], "k long, v string"), branch="audit"
+    )
+    s4 = S.upsert_snapshot(
+        spark, path, spark.createDataFrame([(1, "a2")], "k long, v string"),
+        "k", branch="audit",
+    )
+    s5 = S.delete_where(spark, path, "k", F.col("k") == 2, branch="audit")
+    assert s3 < s4 < s5
+    # main is untouched; the audit read sees the staged lineage
+    assert {(r.k, r.v) for r in S.read_table(spark, path).collect()} == {(1, "a"), (2, "b")}
+    staged = {(r.k, r.v) for r in S.read_table(spark, path, ref="audit").collect()}
+    assert staged == {(1, "a2"), (3, "c")}
+    # tag still reads the tagged snapshot
+    assert {(r.k, r.v) for r in S.read_table(spark, path, ref="v1").collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    refs = S.list_refs(path)
+    assert refs["branch"]["audit"] == s5 and refs["tag"]["v1"] == 2
+
+    # a main commit mid-stage makes the branch non-fast-forwardable
+    S.append_snapshot(spark, path, spark.createDataFrame([(9, "z")], "k long, v string"))
+    with _pytest.raises(ValueError, match="not a fast-forward"):
+        S.fast_forward(path, "audit")
+
+    # roll main back to the staged base: now publish succeeds atomically
+    S.rollback(path, 2)
+    assert S.fast_forward(path, "audit") == s5
+    assert {(r.k, r.v) for r in S.read_table(spark, path).collect()} == staged
+
+    # refs metadata table mirrors the state; parents recorded
+    m = {r["name"]: r for r in S.table_refs(spark, path).collect()}
+    assert m["main"]["snapshot"] == s5 and m["audit"]["snapshot"] == s5
+    assert m["v1"]["kind"] == "tag" and m["v1"]["snapshot"] == 2
+    assert m["audit"]["parent"] == s4
+
+    # duplicate ref names lose loudly; tags never advance (no API)
+    with _pytest.raises(FileExistsError):
+        S.create_branch(path, "audit")
+    S.drop_ref(path, "audit")
+    assert "audit" not in S.list_refs(path)["branch"]
+
+    # expire keeps live ref heads: the tag's snapshot 2 survives keep_last=1
+    rep = S.expire_snapshots(spark, path, keep_last=1)
+    assert rep["snapshots_removed"] >= 1
+    assert _os.path.exists(S._manifest_path(path, 2))
+    assert {(r.k, r.v) for r in S.read_table(spark, path, ref="v1").collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    # and the published main still reads
+    assert {(r.k, r.v) for r in S.read_table(spark, path).collect()} == staged
+
+
+def test_versioned_table_branch_commit_claims_and_global_ids(spark, tmp_path):
+    """Branch commit concurrency: (1) snapshot ids are table-global — a
+    branch commit and a later main commit never collide on a manifest
+    directory; (2) a fresh foreign claim on the branch's (parent+1) slot
+    blocks a direct branch _commit with CommitConflictError, while main's
+    claim file for the same slot number is independent."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "gids")
+    S.create_table(spark, path, spark.createDataFrame([(1,)], "k long"))
+    S.create_branch(path, "b")
+    # two branch commits allocate ids 2 and 3
+    S.append_snapshot(spark, path, spark.createDataFrame([(2,)], "k long"), branch="b")
+    S.append_snapshot(spark, path, spark.createDataFrame([(3,)], "k long"), branch="b")
+    assert S.list_refs(path)["branch"]["b"] == 3
+    # main head is still 1; its next commit must NOT overwrite manifest 2
+    s = S.append_snapshot(spark, path, spark.createDataFrame([(9,)], "k long"))
+    assert s == 4, f"main allocated {s}, clobbering a branch manifest"
+    assert {r.k for r in S.read_table(spark, path).collect()} == {1, 9}
+    assert {r.k for r in S.read_table(spark, path, ref="b").collect()} == {1, 2, 3}
+
+    # foreign fresh claim on b's slot (parent 3 -> slot 4) blocks b-commits
+    claim = S._claim_path(path, 4, "b")
+    _os.close(_os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY))
+    with _pytest.raises(S.CommitConflictError):
+        S._commit(spark, path, 4, [("", "epoch_marker", 0, None)], branch="b")
+    _os.remove(claim)
+    # ... and after release the branch commits fine, to a fresh global id
+    s2 = S.append_snapshot(spark, path, spark.createDataFrame([(5,)], "k long"), branch="b")
+    assert s2 == 5
+    assert {r.k for r in S.read_table(spark, path, ref="b").collect()} == {1, 2, 3, 5}
