@@ -997,6 +997,144 @@ def append_span_batch(
     commit_epoch(spark, epochs_path, epoch_id)
 
 
+def append_span_batch_counted(
+    spark,
+    batch_df: DataFrame,
+    out_path: str,
+    epoch_id: int,
+    window: int = 20,
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> None:
+    """Exactly-once incremental span index for ARBITRARY ``min_count`` —
+    the generalization :func:`append_span_batch`'s distinct-digest history
+    cannot express: to flag a span only once its accumulated corpus count
+    reaches ``min_count``, the history must store the OCCURRENCES
+    (span_hash, id, start), because the occurrences that arrived before
+    the threshold crossed must be flagged RETROACTIVELY at the crossing
+    batch (their ids are earlier; the flag stream is append-only, so the
+    crossing epoch simply emits their (id, start) rows late). Storage is
+    O(corpus positions) instead of O(distinct digests) — the price of the
+    threshold; min_count=2 callers should prefer append_span_batch.
+
+    Per batch, with H = committed occurrence history and B = the batch's
+    grams, grouped per digest (h_count from H restricted to B's digests —
+    one semi-bounded aggregate — and b_count/b_first from B):
+
+    - h_count + b_count <  min_count: nothing flagged, occurrences appended;
+    - h_count == 0 (crossing entirely in-batch): flag B's occurrences
+      except the min-struct batch first;
+    - 0 < h_count < min_count (crossing NOW): flag ALL of B's occurrences
+      plus H's occurrences except the min-struct history first — the
+      retroactive emission;
+    - h_count >= min_count (crossed earlier): flag ALL of B's occurrences
+      (history rows were flagged at their crossing epoch).
+
+    When batches arrive in (id) order — the natural ingest order, same
+    precondition the min_count=2 path states — the union of per-batch
+    flags EXACTLY equals the one-shot
+    ``span_flagged_starts(corpus, min_count=k, keep='first')``: the
+    global first occurrence is the history first (history ids precede
+    batch ids), every occurrence is flagged at most once (history rows
+    only at their digest's crossing epoch, batch rows only in their own
+    epoch), and sub-threshold digests are never flagged. Out-of-order ids
+    break only WHICH occurrence is exempt, exactly as they would for
+    append_span_batch.
+
+    Layout mirrors the min_count=2 index: ``out_path`` holds occurrence
+    rows, ``out_path + '_flags'`` the flags, one ledger at
+    ``out_path + '_epochs'`` commits both; crash-replay appends identical
+    rows the committed-view dedup collapses."""
+    from demo_bigdata_spark.operators.dedup import _span_base, _span_grams
+
+    k = int(min_count)
+    if k < 2:
+        raise ValueError("min_count must be >= 2")
+    epochs_path = out_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    base = _span_base(batch_df.select(id_col, text_col), text_col, id_col)
+    grams = _span_grams(base, int(window), id_col, portable).localCheckpoint(
+        eager=False
+    )
+    hist = committed_view(
+        spark,
+        out_path,
+        epochs_path,
+        ["span_hash", id_col, "start"],
+        f"span_hash string, {id_col} long, start long, epoch_id long",
+    ).select(
+        F.col("span_hash").alias("_h"),
+        F.col(id_col),
+        F.col("start").alias("_p"),
+    )
+    bstats = grams.groupBy("_h").agg(
+        F.count("*").alias("_bc"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_p").alias("p"))).alias(
+            "_bfirst"
+        ),
+    )
+    # history stats only for digests present in this batch: the join is
+    # keyed by digest, so per-batch work stays O(batch grams + matching
+    # history rows), never O(history)
+    hstats = (
+        hist.join(bstats.select("_h"), "_h", "left_semi")
+        .groupBy("_h")
+        .agg(
+            F.count("*").alias("_hc"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("_p").alias("p"))
+            ).alias("_hfirst"),
+        )
+    )
+    stats = (
+        bstats.join(hstats, "_h", "left")
+        .withColumn("_hc", F.coalesce(F.col("_hc"), F.lit(0)))
+        .filter(F.col("_hc") + F.col("_bc") >= k)
+        .localCheckpoint(eager=False)
+    )
+    flag_batch = (
+        grams.join(stats, "_h")
+        .filter(
+            ~(
+                (F.col("_hc") == 0)
+                & (F.col(id_col) == F.col("_bfirst.i"))
+                & (F.col("_p") == F.col("_bfirst.p"))
+            )
+        )
+        .select(id_col, "_p")
+    )
+    flag_hist = (
+        hist.join(stats.filter((F.col("_hc") > 0) & (F.col("_hc") < k)), "_h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_hfirst.i"))
+                & (F.col("_p") == F.col("_hfirst.p"))
+            )
+        )
+        .select(id_col, "_p")
+    )
+    # epoch_id written as LONG to match the ledger schema: parquet files
+    # with mixed int32/int64 epoch columns make reads inference-order
+    # dependent (int32->int64 upcasts, the reverse read fails)
+    flags = flag_batch.unionByName(flag_hist).select(
+        F.col(id_col),
+        F.col("_p").cast("long").alias("start"),
+        F.lit(int(epoch_id)).cast("long").alias("epoch_id"),
+    )
+    flags.write.mode("append").parquet(out_path + "_flags")
+    grams.select(
+        F.col("_h").alias("span_hash"),
+        F.col(id_col),
+        F.col("_p").cast("long").alias("start"),
+    ).withColumn(
+        "epoch_id", F.lit(int(epoch_id)).cast("long")
+    ).write.mode("append").parquet(out_path)
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
 def read_span_flags(spark, out_path: str, id_col: str = "doc_id") -> DataFrame:
     """Committed view of the incrementally-maintained span flags: ledger
     semi-join + (id, start, epoch) dedup — feed these starts to the same
@@ -1026,16 +1164,15 @@ def incremental_span_index(
     ExactSubstr maintained AT INGEST instead of as a full-corpus pass
     before each training run: every micro-batch's duplicated spans are
     flagged against (and folded into) the committed span history exactly
-    once. Query with read_span_flags."""
-    if int(min_count) != 2:  # fail at build time, not inside the stream
-        raise ValueError(
-            "incremental_span_index supports min_count=2 only; see "
-            "append_span_batch"
-        )
+    once. Query with read_span_flags. min_count=2 uses the distinct-digest
+    history (O(distinct digests) storage); higher thresholds route to the
+    counted occurrence-history fold (append_span_batch_counted — the
+    retroactive-flag generalization, O(positions) storage)."""
     spark = df.sparkSession
+    fold = append_span_batch if int(min_count) == 2 else append_span_batch_counted
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
-        append_span_batch(
+        fold(
             spark, batch_df, out_path, epoch_id, window, min_count,
             text_col, id_col, portable,
         )

