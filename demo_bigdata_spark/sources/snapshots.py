@@ -712,6 +712,51 @@ def delete_where(
     return _retrying_commit(spark, path, build, branch=branch)
 
 
+def delete_where_positions(
+    spark: SparkSession, path: str, condition, branch: str = "main"
+) -> int:
+    """Iceberg POSITION deletes — the second merge-on-read delete flavor:
+    instead of key equality, the delete file names exact physical rows as
+    (data file path, row index), harvested from the scan's
+    ``_metadata.file_path`` / ``_metadata.row_index`` columns. Readers
+    anti-join on the pair, so deletion needs NO key column at all — the
+    row-level delete for tables without a natural key, and what an engine
+    emits for MERGE/DELETE when it already knows the row positions.
+
+    Same commit discipline as :func:`delete_where`: positions are matched
+    once at call time against the branch head, written as an immutable
+    ``posdelete`` file, committed atomically; no data file is touched, old
+    snapshots still show the rows, compaction
+    (``append_snapshot(read_table(...), replace=True)``) folds the delete
+    away. Rows already suppressed by equality deletes may match the
+    condition and be re-recorded — harmless (they stay invisible either
+    way). At scale the anti-join is keyed by (file, pos): cost is bounded
+    by the accumulated position-delete count, exactly Iceberg's MOR read
+    amplification, and the reason compaction exists."""
+    cur = _ref_head(path, branch)
+    if cur is None:
+        raise ValueError(f"no versioned table or branch {branch!r} at {path}")
+    rows = _manifest_rows(spark, path, cur)
+    files = [r["file"] for r in rows if r["kind"] == "data"]
+    if not files:
+        raise ValueError(f"versioned table at {path} has no data files")
+    scan = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .withColumn("_dfile", F.col("_metadata.file_path"))
+        .withColumn("_dpos", F.col("_metadata.row_index"))
+    )
+    keys = scan.filter(condition).select("_dfile", "_dpos").distinct()
+    dfiles = _write_files(keys, path, "deletes")
+    meta = json.dumps({"type": "pos"})
+    new = [(f, "posdelete", -1, meta) for f in dfiles]
+
+    def build(cur_):
+        return _manifest_entries(spark, path, cur_) + new
+
+    return _retrying_commit(spark, path, build, branch=branch)
+
+
 def upsert_snapshot(
     spark: SparkSession,
     path: str,
@@ -791,7 +836,24 @@ def read_table(
     dels = [
         (r["file"], r["seq"], r["meta"]) for r in rows if r["kind"] == "delete"
     ]
+    pos_dels = [r["file"] for r in rows if r["kind"] == "posdelete"]
     # kind == "epoch_marker" rows carry stream idempotence state only
+
+    def _apply_pos_deletes(scan: DataFrame) -> DataFrame:
+        """Anti-join positional delete keys (_dfile, _dpos) against the
+        scan's file metadata — Iceberg's position deletes: exact physical
+        rows, no key semantics, applicable regardless of seq because a
+        later data file can never appear in an earlier delete's key set.
+        Zero overhead when the table has none."""
+        if not pos_dels:
+            return scan
+        keys = spark.read.parquet(*pos_dels).select("_dfile", "_dpos").distinct()
+        tagged = scan.withColumn(
+            "_dfile", F.col("_metadata.file_path")
+        ).withColumn("_dpos", F.col("_metadata.row_index"))
+        return tagged.join(keys, ["_dfile", "_dpos"], "left_anti").drop(
+            "_dfile", "_dpos"
+        )
     if prune:
         kept = [(f, s, m) for f, s, m in data if _may_contain(m, prune)]
         if not kept:
@@ -807,8 +869,10 @@ def read_table(
     # widened schema is just new data files) — the union schema with nulls
     # for pre-evolution rows; old snapshots keep their narrower schema
     if not dels:
-        out = spark.read.option("mergeSchema", "true").parquet(
-            *[f for f, _, _ in data]
+        out = _apply_pos_deletes(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[f for f, _, _ in data]
+            )
         )
         return out.filter(_range_condition(prune)) if prune else out
     # the sequence rule (Iceberg's): a delete file suppresses rows only in
@@ -823,7 +887,9 @@ def read_table(
         applicable = tuple(df_ for df_, ds, _ in dels if ds > seq)
         groups.setdefault(applicable, []).append(f)
     for applicable, files in groups.items():
-        part = spark.read.option("mergeSchema", "true").parquet(*files)
+        part = _apply_pos_deletes(
+            spark.read.option("mergeSchema", "true").parquet(*files)
+        )
         # delete files may be keyed by DIFFERENT columns (delete_where on
         # doc_id, then on lang): group them by key column and anti-join
         # once per column — one mixed-schema scan would null out every

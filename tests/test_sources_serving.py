@@ -1246,3 +1246,61 @@ def test_versioned_table_branch_commit_claims_and_global_ids(spark, tmp_path):
     s2 = S.append_snapshot(spark, path, spark.createDataFrame([(5,)], "k long"), branch="b")
     assert s2 == 5
     assert {r.k for r in S.read_table(spark, path, ref="b").collect()} == {1, 2, 3, 5}
+
+
+def test_versioned_table_position_deletes(spark, tmp_path):
+    """Iceberg position deletes: delete_where_positions records exact
+    (file, row index) pairs; reads anti-join them with no key column
+    involved, equality and position deletes compose, time travel still
+    shows the rows, and replace-compaction folds the delete files away."""
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "posdel")
+    S.create_table(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b"), (2, "b2")], "k long, v string"),
+    )
+    S.append_snapshot(
+        spark, path, spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string")
+    )
+
+    # delete rows by PREDICATE but through positions — note k=2 has TWO
+    # rows; a key-equality delete could not remove just one of them, a
+    # position delete can (delete only v='b2')
+    s = S.delete_where_positions(spark, path, F.col("v") == "b2")
+    got = {(r.k, r.v) for r in S.read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    # time travel: the pre-delete snapshot still shows the row
+    assert (2, "b2") in {
+        (r.k, r.v) for r in S.read_table(spark, path, snapshot=s - 1).collect()
+    }
+
+    # compose with an equality delete on another column
+    S.delete_where(spark, path, "k", F.col("k") == 3)
+    got = {(r.k, r.v) for r in S.read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (4, "d")}
+
+    # a second position delete on the current view
+    S.delete_where_positions(spark, path, F.col("k") == 4)
+    got = {(r.k, r.v) for r in S.read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+    # metadata table exposes the posdelete entries
+    kinds = {
+        r["kind"] for r in S.table_files(spark, path).collect()
+    }
+    assert "posdelete" in kinds and "delete" in kinds
+
+    # replace-compaction folds every MOR delete away
+    S.append_snapshot(spark, path, S.read_table(spark, path), replace=True)
+    m = S.table_files(spark, path)
+    assert {r["kind"] for r in m.collect()} == {"data"}
+    got = {(r.k, r.v) for r in S.read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+    # expire + vacuum: live posdelete files of retained snapshots survive;
+    # after full expiry the folded table still reads
+    S.expire_snapshots(spark, path, keep_last=1)
+    got = {(r.k, r.v) for r in S.read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
