@@ -523,3 +523,42 @@ def dsir_select(
         .select(id_col, "log_weight")
     )
     return df.join(picked, id_col)
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """[EXT] temperature-scaled mixture weights — the multilingual
+    sampling rule (Conneau & Lample 2019 §3.1; mT5/XLM-R convention):
+    p_g ∝ n_g^alpha with alpha < 1 UPWEIGHTING low-resource groups
+    relative to their natural share (alpha=1 is proportional sampling,
+    alpha=0 uniform). UniMax (Chung et al. 2023) is the epoch-capped
+    refinement — pair these weights with ``mixture_sample_repeat``'s
+    ``max_repeat`` so a tiny language is boosted but never repeated past
+    its cap.
+
+    ``n_g`` is the group row count, or the sum of ``weight_col`` (token
+    counts) when given — the form token-budget mixtures need. Shape: one
+    tiny group aggregate, one broadcast scalar total, zero corpus
+    shuffles beyond the count. Returns (group, n, weight) with the weight
+    rounded at ``scale`` — callers feed the ROUNDED values to
+    mixture_sample so engine replays agree bit-for-bit."""
+    agg = (
+        F.count("*")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("bigint"))
+    )
+    sizes = df.groupBy(group_col).agg(agg.alias("n"))
+    powed = sizes.withColumn(
+        "_p", F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    )
+    tot = powed.agg(F.sum("_p").alias("_t"))
+    return powed.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n",
+        F.round(F.col("_p") / F.col("_t"), scale).alias("weight"),
+    )

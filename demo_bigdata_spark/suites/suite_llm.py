@@ -2814,6 +2814,63 @@ ORDER BY source
 """
 
 
+TEMP_ALPHA = 0.5
+TEMP_TARGET = 300
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled multilingual mixture (operator:
+    sampling.temperature_weights + mixture_sample): per-language weights
+    p_l ∝ n_l^0.5 (low-resource languages upweighted vs their natural
+    share), then the deterministic hash-bucket mixture at those weights.
+    The weight table is a bounded collect (one row per language) and the
+    ROUNDED weights bridge to the sampler, so the oracle's replay —
+    pow/total, round 6, cut, md5 bucket — reproduces the exact kept set."""
+    from demo_bigdata_spark.operators.sampling import (
+        mixture_sample,
+        temperature_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tw = temperature_weights(docs, "lang", alpha=TEMP_ALPHA)
+    weights = {r["lang"]: float(r["weight"]) for r in tw.collect()}
+    mixed = mixture_sample(docs, "lang", "doc_id", weights, TEMP_TARGET)
+    kept = mixed.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        tw.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "weight",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = f"""
+WITH s AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT sum(pow(n_docs, {TEMP_ALPHA})) AS tot FROM s),
+w AS (SELECT lang, n_docs, round(pow(n_docs, {TEMP_ALPHA}) / tot, 6) AS weight FROM s, t),
+cuts AS (
+  SELECT lang, n_docs, weight,
+         round(least(1.0, weight * {TEMP_TARGET} / n_docs) * 10000)::BIGINT AS cut
+  FROM w
+),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN cuts c USING (lang)
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT % 10000 < c.cut
+)
+SELECT c.lang, c.n_docs, c.weight,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept
+FROM cuts c
+LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k
+  USING (lang)
+ORDER BY lang
+"""
+
+
 REPEAT_WEIGHTS = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
 REPEAT_TARGET = 400
 
@@ -3806,6 +3863,7 @@ QUERIES = {
     "token_mixture": (q_token_mixture, SQL_TOKEN_MIXTURE),
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "repeat_mixture": (q_repeat_mixture, SQL_REPEAT_MIXTURE),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),

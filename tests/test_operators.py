@@ -1311,3 +1311,27 @@ def test_soft_dedup_weights_exact_on_hand_corpus(spark):
     assert got[1]["n_shingles"] == 1 and got[1]["sum_df"] == 2
     assert got[1]["weight"] == 0.5 and got[2]["weight"] == 0.5
     assert got[3]["weight"] == 1.0 and got[3]["sum_df"] == 1
+
+
+def test_temperature_weights_upweight_low_resource(spark):
+    """alpha<1 compresses the size distribution: the small group's weight
+    exceeds its natural share, the big group's falls below it; alpha=1
+    reproduces proportional sampling exactly; token-weighted mode sums the
+    weight column instead of counting rows."""
+    from demo_bigdata_spark.operators.sampling import temperature_weights
+
+    rows = [("big", i, 10) for i in range(90)] + [("small", 1000 + i, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n_tok int")
+
+    w = {r["src"]: r["weight"] for r in temperature_weights(df, "src", alpha=0.5).collect()}
+    assert w["small"] > 0.10 and w["big"] < 0.90
+    assert abs(w["small"] + w["big"] - 1.0) < 1e-6
+
+    w1 = {r["src"]: r["weight"] for r in temperature_weights(df, "src", alpha=1.0).collect()}
+    assert w1["big"] == 0.9 and w1["small"] == 0.1
+
+    wt = {
+        r["src"]: r["n"]
+        for r in temperature_weights(df, "src", alpha=0.5, weight_col="n_tok").collect()
+    }
+    assert wt["big"] == 900 and wt["small"] == 100
