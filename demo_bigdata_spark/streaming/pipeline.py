@@ -1474,3 +1474,86 @@ def incremental_positional_index_maintenance(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def append_shingle_batch(
+    spark,
+    batch_df: DataFrame,
+    out_path: str,
+    epoch_id: int,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Exactly-once incremental maintenance of the corpus shingle frame —
+    the shared input of the soft-dedup / contamination family: per
+    micro-batch, append the batch's distinct (id, shingle_hash) rows under
+    the epoch ledger. Consumers fold at read time
+    (:func:`read_soft_dedup_weights`), so the corpus-relative quantities
+    (document frequencies, weights) always reflect the full committed
+    corpus — the same recompute-from-folded-counts semantics as the
+    incremental bigram LM, with integer counts only.
+
+    Per-batch cost is one tokenize+shingle pass over the batch and an
+    append; nothing re-reads history at write time."""
+    from demo_bigdata_spark.operators.dedup import shingle_hashes
+
+    epochs_path = out_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    (
+        shingle_hashes(batch_df, n=n, text_col=text_col, id_col=id_col)
+        .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+        .write.mode("append")
+        .parquet(out_path)
+    )
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_soft_dedup_weights(
+    spark, out_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Committed soft-dedup weights over the incrementally-maintained
+    shingle frame: fold == batch exactly (the committed view deduplicates
+    on (id, shingle_hash), so the folded frame IS the one-shot
+    shingle_hashes of the concatenated corpus; weights are pure integer
+    ratios of its aggregates)."""
+    from demo_bigdata_spark.operators.dedup import soft_dedup_weights
+
+    rows = committed_view(
+        spark,
+        out_path,
+        out_path + "_epochs",
+        [id_col, "shingle_hash"],
+        f"{id_col} long, shingle_hash string, epoch_id long",
+    )
+    return soft_dedup_weights(rows.select(id_col, "shingle_hash"), id_col=id_col)
+
+
+def incremental_soft_dedup(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous soft-dedup weight maintenance: each micro-batch's
+    shingles fold into the committed frame exactly once; query the
+    current corpus-relative weights any time with
+    read_soft_dedup_weights."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_shingle_batch(
+            spark, batch_df, out_path, epoch_id, n, text_col, id_col
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

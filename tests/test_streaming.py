@@ -1428,3 +1428,54 @@ def test_incremental_span_counted_matches_batch(spark, tmp_path):
     ).write.mode("append").parquet(out + "_flags")
     got2 = {(r.doc_id, r.start) for r in read_span_flags(spark, out).collect()}
     assert (99, 0) not in got2
+
+
+def test_incremental_soft_dedup_matches_batch(spark, tmp_path):
+    """Soft-dedup weights folded from streamed shingle batches equal the
+    one-shot batch operator on the concatenated corpus exactly (integer
+    count ratios — no float drift); replay is a no-op and uncommitted
+    crash rows stay invisible."""
+    from demo_bigdata_spark.operators.dedup import shingle_hashes, soft_dedup_weights
+    from demo_bigdata_spark.streaming.pipeline import (
+        append_shingle_batch,
+        read_soft_dedup_weights,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "gamma delta"), (4, "alpha beta")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "soft")
+    append_shingle_batch(spark, b1, out, 0)
+    append_shingle_batch(spark, b2, out, 1)
+
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["sum_df"], r["weight"])
+        for r in read_soft_dedup_weights(spark, out).collect()
+    }
+    full = b1.unionByName(b2)
+    want = {
+        r["doc_id"]: (r["n_shingles"], r["sum_df"], r["weight"])
+        for r in soft_dedup_weights(shingle_hashes(full)).collect()
+    }
+    assert got == want
+    # the duplicated short doc is downweighted corpus-relatively: its one
+    # shingle now has df=3
+    assert got[1][2] == round(1 / 3, 6) and got[3][2] == 1.0
+
+    # replay no-op
+    append_shingle_batch(spark, b2, out, 1)
+    assert {
+        r["doc_id"]: (r["n_shingles"], r["sum_df"], r["weight"])
+        for r in read_soft_dedup_weights(spark, out).collect()
+    } == want
+
+    # crash window: appended rows without a ledger commit are invisible
+    spark.createDataFrame(
+        [(99, "deadbeef", 7)], "doc_id long, shingle_hash string, epoch_id long"
+    ).write.mode("append").parquet(out)
+    assert 99 not in {
+        r["doc_id"] for r in read_soft_dedup_weights(spark, out).collect()
+    }
