@@ -104,6 +104,12 @@ HEADLINE = [
     # DSIR budget selection)
     "dsir_select_budget",
     "corpus_pipeline_v4",
+    # r8 continuation: cluster-scoped semantic dedup, soft-dedup
+    # reweighting, temperature mixture, TPC-H Q12 analog
+    "semantic_dedup",
+    "soft_dedup",
+    "temperature_mixture",
+    "priority_shipping",
 ]
 
 

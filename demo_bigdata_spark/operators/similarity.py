@@ -550,11 +550,18 @@ def semantic_dedup(
     id_col: str = "vec_id",
     dim: int = 64,
     seed: int = 42,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     cluster-then-compare — cosine comparisons run only WITHIN a cluster,
     and a row is dropped when a lower-id row in the same cluster sits at
     cosine >= threshold (keep-first, deterministic).
+
+    ``clusters`` (an (id, cluster) frame, e.g. from
+    ``assign_clusters(df, train_ivf_centroids(df))``) swaps in the
+    paper's k-means assignment; the default is deterministic sign-LSH so
+    the operator stays oracle-checkable end to end. The downstream shape
+    is identical either way.
 
     This is the scale path next to the exact ``all_pairs_above`` dedup:
     the O(n^2) pair space shrinks to sum_c |cluster_c|^2, and the
@@ -572,8 +579,14 @@ def semantic_dedup(
 
     Returns the surviving rows of ``df`` plus their ``cluster`` id.
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    keyed = df.withColumn("cluster", lsh_bucket(F.col(vec_col), planes))
+    if clusters is not None:
+        keyed = df.join(
+            clusters.select(id_col, F.col("cluster").cast("long").alias("cluster")),
+            id_col,
+        )
+    else:
+        planes = hyperplanes(dim, n_planes, seed)
+        keyed = df.withColumn("cluster", lsh_bucket(F.col(vec_col), planes))
     a = keyed.select(
         F.col("cluster").alias("_ca"),
         F.col(id_col).alias("_ida"),

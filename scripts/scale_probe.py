@@ -134,6 +134,40 @@ def main() -> None:
     doc_results.append(
         timed("dsir_weights", SAMP.dsir_weights(bdocs, _lr, n_buckets=4096))
     )
+    # r8 tier: soft dedup = two count aggregates over the shingle frame;
+    # semantic dedup = within-cluster pairs only — the probe uses 12 LSH
+    # planes (4096 clusters) so per-cluster quadratic work stays bounded
+    # as the corpus grows, which is the operator's entire scale claim
+    # (cluster count is the knob you turn UP with corpus size)
+    doc_results.append(
+        timed("soft_dedup_weights", D.soft_dedup_weights(D.shingle_hashes(bdocs)))
+    )
+    from demo_bigdata_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    en_ = emb.count()
+    ebig = (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * en_)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i == 0, (F.col("rep") % 7).cast("float") * 0.001)
+                .otherwise(F.lit(0.0).cast("float")),
+            ),
+        )
+        .drop("rep")
+    )
+    ebig.write.mode("overwrite").parquet(f"{tmp}/embeddings_big.parquet")
+    bemb = spark.read.parquet(f"{tmp}/embeddings_big.parquet")
+    doc_results.append(
+        timed(
+            "semantic_dedup_4096_clusters",
+            SIM.semantic_dedup(bemb, 0.35, n_planes=12),
+        )
+    )
 
     # packing/mixture tier (round-4 operators): the two-level prefix sum and
     # the one pack_id-keyed shuffle are the scale claims under test — growth
@@ -753,6 +787,14 @@ def main() -> None:
         "lm_perplexity and dsir_weights are explode + count-table joins",
         "(the model tables are vocabulary-/bucket-sized and broadcast) +",
         "one per-doc aggregate, so both track corpus tokens linearly.",
+        "r8: soft_dedup_weights adds two count aggregates over the shared",
+        "shingle frame (tracks corpus shingles linearly);",
+        "semantic_dedup_4096_clusters runs embedding cosine only WITHIN",
+        "sign-LSH clusters — per-cluster quadratic work is bounded by",
+        "cluster size, and the cluster count (n_planes) is the knob that",
+        "grows with the corpus, exactly the SemDeDup deployment recipe.",
+        "The exact all-pairs twin at this scale would be ~11G pairs and is",
+        "deliberately NOT probed.",
         "",
         "Packing/mixture tier (x30 corpus, targets scaled x30 so keep-rates",
         "stay realistic): pack_sequences' only global window runs over",

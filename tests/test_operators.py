@@ -1335,3 +1335,36 @@ def test_temperature_weights_upweight_low_resource(spark):
         for r in temperature_weights(df, "src", alpha=0.5, weight_col="n_tok").collect()
     }
     assert wt["big"] == 900 and wt["small"] == 100
+
+
+def test_semantic_dedup_kmeans_assignment(spark, sf_dir):
+    """SemDeDup with the paper's k-means assignment (IVF centroids +
+    assign_clusters) instead of sign-LSH: same subset-of-exact guarantee,
+    same downstream shape — the production path the LSH oracle variant
+    stands in for."""
+    from demo_bigdata_spark.operators.similarity import (
+        all_pairs_above,
+        assign_clusters,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, n_centroids=16, iterations=2)
+    clusters = assign_clusters(emb, C).select("vec_id", "cluster")
+    surv = semantic_dedup(emb, 0.35, clusters=clusters)
+    surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    exact_dropped = {
+        r["id_b"]
+        for r in all_pairs_above(emb, 0.35).select("id_b").distinct().collect()
+    }
+    dropped = all_ids - surv_ids
+    assert dropped <= exact_dropped and dropped, (
+        f"kmeans semantic dedup dropped {len(dropped)} "
+        f"(exact {len(exact_dropped)})"
+    )
+    # k-means groups by global proximity: recall should beat the 64-bucket
+    # LSH assignment's on this corpus (both are pinned >= floor)
+    assert len(dropped) / len(exact_dropped) >= 0.05
