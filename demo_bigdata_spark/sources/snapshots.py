@@ -757,6 +757,79 @@ def delete_where_positions(
     return _retrying_commit(spark, path, build, branch=branch)
 
 
+def delete_where_cow(
+    spark: SparkSession,
+    path: str,
+    condition,
+    prune: dict | None = None,
+    branch: str = "main",
+) -> int | None:
+    """COPY-ON-WRITE delete — the other half of Iceberg's delete story
+    (reference stores rows immutably; `services/*`): instead of writing a
+    delete file that every future read must anti-join (merge-on-read,
+    :func:`delete_where`), rewrite the affected data files WITHOUT the
+    matching rows and carry every other file forward untouched. Reads of
+    the new snapshot pay zero merge cost; the write cost is proportional
+    to the files that might contain matches, not the table.
+
+    ``prune`` (column -> (lo, hi), the :func:`read_table` shape) is the
+    planning predicate: files whose manifest-recorded bounds cannot
+    intersect it are carried forward by manifest entry alone — at 100 TB a
+    delete of one day's rows from a date-stats table rewrites that day's
+    files only. Without ``prune`` every data file is a rewrite candidate
+    (full-table COW). ``condition`` is the exact row predicate; rows are
+    matched ONCE, at call time, against the branch head (the
+    :func:`delete_where` discipline).
+
+    The rewritten files are MOR-RESOLVED: equality/position deletes that
+    applied to the candidate files are folded into the rewrite (the new
+    files sit after every delete entry in manifest order, so no delete
+    re-applies to them), while surviving delete entries still suppress
+    rows in carried-forward older files. Old snapshots still see the
+    original files (time travel); a concurrent replace-compaction that
+    drops a candidate file from the head manifest aborts the commit
+    loudly rather than resurrecting its rows.
+
+    Returns the committed snapshot id, or None when planning proves no
+    file could contain a match (nothing to do - no empty commit)."""
+    cur = _ref_head(path, branch)
+    if cur is None:
+        raise ValueError(f"no versioned table or branch {branch!r} at {path}")
+    entries = _manifest_rows(spark, path, cur)
+    cand = {
+        r["file"]
+        for r in entries
+        if r["kind"] == "data" and (prune is None or _may_contain(r["meta"], prune))
+    }
+    if not cand:
+        return None
+    # keep NOT(cond) OR cond IS NULL: DELETE removes rows where the
+    # predicate is TRUE; a NULL predicate keeps the row (the same rows
+    # delete_where's filter(condition) key harvest would leave alone)
+    survivors = read_table(
+        spark, path, snapshot=cur, _data_files=cand
+    ).filter(F.coalesce(~condition, F.lit(True)))
+    sc = _stats_cols(path)
+    new = [
+        (f, "data", -1, _footer_meta(f, sc))
+        for f in _write_files(survivors, path, "data")
+    ]
+
+    def build(cur_):
+        ents = _manifest_entries(spark, path, cur_)
+        live = {f for f, k, _, _ in ents if k == "data"}
+        if not cand <= live:
+            raise RuntimeError(
+                "delete_where_cow: a concurrent commit removed a rewrite "
+                f"candidate from the manifest ({sorted(cand - live)[:3]}...) "
+                "- re-run against the new head"
+            )
+        kept = [e for e in ents if not (e[1] == "data" and e[0] in cand)]
+        return kept + new
+
+    return _retrying_commit(spark, path, build, branch=branch)
+
+
 def upsert_snapshot(
     spark: SparkSession,
     path: str,
@@ -802,6 +875,7 @@ def read_table(
     key_col: str | None = None,
     prune: dict | None = None,
     ref: str | None = None,
+    _data_files: set[str] | None = None,
 ) -> DataFrame:
     """Read the table AS OF ``snapshot`` (default: current). Data files
     union under one parquet scan (pushdown/pruning intact); delete keys
@@ -820,7 +894,12 @@ def read_table(
     at PLANNING time — the parquet reader never sees their paths. On a
     table whose stats_cols cover the predicate this makes scan planning
     O(matching files); without recorded bounds it degrades gracefully to
-    a plain filtered read."""
+    a plain filtered read.
+
+    ``_data_files`` (internal - the copy-on-write rewrite path) restricts
+    the scan to a subset of the snapshot's data files while still applying
+    every delete file exactly as a full read would: the MOR-resolved
+    content of just those files."""
     if ref is not None:
         if snapshot is not None:
             raise ValueError("pass snapshot= or ref=, not both")
@@ -838,6 +917,10 @@ def read_table(
     ]
     pos_dels = [r["file"] for r in rows if r["kind"] == "posdelete"]
     # kind == "epoch_marker" rows carry stream idempotence state only
+    if _data_files is not None:
+        data = [t for t in data if t[0] in _data_files]
+        if not data:
+            raise ValueError("_data_files matched no data file in snapshot")
 
     def _apply_pos_deletes(scan: DataFrame) -> DataFrame:
         """Anti-join positional delete keys (_dfile, _dpos) against the
@@ -1156,6 +1239,7 @@ def append_snapshot_epoch(
     batch_df: DataFrame,
     epoch_id: int,
     stats_cols: list[str] | None = None,
+    branch: str = "main",
 ) -> int | None:
     """Exactly-once streaming append into the versioned table: one
     SNAPSHOT per micro-batch, idempotent per ``epoch_id`` (the reference's
@@ -1170,7 +1254,9 @@ def append_snapshot_epoch(
     ``stats_cols`` (honored when THIS call creates the table) declares the
     manifest-statistics columns, so a stream-born table gets pruned
     incremental scans from its first commit."""
-    cur = current_snapshot(path)
+    cur = _ref_head(path, branch)
+    if cur is None and branch != "main":
+        raise ValueError(f"no versioned table or branch {branch!r} at {path}")
     if cur is not None:
         applied = (
             _read_manifest(spark, path, cur)
@@ -1195,7 +1281,7 @@ def append_snapshot_epoch(
     def build(cur_):
         return _manifest_entries(spark, path, cur_) + new
 
-    return _retrying_commit(spark, path, build)
+    return _retrying_commit(spark, path, build, branch=branch)
 
 
 def write_stream_to_versioned(
@@ -1204,6 +1290,7 @@ def write_stream_to_versioned(
     checkpoint: str,
     trigger_seconds: int = 2,
     stats_cols: list[str] | None = None,
+    branch: str = "main",
 ):
     """[EXT] the reference's streaming sink with transactional semantics:
     every micro-batch commits one snapshot of the versioned table
@@ -1216,7 +1303,8 @@ def write_stream_to_versioned(
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         append_snapshot_epoch(
-            spark, path, batch_df, epoch_id, stats_cols=stats_cols
+            spark, path, batch_df, epoch_id, stats_cols=stats_cols,
+            branch=branch,
         )
 
     return (

@@ -1304,3 +1304,101 @@ def test_versioned_table_position_deletes(spark, tmp_path):
     S.expire_snapshots(spark, path, keep_last=1)
     got = {(r.k, r.v) for r in S.read_table(spark, path).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_versioned_table_cow_delete_rewrites_only_pruned_files(spark, tmp_path):
+    """Copy-on-write delete (delete_where_cow): with a prune predicate the
+    rewrite touches ONLY files whose manifest bounds intersect it — every
+    other data file is carried forward by manifest entry (same physical
+    path), no delete file is added, time travel still shows the rows, and
+    existing MOR deletes are folded into the rewritten files while still
+    applying to carried-forward ones."""
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "cow")
+    df = (
+        spark.range(800)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    S.create_table(spark, path, df, stats_cols=["k"])
+    # an equality MOR delete that hits BOTH the future-candidate range and
+    # the carried-forward range: grp == 7 (k = 7, 17, ..., 797)
+    S.delete_where(spark, path, "grp", F.col("grp") == 7)
+
+    before = {
+        r["file"]: r["kind"]
+        for r in S.table_files(spark, path).collect()
+    }
+    data_before = {f for f, k in before.items() if k == "data"}
+    assert len(data_before) == 8
+
+    # COW-delete even k within [100, 199] — exactly one file's bounds
+    snap = S.delete_where_cow(
+        spark,
+        path,
+        (F.col("k") % 2 == 0) & F.col("k").between(100, 199),
+        prune={"k": (100, 199)},
+    )
+    assert snap is not None
+
+    after = {
+        r["file"]: r["kind"] for r in S.table_files(spark, path).collect()
+    }
+    data_after = {f for f, k in after.items() if k == "data"}
+    rewritten = data_before - data_after
+    added = data_after - data_before
+    carried = data_before & data_after
+    # only the files that may contain [100, 199] were rewritten
+    assert 1 <= len(rewritten) <= 3
+    assert added and len(carried) == len(data_before) - len(rewritten)
+    # no new delete entries; the old equality delete file is still there
+    assert sum(1 for k in after.values() if k == "delete") == 1
+
+    expected = {
+        i for i in range(800)
+        if i % 10 != 7 and not (100 <= i <= 199 and i % 2 == 0)
+    }
+    assert {r.k for r in S.read_table(spark, path).collect()} == expected
+
+    # the rewritten files are MOR-resolved: reading ONLY them yields no
+    # grp==7 rows even though the delete file predates them in seq order
+    only_new = spark.read.parquet(*sorted(added))
+    assert only_new.filter(F.col("grp") == 7).count() == 0
+    # carried-forward files still rely on the delete file (raw scan has
+    # grp==7 rows; the table read suppresses them)
+    raw_carried = spark.read.parquet(*sorted(carried))
+    assert raw_carried.filter(F.col("grp") == 7).count() > 0
+
+    # time travel: the pre-COW snapshot still shows the deleted rows
+    prev = {r.k for r in S.read_table(spark, path, snapshot=snap - 1).collect()}
+    assert prev == {i for i in range(800) if i % 10 != 7}
+
+    # planning no-op: a prune window outside every file's bounds commits
+    # nothing and leaves the head unchanged
+    assert (
+        S.delete_where_cow(
+            spark, path, F.col("k") > 10_000, prune={"k": (10_000, None)}
+        )
+        is None
+    )
+    assert S.current_snapshot(path) == snap
+
+    # NULL predicate semantics: rows where the condition is NULL survive
+    # (SQL DELETE deletes only WHERE TRUE)
+    S.append_snapshot(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(900, None, "n1"), (901, 1, "n2")], "k long, grp long, v string"
+        ),
+    )
+    S.delete_where_cow(spark, path, F.col("grp") == 1, prune={"k": (900, 901)})
+    kept = {
+        r.k for r in S.read_table(spark, path, prune={"k": (900, 901)}).collect()
+    }
+    assert kept == {900}

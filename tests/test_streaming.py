@@ -1479,3 +1479,46 @@ def test_incremental_soft_dedup_matches_batch(spark, tmp_path):
     assert 99 not in {
         r["doc_id"] for r in read_soft_dedup_weights(spark, out).collect()
     }
+
+
+def test_stream_to_versioned_branch_then_publish(spark, tmp_path):
+    """Write-audit-publish for STREAMING ingest: micro-batches commit to a
+    staging branch (main readers see nothing), the audit gate queries the
+    branch, and fast_forward publishes the whole staged lineage onto main
+    atomically. Epoch idempotence is checked against the BRANCH head, so
+    replays stay exactly-once on the branch."""
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "wapstream")
+    S.create_table(spark, path, spark.createDataFrame([(0, "seed")], "k long, v string"))
+    S.create_branch(path, "staging")
+
+    # foreachBatch fold, driven directly (the deterministic test form)
+    for epoch, rows in enumerate([[(1, "a")], [(2, "b")], [(3, "c")]]):
+        S.append_snapshot_epoch(
+            spark,
+            path,
+            spark.createDataFrame(rows, "k long, v string"),
+            epoch,
+            branch="staging",
+        )
+    # replay of epoch 1 is a no-op on the branch
+    assert (
+        S.append_snapshot_epoch(
+            spark,
+            path,
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            1,
+            branch="staging",
+        )
+        is None
+    )
+
+    # main untouched; the audit read sees all staged batches
+    assert {r.k for r in S.read_table(spark, path).collect()} == {0}
+    staged = {r.k for r in S.read_table(spark, path, ref="staging").collect()}
+    assert staged == {0, 1, 2, 3}
+
+    # audit passes -> publish
+    S.fast_forward(path, "staging")
+    assert {r.k for r in S.read_table(spark, path).collect()} == {0, 1, 2, 3}
