@@ -173,3 +173,52 @@ def bm25_rank(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(limit)
     )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    sparse_score: str,
+    dense_score: str,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    limit: int = 20,
+) -> DataFrame:
+    """[EXT] Hybrid-retrieval fusion by Reciprocal Rank Fusion (Cormack &
+    Clarke SIGIR'09): two candidate lists — a sparse (BM25) top-N and a
+    dense (embedding cosine) top-N — merge into one ranking by
+    ``rrf = 1/(k + rank_sparse) + 1/(k + rank_dense)``, each term 0 when
+    the document is absent from that list. The RAG retrieval pattern:
+    lexical recall and semantic recall fail differently, and rank-space
+    fusion needs no score calibration between the two retrievers.
+
+    Scale shape: the inputs are already top-N CANDIDATE LISTS (each
+    produced scan-side by TakeOrderedAndProject or an index probe), so the
+    rank windows and the full-outer join run over 2N rows, never the
+    corpus — the single-partition window is bounded by the list length,
+    the AUC-ranking precedent (operators/text.py::classifier_eval).
+    Emitted ranks are BIGINT with 0 = "not in this list"; the rrf double
+    is two IEEE divisions + one addition in fixed syntactic order —
+    bit-identical cross-engine (ROUND_NOTES fact 5)."""
+    sw = Window.orderBy(F.desc(sparse_score), F.asc(id_col))
+    dw = Window.orderBy(F.desc(dense_score), F.asc(id_col))
+    s = sparse.select(
+        id_col, F.row_number().over(sw).cast("bigint").alias("sparse_rank")
+    )
+    d = dense.select(
+        id_col, F.row_number().over(dw).cast("bigint").alias("dense_rank")
+    )
+    j = s.join(d, id_col, "full_outer")
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (F.lit(k_rrf) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select(
+            id_col,
+            F.coalesce("sparse_rank", F.lit(0)).alias("sparse_rank"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+            (contrib("sparse_rank") + contrib("dense_rank")).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(limit)
+    )

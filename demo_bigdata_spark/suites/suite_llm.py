@@ -3801,6 +3801,179 @@ ORDER BY doc_id
 """
 
 
+# --- Hybrid retrieval: BM25 + dense cosine fused by RRF ------------------------
+
+RRF_K = 60
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid RAG retrieval (operator: ranking.rrf_fuse): the BM25 top-50
+    (lexical) and the embedding-cosine top-50 (semantic, query = vector 0,
+    the cosine_topk query vector) fused by Reciprocal Rank Fusion
+    1/(60+rank) — no score calibration, rank-space only. Both candidate
+    lists are scan-side TakeOrderedAndProject tops; the fusion join and
+    windows run over <=100 rows. Ranks are emitted with 0 = absent from
+    that list; the rrf double is two fixed-order IEEE divisions, replayed
+    exactly by the oracle."""
+    from demo_bigdata_spark.operators.ranking import bm25_rank, rrf_fuse
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    sparse = bm25_rank(
+        _docs(spark, sf_dir), BM25_TERMS, k1=BM25_K1, b=BM25_B, limit=50
+    )
+    dense = S.brute_force_topk(emb, qvec, k=50).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse(
+        sparse, dense, "bm25", "cosine", id_col="doc_id", k_rrf=RRF_K, limit=20
+    )
+
+
+SQL_HYBRID_RRF = rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS dl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM d)
+  WHERE tok IN ({_BM25_IN})
+  GROUP BY doc_id, dl, tok
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+ad AS (SELECT sum(dl) / count(*) AS avgdl FROM d),
+idf AS (
+  SELECT term, ln(1 + (n_docs - count(*)::BIGINT + 0.5) / (count(*)::BIGINT + 0.5)) AS idf
+  FROM toks CROSS JOIN n
+  GROUP BY term, n_docs
+),
+per_term AS (
+  SELECT t.doc_id, t.term,
+         idf.idf * (t.tf * ({BM25_K1} + 1))
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * (t.dl / ad.avgdl))) AS term_score
+  FROM toks t JOIN idf USING (term) CROSS JOIN ad
+),
+pivoted AS (
+  SELECT doc_id,
+         {_BM25_PIVOT}
+  FROM per_term
+  GROUP BY doc_id
+),
+sparse_top AS (
+  SELECT doc_id, 0.0 + {_BM25_FOLD} AS bm25
+  FROM pivoted
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT 50
+),
+sparse AS (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY bm25 DESC, doc_id ASC))::BIGINT AS sparse_rank
+  FROM sparse_top
+),
+dense_top AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+  FROM embeddings
+  ORDER BY cosine DESC, doc_id ASC
+  LIMIT 50
+),
+dense AS (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY cosine DESC, doc_id ASC))::BIGINT AS dense_rank
+  FROM dense_top
+)
+SELECT doc_id,
+       coalesce(sparse_rank, 0)::BIGINT AS sparse_rank,
+       coalesce(dense_rank, 0)::BIGINT AS dense_rank,
+       (CASE WHEN sparse_rank IS NOT NULL THEN 1.0 / ({RRF_K} + sparse_rank) ELSE 0.0 END)
+     + (CASE WHEN dense_rank IS NOT NULL THEN 1.0 / ({RRF_K} + dense_rank) ELSE 0.0 END) AS rrf
+FROM sparse FULL OUTER JOIN dense USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+# --- Versioned-table change data feed (snapshot_diff) --------------------------
+
+
+def q_snapshot_changes(spark, sf_dir):
+    """Change-data-feed between two snapshots (sources.snapshots.
+    snapshot_diff): the versioned table runs create(evens) -> append(odds)
+    -> MOR-delete('en') -> upsert(doc_id%7==0 with uppercased text), and
+    the diff of snapshot 1 vs the head classifies every key as
+    insert/delete/update from the two committed views' row digests. The
+    oracle recomputes each key's s1/head membership and content change
+    straight from the documents table — the full lifecycle (append,
+    equality delete, single-commit MERGE) value-checked through the CDC
+    lens."""
+    import os
+    import shutil
+
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        current_snapshot,
+        delete_where,
+        snapshot_diff,
+        upsert_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    path = (
+        "/tmp/spark_graft_vcdf_"
+        + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        + f"_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    create_table(spark, path, docs.filter(F.col("doc_id") % 2 == 0))
+    append_snapshot(spark, path, docs.filter(F.col("doc_id") % 2 == 1))
+    delete_where(spark, path, "doc_id", F.col("lang") == "en")
+    upsert_snapshot(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.upper("text")
+        ),
+        "doc_id",
+    )
+    d = snapshot_diff(spark, path, 1, current_snapshot(path), "doc_id")
+    return (
+        d.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("change", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("change", "lang")
+    )
+
+
+SQL_SNAPSHOT_CHANGES = """
+WITH base AS (
+  SELECT doc_id, lang, text,
+         doc_id % 2 = 0 AS in_s1,
+         (lang <> 'en' AND doc_id % 7 <> 0) OR doc_id % 7 = 0 AS in_head
+  FROM documents
+),
+chg AS (
+  SELECT lang,
+         CASE WHEN in_head AND NOT in_s1 THEN 'insert'
+              WHEN in_s1 AND NOT in_head THEN 'delete'
+              WHEN in_s1 AND in_head AND doc_id % 7 = 0
+                   AND upper(text) <> text THEN 'update'
+         END AS change
+  FROM base
+)
+SELECT change, lang, count(*)::BIGINT AS n
+FROM chg
+WHERE change IS NOT NULL
+GROUP BY change, lang
+ORDER BY change, lang
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
@@ -3867,6 +4040,8 @@ QUERIES = {
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
     "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "index_search": (q_index_search, SQL_INDEX_SEARCH),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
