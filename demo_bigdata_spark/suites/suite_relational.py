@@ -1836,8 +1836,108 @@ ORDER BY l_returnflag
 """
 
 
+# --- Weighted PageRank over the nation trade graph (operators/graph.py) -----
+
+PAGERANK_ITERS = 10
+
+
+def q_nation_pagerank(spark, sf_dir):
+    """Iterative weighted PageRank (operator: graph.pagerank) over the
+    customer-nation -> supplier-nation trade graph (edge weight = lineitem
+    count between the pair, derived from lineitem x orders x customer x
+    supplier). Ten damped iterations in exact scaled-integer arithmetic
+    (rank bigints, 17/20 damping, dangling mass redistributed), so the
+    DuckDB oracle replays every iteration bit-exactly through ten unrolled
+    CTE levels — no float drift. The iteration itself is the Spark-first
+    shape: one pinned co-partitioned edge frame reused per step, a
+    lineage cut per iteration, dangling mass via a 1-row broadcast."""
+    from demo_bigdata_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    ranks = pagerank(nodes, edges, iters=PAGERANK_ITERS)
+    return (
+        ranks.join(n, ranks["node"] == n["n_nationkey"])
+        .select(
+            F.col("node").cast("bigint").alias("nation_key"),
+            F.col("n_name").alias("nation"),
+            F.col("rank"),
+            (F.col("rank") / F.lit(float(PAGERANK_SCALE))).alias("score"),
+        )
+        .orderBy(F.desc("rank"), "nation_key")
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled integer-exact PageRank oracle: one CTE level per
+    iteration replaying graph.pagerank's update rule verbatim (DuckDB
+    ``//`` == Spark ``div`` on nonnegative bigints)."""
+    scale = 10**12
+    levels = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        levels.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), 0)::BIGINT AS dang
+  FROM {prev} WHERE node NOT IN (SELECT src FROM wout)
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (((({scale} // cnt.n) * 3) // 20)
+          + (17 * (coalesce(c.s, 0) + d{i}.dang // cnt.n)) // 20)::BIGINT AS rank
+  FROM nodes n
+  CROSS JOIN cnt
+  CROSS JOIN d{i}
+  LEFT JOIN (
+    SELECT e.dst AS node, sum((r.rank * e.w) // e.wout)::BIGINT AS s
+    FROM en e JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst
+  ) c USING (node)
+)"""
+        )
+    unrolled = ",\n".join(levels)
+    return f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*)::BIGINT AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+wout AS (SELECT src, sum(w)::BIGINT AS wout FROM edges GROUP BY src),
+en AS MATERIALIZED (SELECT e.src, e.dst, e.w, wo.wout FROM edges e JOIN wout wo USING (src)),
+r0 AS MATERIALIZED (SELECT node, ({scale} // cnt.n)::BIGINT AS rank FROM nodes CROSS JOIN cnt),
+{unrolled}
+SELECT r.node::BIGINT AS nation_key, n.n_name AS nation, r.rank,
+       r.rank / {float(scale)} AS score
+FROM r{iters} r JOIN nation n ON r.node = n.n_nationkey
+ORDER BY r.rank DESC, nation_key
+"""
+
+
+SQL_NATION_PAGERANK = _pagerank_sql(PAGERANK_ITERS)
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "nation_pagerank": (q_nation_pagerank, SQL_NATION_PAGERANK),
     "priority_shipping": (q_priority_shipping, SQL_PRIORITY_SHIPPING),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
