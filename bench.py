@@ -110,6 +110,10 @@ HEADLINE = [
     "soft_dedup",
     "temperature_mixture",
     "priority_shipping",
+    # r8 third session: hybrid RAG retrieval (BM25 + dense RRF fusion) and
+    # iterative integer-exact PageRank over the nation trade graph
+    "hybrid_rrf",
+    "nation_pagerank",
 ]
 
 

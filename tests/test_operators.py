@@ -1368,3 +1368,39 @@ def test_semantic_dedup_kmeans_assignment(spark, sf_dir):
     # k-means groups by global proximity: recall should beat the 64-bucket
     # LSH assignment's on this corpus (both are pinned >= floor)
     assert len(dropped) / len(exact_dropped) >= 0.05
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """graph.pagerank is EXACT integer arithmetic: on a hand graph with a
+    dangling node and an in-edge-free node, ten damped iterations must
+    equal a pure-Python replica of the update rule bit-for-bit (no float
+    tolerance — the ranks are scaled bigints)."""
+    from demo_bigdata_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    # A->B(2), A->C(1), B->A(1); C dangling; D no in-edges, D->A(1)
+    nodes = spark.createDataFrame([("A",), ("B",), ("C",), ("D",)], "node string")
+    edges = spark.createDataFrame(
+        [("A", "B", 2), ("A", "C", 1), ("B", "A", 1), ("D", "A", 1)],
+        "src string, dst string, w long",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, iters=10).collect()
+    }
+
+    scale, n, num, den = PAGERANK_SCALE, 4, 17, 20
+    base = ((scale // n) * (den - num)) // den
+    wout = {"A": 3, "B": 1, "D": 1}
+    ranks = {v: scale // n for v in "ABCD"}
+    ew = {("A", "B"): 2, ("A", "C"): 1, ("B", "A"): 1, ("D", "A"): 1}
+    for _ in range(10):
+        contrib = {v: 0 for v in "ABCD"}
+        for (s, d), w in ew.items():
+            contrib[d] += (ranks[s] * w) // wout[s]
+        dang = sum(r for v, r in ranks.items() if v not in wout)
+        ranks = {
+            v: base + (num * (contrib[v] + dang // n)) // den for v in "ABCD"
+        }
+    assert got == ranks
+    # sanity: total mass stays near the scale (floor losses only)
+    assert scale - 200 * n <= sum(got.values()) <= scale

@@ -560,3 +560,22 @@ def test_semantic_dedup_is_cluster_equi_join(spark, sf_dir):
     plan = executed_plan(q_semantic_dedup(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_windows_bounded_by_candidate_lists(spark, sf_dir):
+    """rrf_fuse's rank windows are single-partition BY DESIGN, but they
+    must sit above the top-N candidate cuts (TakeOrderedAndProject /
+    GlobalLimit), never over the corpus — and the fusion join is an
+    equi-join over the two lists, no cartesian."""
+    from demo_bigdata_spark.suites.suite_llm import q_hybrid_rrf
+
+    out = q_hybrid_rrf(spark, sf_dir)
+    plan = executed_plan(out)
+    # BroadcastNestedLoopJoin over the 1-row bm25 scalars (n_docs, avgdl)
+    # is the pct-of-total pattern and fine; a true CartesianProduct is not
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") == 2, plan
+    # both candidate lists are limit-cut before any window sees them
+    assert (
+        plan.count("TakeOrderedAndProject") + plan.count("GlobalLimit") >= 2
+    ), plan

@@ -287,7 +287,8 @@ def test_winnowing_guarantee_shared_substring(spark, prefix_a, suffix_a, prefix_
 
 def test_versioned_table_model_based_fuzz(spark, tmp_path):
     """Model-based check of the snapshot table: a seeded random sequence of
-    append / delete_where / upsert ops runs against BOTH the real table
+    append / delete_where / upsert / delete_where_cow /
+    delete_where_positions ops runs against BOTH the real table
     and a pure-Python dict model; after every commit the current view must
     equal the model, and at the end EVERY historical snapshot must equal
     the model's recorded state at that commit — time travel replays the
@@ -300,6 +301,8 @@ def test_versioned_table_model_based_fuzz(spark, tmp_path):
         append_snapshot,
         create_table,
         delete_where,
+        delete_where_cow,
+        delete_where_positions,
         read_table,
         upsert_snapshot,
     )
@@ -320,8 +323,10 @@ def test_versioned_table_model_based_fuzz(spark, tmp_path):
     def read_now(s=None):
         return {r.k: r.v for r in read_table(spark, path, snapshot=s).collect()}
 
-    for _ in range(6):
-        op = rng.choice(["append", "delete", "upsert"])
+    for _ in range(8):
+        op = rng.choice(
+            ["append", "delete", "upsert", "cow_delete", "pos_delete"]
+        )
         if op == "append":
             rows = [(next_key + j, (next_key + j) * 10) for j in range(3)]
             next_key += 3
@@ -331,6 +336,21 @@ def test_versioned_table_model_based_fuzz(spark, tmp_path):
             cutoff = rng.choice(sorted(model) or [0])
             snap = delete_where(spark, path, "k", F.col("k") <= cutoff)
             model = {k: v for k, v in model.items() if k > cutoff}
+        elif op == "cow_delete":
+            cutoff = rng.choice(sorted(model) or [0])
+            s = delete_where_cow(
+                spark, path, F.col("k") >= cutoff, prune={"k": (cutoff, None)}
+            )
+            if s is None:
+                continue  # planning proved nothing to delete; no commit
+            snap = s
+            model = {k: v for k, v in model.items() if k < cutoff}
+        elif op == "pos_delete":
+            parity = rng.choice([0, 1])
+            snap = delete_where_positions(
+                spark, path, F.col("v") % 2 == parity
+            )
+            model = {k: v for k, v in model.items() if v % 2 != parity}
         else:
             keys = rng.sample(sorted(model), min(2, len(model))) if model else []
             rows = [(k, k * 1000) for k in keys] + [(next_key, next_key * 10)]
