@@ -43,7 +43,7 @@ PAGERANK_SCALE = 10**12
 
 
 def pagerank(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     iters: int = 10,
     damping: tuple[int, int] = (17, 20),
@@ -65,15 +65,36 @@ def pagerank(
     stopping is a trivial wrapper (loop until max |delta| < eps) that
     trades replayability for adaptivity."""
     num, den = damping
+    # pin the RAW edge frame first: it is referenced three times during
+    # setup (out-weight aggregate, normalization join, node-universe
+    # derivation) and may itself be an expensive aggregation — Spark has
+    # no cross-DAG CSE (ROUND_NOTES round-6 gotcha), so without the pin
+    # each reference replays the caller's whole subtree (measured: the
+    # edge derivation, not the iterations, dominated the x30 probe)
+    edges = edges.select(src_col, dst_col, weight_col).persist()
+    wout = edges.groupBy(src_col).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("_wout")
+    )
+    # the node universe: caller-supplied (isolated vertices included), or
+    # derived from the pinned edges (src + dst). Pinned either way — it is
+    # referenced every iteration (rank rebuild) plus the final output
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src_col).alias(node_col))
+            .union(edges.select(F.col(dst_col).alias(node_col)))
+            .distinct()
+        )
+    nodes = nodes.select(node_col).localCheckpoint(eager=True)
     n_nodes = nodes.count()  # bounded: the node universe is dimension-sized
     if n_nodes == 0:
         raise ValueError("pagerank: empty node universe")
     base = ((scale // n_nodes) * (den - num)) // den
-
-    wout = edges.groupBy(src_col).agg(
-        F.sum(F.col(weight_col)).cast("bigint").alias("_wout")
-    )
-    # normalize + co-partition the edges ONCE; every iteration reuses this
+    # normalize + co-partition the edges ONCE; every iteration reuses this.
+    # CACHE, not localCheckpoint: a checkpoint erases outputPartitioning
+    # and size statistics, so every iteration's join re-exchanged BOTH
+    # sides (measured on the x30 probe: SortMergeJoin with two Exchanges);
+    # the cached plan keeps the repartition's hash partitioning, so only
+    # the node-sized rank frame ever moves
     en = (
         edges.join(wout, src_col)
         .select(
@@ -83,17 +104,31 @@ def pagerank(
             "_wout",
         )
         .repartition(F.col("_src"))
+        .persist()
+    )
+    en.count()  # materialize the cache before the loop
+    # node-sized; pinned for the same reason as nodes (one anti-join per
+    # iteration would otherwise replay the edge aggregation behind wout)
+    out_nodes = (
+        wout.select(F.col(src_col).alias(node_col))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    out_nodes = wout.select(F.col(src_col).alias(node_col)).distinct()
+    edges.unpersist(blocking=False)  # en/nodes/out_nodes are pinned copies
 
     ranks = nodes.select(
         F.col(node_col), F.lit(scale // n_nodes).cast("bigint").alias("rank")
     ).localCheckpoint(eager=True)
 
+    # a checkpointed rank frame carries no size statistics, so Catalyst
+    # cannot see it is node-sized; broadcast it explicitly while the node
+    # count is broadcastable (a billion-node graph instead rides the
+    # co-partitioned cached edge frame: only ranks shuffles, node-sized)
+    bcast_ranks = n_nodes <= 4_000_000
     for _ in range(iters):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = (
-            en.join(ranks, en["_src"] == ranks[node_col])
+            en.join(r, en["_src"] == r[node_col])
             .select(
                 F.col("_dst").alias(node_col),
                 F.expr("(rank * _w) div _wout").alias("_c"),
@@ -117,4 +152,55 @@ def pagerank(
             )
             .localCheckpoint(eager=True)  # lineage cut: the iterative discipline
         )
+    en.unpersist(blocking=False)  # returned ranks are checkpointed, not lazy
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    nodes: DataFrame | None = None,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Connected components over an undirected edge frame — the public
+    graph-tier form of the min-label propagation that powers
+    ``dedup.duplicate_clusters`` (operators/dedup.py:380): each edge
+    becomes a 2-member bucket in a bipartite membership table, and labels
+    propagate node -> bucket -> node to the EXACT fixed point (monotone
+    min-labels; ``changed == 0`` is exact convergence, and exceeding
+    ``max_iterations`` raises rather than returning unconverged labels).
+
+    ``nodes`` optionally supplies the node universe so isolated vertices
+    (no edges) still emit their own singleton component. Returns
+    (node, component) with component = the minimum node id reachable.
+    Scale shape: per round one join keyed by node + one aggregate keyed by
+    bucket + a checkpointed node-sized label frame — rounds needed track
+    the component DIAMETER, which for dedup-style cluster graphs is tiny;
+    no collect of edges or labels ever happens."""
+    from demo_bigdata_spark.operators.dedup import _propagate_min_labels
+
+    e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+    bucket = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.least(F.col("_a"), F.col("_b")).cast("string"),
+            F.greatest(F.col("_a"), F.col("_b")).cast("string"),
+        )
+    )
+    mem = (
+        e.select(F.col("_a").alias(node_col), bucket.alias("bucket"))
+        .unionAll(e.select(F.col("_b").alias(node_col), bucket.alias("bucket")))
+        .distinct()
+    )
+    if nodes is not None:
+        singletons = nodes.select(
+            F.col(node_col),
+            F.md5(F.concat(F.lit("node:"), F.col(node_col).cast("string"))).alias(
+                "bucket"
+            ),
+        )
+        mem = mem.unionAll(singletons).distinct()
+    out = _propagate_min_labels(mem, node_col, max_iterations)
+    return out.withColumnRenamed("cluster_id", "component")

@@ -1180,6 +1180,74 @@ ORDER BY lang
 """
 
 
+def q_snapshot_cow(spark, sf_dir):
+    """Copy-on-write delete on the versioned table (sources.snapshots.
+    delete_where_cow): same three doc_id-range commits as snapshot_prune
+    (per-file manifest bounds on doc_id), then a COW delete of the MIDDLE
+    third's English docs with the matching prune window — the rewrite
+    touches only that third's files (outer thirds carry forward by
+    manifest entry), no delete file is written, and the committed view is
+    value-checked per language against the oracle's direct computation."""
+    import os
+    import shutil
+
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        delete_where_cow,
+        read_table,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    path = (
+        "/tmp/spark_graft_vcow_"
+        + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        + f"_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    create_table(
+        spark, path, docs.filter(F.col("doc_id") <= cut1), stats_cols=["doc_id"]
+    )
+    append_snapshot(
+        spark, path, docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))
+    )
+    append_snapshot(spark, path, docs.filter(F.col("doc_id") > cut2))
+    delete_where_cow(
+        spark,
+        path,
+        (F.col("doc_id") > cut1)
+        & (F.col("doc_id") <= cut2)
+        & (F.col("lang") == "en"),
+        prune={"doc_id": (cut1 + 1, cut2)},
+    )
+    return (
+        read_table(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SNAPSHOT_COW = """
+WITH cuts AS (
+  SELECT max(doc_id) // 3 AS cut1, 2 * max(doc_id) // 3 AS cut2
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents, cuts
+WHERE NOT (doc_id > cut1 AND doc_id <= cut2 AND lang = 'en')
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --- Hashed-feature linear quality classifier ---------------------------------
 
 CLS_BUCKETS = 1024
@@ -4003,6 +4071,7 @@ QUERIES = {
     "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
     "snapshot_table": (q_snapshot_table, SQL_SNAPSHOT_TABLE),
     "snapshot_prune": (q_snapshot_prune, SQL_SNAPSHOT_PRUNE),
+    "snapshot_cow": (q_snapshot_cow, SQL_SNAPSHOT_COW),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),

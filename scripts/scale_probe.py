@@ -728,14 +728,11 @@ def main() -> None:
             (F.col("s") + sup_off).alias("src"), F.col("p").alias("dst"), "w"
         )
     )
-    pr_nodes = (
-        pr_edges.select(F.col("src").alias("node"))
-        .union(pr_edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     n_edges = pr_edges.count()
     t0 = time.perf_counter()
-    pr_ranks = _pagerank(pr_nodes, pr_edges, iters=5)
+    # nodes=None: the operator derives + pins the universe from its own
+    # pinned edge copy (one pass, not one per reference)
+    pr_ranks = _pagerank(None, pr_edges, iters=5)
     n_pr = pr_ranks.count()
     rel_results.append(
         (

@@ -1404,3 +1404,30 @@ def test_pagerank_matches_integer_reference(spark):
     assert got == ranks
     # sanity: total mass stays near the scale (floor losses only)
     assert scale - 200 * n <= sum(got.values()) <= scale
+
+
+def test_connected_components_chain_triangle_isolated(spark):
+    """graph.connected_components: a 4-node chain, a triangle, and an
+    isolated node resolve to exactly three components labeled by their
+    minimum member, with the isolated node present only when the node
+    universe is supplied."""
+    from demo_bigdata_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "node long"
+    )
+    got2 = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got2 == {**got, 99: 99}
