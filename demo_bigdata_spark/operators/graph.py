@@ -182,12 +182,12 @@ def connected_components(
     from demo_bigdata_spark.operators.dedup import _propagate_min_labels
 
     e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
-    bucket = F.md5(
-        F.concat_ws(
-            "\x1f",
-            F.least(F.col("_a"), F.col("_b")).cast("string"),
-            F.greatest(F.col("_a"), F.col("_b")).cast("string"),
-        )
+    # hash each endpoint BEFORE concatenating: a separator-based pair key
+    # could collide for string nodes containing the separator, and a
+    # bucket collision between distinct edges would MERGE components
+    bucket = F.concat(
+        F.md5(F.least(F.col("_a"), F.col("_b")).cast("string")),
+        F.md5(F.greatest(F.col("_a"), F.col("_b")).cast("string")),
     )
     mem = (
         e.select(F.col("_a").alias(node_col), bucket.alias("bucket"))

@@ -803,6 +803,9 @@ def delete_where_cow(
     }
     if not cand:
         return None
+    seen_dels = {
+        r["file"] for r in entries if r["kind"] in ("delete", "posdelete")
+    }
     # keep NOT(cond) OR cond IS NULL: DELETE removes rows where the
     # predicate is TRUE; a NULL predicate keeps the row (the same rows
     # delete_where's filter(condition) key harvest would leave alone)
@@ -823,6 +826,22 @@ def delete_where_cow(
                 "delete_where_cow: a concurrent commit removed a rewrite "
                 f"candidate from the manifest ({sorted(cand - live)[:3]}...) "
                 "- re-run against the new head"
+            )
+        # a delete file that landed AFTER our snapshot read would apply to
+        # the candidate files we rewrote but NOT to our replacement files
+        # (they sit after it in seq order) — committing would silently
+        # resurrect its rows inside the rewrite. Iceberg's validation
+        # rule: fail the optimistic commit on conflicting deletes.
+        fresh_dels = [
+            f
+            for f, k, _, _ in ents
+            if k in ("delete", "posdelete") and f not in seen_dels
+        ]
+        if fresh_dels:
+            raise RuntimeError(
+                "delete_where_cow: a concurrent delete committed during "
+                f"the rewrite ({fresh_dels[:3]}...) - re-run against the "
+                "new head"
             )
         kept = [e for e in ents if not (e[1] == "data" and e[0] in cand)]
         return kept + new

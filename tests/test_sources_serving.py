@@ -1402,3 +1402,38 @@ def test_versioned_table_cow_delete_rewrites_only_pruned_files(spark, tmp_path):
         r.k for r in S.read_table(spark, path, prune={"k": (900, 901)}).collect()
     }
     assert kept == {900}
+
+
+def test_versioned_table_cow_delete_aborts_on_concurrent_delete(
+    spark, tmp_path, monkeypatch
+):
+    """Iceberg's conflicting-delete validation: an equality delete that
+    commits BETWEEN the COW rewrite's snapshot read and its commit would
+    apply to the rewritten candidate files but not to their replacements
+    (seq order), silently resurrecting its rows — the commit must abort
+    loudly instead."""
+    import pytest as _pytest
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "cowconflict")
+    S.create_table(
+        spark,
+        path,
+        spark.createDataFrame([(i, i * 10) for i in range(6)], "k long, v long"),
+    )
+
+    orig = S._retrying_commit
+
+    def hijack(spark_, p, build, branch="main"):
+        # restore first so the interleaved MOR delete commits normally,
+        # then hand the COW build to the real commit loop
+        monkeypatch.setattr(S, "_retrying_commit", orig)
+        S.delete_where(spark_, p, "k", F.col("k") == 1)
+        return orig(spark_, p, build, branch=branch)
+
+    monkeypatch.setattr(S, "_retrying_commit", hijack)
+    with _pytest.raises(RuntimeError, match="concurrent delete"):
+        S.delete_where_cow(spark, path, F.col("k") >= 4)
+    # the interleaved delete's effect survives; the COW never committed
+    assert {r.k for r in S.read_table(spark, path).collect()} == {0, 2, 3, 4, 5}
