@@ -52,6 +52,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` restricted to the ``nodes``
     universe, in exact scaled-integer arithmetic (see module docstring).
@@ -63,7 +64,16 @@ def pagerank(
     teleport base plus their dangling share. ``iters`` is a fixed count —
     the deterministic, oracle-replayable form; convergence-threshold
     stopping is a trivial wrapper (loop until max |delta| < eps) that
-    trades replayability for adaptivity."""
+    trades replayability for adaptivity.
+
+    ``sources`` switches to PERSONALIZED PageRank (topic-sensitive,
+    Haveliwala 2002): the teleport base and the dangling redistribution
+    land only on the source set (initial mass ``scale // |S|`` per
+    source), so ranks measure proximity TO the sources instead of global
+    centrality — the seed-expansion primitive (find documents related to
+    a trusted seed set, users near a cohort). Same integer arithmetic:
+    a source row's update adds the base and dangling terms, a non-source
+    row keeps only the damped contribution sum."""
     num, den = damping
     # pin the RAW edge frame first: it is referenced three times during
     # setup (out-weight aggregate, normalization join, node-universe
@@ -88,7 +98,31 @@ def pagerank(
     n_nodes = nodes.count()  # bounded: the node universe is dimension-sized
     if n_nodes == 0:
         raise ValueError("pagerank: empty node universe")
-    base = ((scale // n_nodes) * (den - num)) // den
+    # teleport membership flag _t (1/0): uniform PageRank teleports to
+    # every node; personalized teleports only to the source set. Keeping
+    # it a multiplier inside ONE shared update expression preserves exact
+    # floor-division equivalence with the uniform formula when every
+    # flag is 1 (splitting the division would floor differently).
+    if sources is None:
+        n_tele = n_nodes
+        tele = nodes.select(
+            node_col, F.lit(1).cast("bigint").alias("_t")
+        ).localCheckpoint(eager=True)
+    else:
+        srcs = sources.select(node_col).distinct()
+        tele = (
+            nodes.join(
+                srcs.withColumn("_t0", F.lit(1).cast("bigint")),
+                node_col,
+                "left",
+            )
+            .select(node_col, F.coalesce("_t0", F.lit(0)).alias("_t"))
+            .localCheckpoint(eager=True)
+        )
+        n_tele = tele.filter(F.col("_t") == 1).count()
+        if n_tele == 0:
+            raise ValueError("pagerank: no source is in the node universe")
+    base = ((scale // n_tele) * (den - num)) // den
     # normalize + co-partition the edges ONCE; every iteration reuses this.
     # CACHE, not localCheckpoint: a checkpoint erases outputPartitioning
     # and size statistics, so every iteration's join re-exchanged BOTH
@@ -116,8 +150,9 @@ def pagerank(
     )
     edges.unpersist(blocking=False)  # en/nodes/out_nodes are pinned copies
 
-    ranks = nodes.select(
-        F.col(node_col), F.lit(scale // n_nodes).cast("bigint").alias("rank")
+    ranks = tele.select(
+        F.col(node_col),
+        (F.col("_t") * F.lit(scale // n_tele)).cast("bigint").alias("rank"),
     ).localCheckpoint(eager=True)
 
     # a checkpointed rank frame carries no size statistics, so Catalyst
@@ -140,14 +175,13 @@ def pagerank(
             F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("_dang")
         )
         ranks = (
-            nodes.select(node_col)
-            .crossJoin(F.broadcast(dang))
+            tele.crossJoin(F.broadcast(dang))
             .join(contribs, node_col, "left")
             .select(
                 node_col,
                 F.expr(
-                    f"cast({base} as bigint) + ({num} * (coalesce(_s, 0)"
-                    f" + _dang div {n_nodes})) div {den}"
+                    f"_t * cast({base} as bigint) + ({num} * (coalesce(_s, 0)"
+                    f" + _t * (_dang div {n_tele}))) div {den}"
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)  # lineage cut: the iterative discipline
