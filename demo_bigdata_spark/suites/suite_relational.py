@@ -1882,11 +1882,22 @@ def q_nation_pagerank(spark, sf_dir):
     )
 
 
-def _pagerank_sql(iters: int) -> str:
+def _pagerank_sql(iters: int, seed: int | None = None) -> str:
     """Unrolled integer-exact PageRank oracle: one CTE level per
     iteration replaying graph.pagerank's update rule verbatim (DuckDB
-    ``//`` == Spark ``div`` on nonnegative bigints)."""
+    ``//`` == Spark ``div`` on nonnegative bigints). ``seed`` switches to
+    the personalized form (teleport flag multiplies inside the shared
+    update expression, n_tele = 1, exactly graph.pagerank's sources=
+    path). Every iteration level MUST be MATERIALIZED: each is referenced
+    twice (dangling + contribution), so un-materialized CTEs re-expand
+    exponentially and the oracle never finishes."""
     scale = 10**12
+    if seed is None:
+        t_expr, n_t, r0_rank = "1", "cnt.n", f"({scale} // cnt.n)"
+    else:
+        t_expr = f"(CASE WHEN n.node = {seed} THEN 1 ELSE 0 END)"
+        n_t = "1"
+        r0_rank = f"(CASE WHEN node = {seed} THEN {scale} ELSE 0 END)"
     levels = []
     for i in range(1, iters + 1):
         prev = f"r{i - 1}"
@@ -1897,8 +1908,8 @@ def _pagerank_sql(iters: int) -> str:
 ),
 r{i} AS MATERIALIZED (
   SELECT n.node,
-         (((({scale} // cnt.n) * 3) // 20)
-          + (17 * (coalesce(c.s, 0) + d{i}.dang // cnt.n)) // 20)::BIGINT AS rank
+         ({t_expr} * ((({scale} // {n_t}) * 3) // 20)
+          + (17 * (coalesce(c.s, 0) + {t_expr} * (d{i}.dang // {n_t}))) // 20)::BIGINT AS rank
   FROM nodes n
   CROSS JOIN cnt
   CROSS JOIN d{i}
@@ -1923,7 +1934,7 @@ nodes AS (SELECT n_nationkey AS node FROM nation),
 cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
 wout AS (SELECT src, sum(w)::BIGINT AS wout FROM edges GROUP BY src),
 en AS MATERIALIZED (SELECT e.src, e.dst, e.w, wo.wout FROM edges e JOIN wout wo USING (src)),
-r0 AS MATERIALIZED (SELECT node, ({scale} // cnt.n)::BIGINT AS rank FROM nodes CROSS JOIN cnt),
+r0 AS MATERIALIZED (SELECT node, {r0_rank}::BIGINT AS rank FROM nodes CROSS JOIN cnt),
 {unrolled}
 SELECT r.node::BIGINT AS nation_key, n.n_name AS nation, r.rank,
        r.rank / {float(scale)} AS score
@@ -1934,10 +1945,57 @@ ORDER BY r.rank DESC, nation_key
 
 SQL_NATION_PAGERANK = _pagerank_sql(PAGERANK_ITERS)
 
+PPR_SEED_NATION = 0
+
+
+def q_nation_ppr(spark, sf_dir):
+    """Personalized PageRank (graph.pagerank with sources=) from one seed
+    nation over the same trade graph: teleport mass and dangling
+    redistribution land only on the seed, so ranks measure trade
+    proximity TO it rather than global centrality. Identical integer
+    arithmetic and unrolled-CTE oracle as nation_pagerank, with the
+    teleport flag folded into the shared update expression."""
+    from demo_bigdata_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    seeds = n.filter(F.col("n_nationkey") == PPR_SEED_NATION).select(
+        F.col("n_nationkey").alias("node")
+    )
+    ranks = pagerank(nodes, edges, iters=PAGERANK_ITERS, sources=seeds)
+    return (
+        ranks.join(n, ranks["node"] == n["n_nationkey"])
+        .select(
+            F.col("node").cast("bigint").alias("nation_key"),
+            F.col("n_name").alias("nation"),
+            F.col("rank"),
+            (F.col("rank") / F.lit(float(10**12))).alias("score"),
+        )
+        .orderBy(F.desc("rank"), "nation_key")
+    )
+
+
+SQL_NATION_PPR = _pagerank_sql(PAGERANK_ITERS, seed=PPR_SEED_NATION)
+
 
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "nation_pagerank": (q_nation_pagerank, SQL_NATION_PAGERANK),
+    "nation_ppr": (q_nation_ppr, SQL_NATION_PPR),
     "priority_shipping": (q_priority_shipping, SQL_PRIORITY_SHIPPING),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
