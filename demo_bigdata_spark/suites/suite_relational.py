@@ -1992,10 +1992,77 @@ def q_nation_ppr(spark, sf_dir):
 SQL_NATION_PPR = _pagerank_sql(PAGERANK_ITERS, seed=PPR_SEED_NATION)
 
 
+def q_trade_triangles(spark, sf_dir):
+    """Per-nation triangle counts (operator: graph.triangle_counts) over
+    the undirected simple trade graph — the local-clustering signal:
+    ordered-pair canonicalization, (a,b)x(b,c) equi-join semi-joined
+    against (a,c), three exploded corners aggregated. Exact integers; the
+    oracle replays the same three joins in SQL."""
+    from demo_bigdata_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    tc = triangle_counts(edges)
+    return (
+        tc.join(n, tc["node"] == n["n_nationkey"])
+        .select(
+            F.col("node").cast("bigint").alias("nation_key"),
+            F.col("n_name").alias("nation"),
+            "n_triangles",
+        )
+        .orderBy(F.desc("n_triangles"), "nation_key")
+    )
+
+
+SQL_TRADE_TRIANGLES = """
+WITH raw AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw
+  WHERE src <> dst
+),
+tris AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+corners AS (
+  SELECT x AS node FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+)
+SELECT n.n_nationkey::BIGINT AS nation_key, n.n_name AS nation,
+       count(*)::BIGINT AS n_triangles
+FROM corners c JOIN nation n ON c.node = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY n_triangles DESC, nation_key
+"""
+
+
 QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "nation_pagerank": (q_nation_pagerank, SQL_NATION_PAGERANK),
     "nation_ppr": (q_nation_ppr, SQL_NATION_PPR),
+    "trade_triangles": (q_trade_triangles, SQL_TRADE_TRIANGLES),
     "priority_shipping": (q_priority_shipping, SQL_PRIORITY_SHIPPING),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),

@@ -1474,3 +1474,19 @@ def test_personalized_pagerank_matches_integer_reference(spark):
     # cycle (pre-convergence the pulse oscillates - 10 iters is NOT
     # monotone on a 4-cycle, verified)
     assert got["A"] > got["B"] > got["C"] > got["D"]
+
+
+def test_triangle_counts_hand_graph(spark):
+    """graph.triangle_counts on K4 plus a pendant edge: every K4 vertex
+    sits in C(3,2)=3 triangles, the pendant in none; duplicate, reversed,
+    and self-loop edges collapse into the simple undirected graph."""
+    from demo_bigdata_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(2, 1), (3, 3), (4, 5), (1, 2)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
