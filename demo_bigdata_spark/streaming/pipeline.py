@@ -1557,3 +1557,85 @@ def incremental_soft_dedup(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def append_edge_batch(
+    spark,
+    batch_df: DataFrame,
+    out_path: str,
+    epoch_id: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> None:
+    """[EXT] Exactly-once incremental maintenance of a weighted edge-count
+    frame — the graph tier's fold (operators/graph.py): each micro-batch's
+    (src, dst) pairs aggregate to per-pair counts and append under the
+    epoch ledger. Edge weights are INTEGER COUNTS, so the committed fold
+    (sum over epochs) equals the one-shot aggregation of the concatenated
+    stream exactly — the bigram-LM recompute-from-counts discipline.
+    Per-batch cost is one batch-sized aggregate + an append; history is
+    never re-read at write time."""
+    epochs_path = out_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    (
+        batch_df.groupBy(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
+        .write.mode("append")
+        .parquet(out_path)
+    )
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_edge_counts(spark, out_path: str) -> DataFrame:
+    """Committed weighted edges over the incrementally-appended per-epoch
+    counts: semi-join the ledger (crash leftovers invisible), dedup on
+    (src, dst, epoch) so a replay's identical rows collapse, then SUM —
+    fold == batch exactly (integer counts)."""
+    rows = committed_view(
+        spark,
+        out_path,
+        out_path + "_epochs",
+        ["src", "dst", "epoch_id"],
+        "src long, dst long, w long, epoch_id long",
+    )
+    return rows.groupBy("src", "dst").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+
+
+def read_pagerank(spark, out_path: str, iters: int = 10, **kwargs) -> DataFrame:
+    """PageRank over the committed incremental edge frame — ranks always
+    reflect the full committed stream (graph.pagerank on the exact folded
+    counts, so live == batch bit-for-bit)."""
+    from demo_bigdata_spark.operators.graph import pagerank
+
+    return pagerank(None, read_edge_counts(spark, out_path), iters=iters, **kwargs)
+
+
+def incremental_edge_counts(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous graph maintenance: each micro-batch's pairs fold
+    into the committed edge-count frame exactly once; query current ranks
+    any time with read_pagerank."""
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_edge_batch(spark, batch_df, out_path, epoch_id, src_col, dst_col)
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1522,3 +1522,65 @@ def test_stream_to_versioned_branch_then_publish(spark, tmp_path):
     # audit passes -> publish
     S.fast_forward(path, "staging")
     assert {r.k for r in S.read_table(spark, path).collect()} == {0, 1, 2, 3}
+
+
+def test_incremental_edge_counts_pagerank_matches_batch(spark, tmp_path):
+    """Graph-tier exactly-once fold: edge counts streamed in two batches
+    fold to the one-shot aggregation exactly, so PageRank over the
+    committed frame is BIT-IDENTICAL to the batch ranks (integer
+    arithmetic end to end); replay is a no-op and uncommitted crash rows
+    stay invisible."""
+    from demo_bigdata_spark.operators.graph import pagerank
+    from demo_bigdata_spark.streaming.pipeline import (
+        append_edge_batch,
+        read_edge_counts,
+        read_pagerank,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 1), (2, 3)], "src long, dst long"
+    )
+    out = str(tmp_path / "edges")
+    append_edge_batch(spark, b1, out, 0)
+    append_edge_batch(spark, b2, out, 1)
+
+    folded = {
+        (r.src, r.dst): r.w for r in read_edge_counts(spark, out).collect()
+    }
+    full = b1.unionByName(b2)
+    want_edges = {
+        ((r.src, r.dst)): r.w
+        for r in full.groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .collect()
+    }
+    assert folded == want_edges
+
+    live = {
+        r["node"]: r["rank"] for r in read_pagerank(spark, out, iters=5).collect()
+    }
+    batch_edges = full.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("w")
+    )
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank(None, batch_edges, iters=5).collect()
+    }
+    assert live == want
+
+    # replay no-op
+    append_edge_batch(spark, b2, out, 1)
+    assert {
+        (r.src, r.dst): r.w for r in read_edge_counts(spark, out).collect()
+    } == want_edges
+
+    # crash window: appended rows without a ledger commit are invisible
+    spark.createDataFrame(
+        [(7, 8, 100, 9)], "src long, dst long, w long, epoch_id long"
+    ).write.mode("append").parquet(out)
+    assert {
+        (r.src, r.dst): r.w for r in read_edge_counts(spark, out).collect()
+    } == want_edges
