@@ -1,4 +1,5 @@
-"""Iterative graph algorithms on DataFrames: weighted PageRank.
+"""Iterative graph algorithms on DataFrames: weighted PageRank (uniform +
+personalized), fixed-point connected components, triangle counting.
 
 [EXT] Beyond the reference surface (the reference has no graph operators;
 its closest shape is the entity top-k over events — services/
