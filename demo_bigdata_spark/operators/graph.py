@@ -82,14 +82,13 @@ def pagerank(
     # no cross-DAG CSE (ROUND_NOTES round-6 gotcha), so without the pin
     # each reference replays the caller's whole subtree (measured: the
     # edge derivation, not the iterations, dominated the x30 probe)
-    edges = edges.select(src_col, dst_col, weight_col).persist()
-    wout = edges.groupBy(src_col).agg(
-        F.sum(F.col(weight_col)).cast("bigint").alias("_wout")
-    )
+    raw_edges = edges.select(src_col, dst_col, weight_col).persist()
+    edges = raw_edges
     # the node universe: caller-supplied (isolated vertices included), or
     # derived from the pinned edges (src + dst). Pinned either way — it is
     # referenced every iteration (rank rebuild) plus the final output
-    if nodes is None:
+    caller_nodes = nodes is not None
+    if not caller_nodes:
         nodes = (
             edges.select(F.col(src_col).alias(node_col))
             .union(edges.select(F.col(dst_col).alias(node_col)))
@@ -99,6 +98,25 @@ def pagerank(
     n_nodes = nodes.count()  # bounded: the node universe is dimension-sized
     if n_nodes == 0:
         raise ValueError("pagerank: empty node universe")
+    if caller_nodes:
+        # restrict edges to the universe on BOTH endpoints (the documented
+        # semantics): mass can neither leak to an out-of-universe dst nor
+        # count a node as non-dangling for out-edges that leave the
+        # universe — a universe node whose edges all exit becomes dangling
+        # and its mass redistributes, so total mass stays conserved.
+        # Node-sized frames broadcast; a huge universe semi-joins.
+        def _uni(col):
+            u = nodes.select(F.col(node_col).alias(col))
+            return F.broadcast(u) if n_nodes <= 4_000_000 else u
+
+        edges = (
+            edges.join(_uni(src_col), src_col, "left_semi")
+            .join(_uni(dst_col), dst_col, "left_semi")
+            .persist()
+        )
+    wout = edges.groupBy(src_col).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("_wout")
+    )
     # teleport membership flag _t (1/0): uniform PageRank teleports to
     # every node; personalized teleports only to the source set. Keeping
     # it a multiplier inside ONE shared update expression preserves exact
@@ -150,6 +168,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     edges.unpersist(blocking=False)  # en/nodes/out_nodes are pinned copies
+    if edges is not raw_edges:
+        raw_edges.unpersist(blocking=False)
 
     ranks = tele.select(
         F.col(node_col),

@@ -270,7 +270,14 @@ class _SnapshotAppendsStreamReader(DataSourceStreamReader):
             mask = None
             for c, (lo, hi) in self.prune.items():
                 if c not in present:
-                    continue  # pre-evolution file: column is all-null
+                    if lo is not None or hi is not None:
+                        # pre-evolution file: the column is all-null, and
+                        # the batch twin's _range_condition drops every
+                        # null row — no row here can satisfy the range, so
+                        # skip the whole file (live==batch exact across
+                        # schema evolution)
+                        return
+                    continue
                 col = out.column(c)
                 for bound, op in ((lo, pc.greater_equal), (hi, pc.less_equal)):
                     if bound is None:

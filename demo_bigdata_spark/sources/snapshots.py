@@ -125,7 +125,15 @@ def _refs_dir(path: str) -> str:
 
 
 def _ref_path(path: str, kind: str, name: str) -> str:
-    if not name or not all(c.isalnum() or c in "_-." for c in name):
+    # ".tmp" is rejected so a legal ref can never collide with the
+    # ".tmp-" in-flight temp files list_refs/_live_heads filter out — a
+    # branch named "v1.tmp-x" would be created successfully yet invisible
+    # to retention, letting expire_snapshots drop its head.
+    if (
+        not name
+        or ".tmp" in name
+        or not all(c.isalnum() or c in "_-." for c in name)
+    ):
         raise ValueError(f"invalid ref name {name!r}")
     return os.path.join(_refs_dir(path), f"{kind}-{name}")
 
@@ -503,7 +511,16 @@ def _plain(v):
     if isinstance(v, decimal.Decimal):
         return float(v)
     if isinstance(v, bytes):
-        return v.decode("utf-8", errors="replace")
+        # Strict decode or no bounds at all: errors="replace" would
+        # collapse invalid sequences to U+FFFD, which does NOT preserve
+        # byte order, so a recorded min could sit above the true bound
+        # and _may_contain would prune a file that holds matching rows.
+        # Non-UTF8 binary bounds fail OPEN (None => never prune on them),
+        # the same observable posture as the stats_error path.
+        try:
+            return v.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return None
     return v
 
 

@@ -1476,6 +1476,34 @@ def test_personalized_pagerank_matches_integer_reference(spark):
     assert got["A"] > got["B"] > got["C"] > got["D"]
 
 
+def test_pagerank_restricts_edges_to_node_universe(spark):
+    """Round-9 ADVICE: a caller-supplied node universe narrower than the
+    edge endpoints must RESTRICT the edges (both endpoints), not leak mass
+    — B's only out-edge exits the universe, so B is dangling and its mass
+    redistributes. Pinned as: pagerank(narrow nodes, full edges) ==
+    pagerank(narrow nodes, pre-restricted edges), and total mass is
+    conserved up to floor losses."""
+    from demo_bigdata_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    nodes = spark.createDataFrame([("A",), ("B",)], "node string")
+    full = spark.createDataFrame(
+        [("A", "B", 1), ("B", "X", 5), ("X", "A", 7), ("Y", "B", 1)],
+        "src string, dst string, w long",
+    )
+    inside = spark.createDataFrame(
+        [("A", "B", 1)], "src string, dst string, w long"
+    )
+    got = {
+        r["node"]: r["rank"] for r in pagerank(nodes, full, iters=8).collect()
+    }
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, inside, iters=8).collect()
+    }
+    assert got == want and set(got) == {"A", "B"}
+    assert PAGERANK_SCALE - 200 * 2 <= sum(got.values()) <= PAGERANK_SCALE
+
+
 def test_triangle_counts_hand_graph(spark):
     """graph.triangle_counts on K4 plus a pendant edge: every K4 vertex
     sits in C(3,2)=3 triangles, the pendant in none; duplicate, reversed,

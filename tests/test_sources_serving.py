@@ -1103,6 +1103,71 @@ def test_versioned_table_footer_stats_fail_open_observable(spark, tmp_path):
     assert all("stats_error" in _json.loads(m) for m in tf)
 
 
+def test_binary_stats_non_utf8_fail_open_not_lossy(tmp_path):
+    """Round-9 ADVICE: non-UTF8 BINARY footer bounds must fail OPEN, not
+    replace-decode — U+FFFD substitution does not preserve byte order, so
+    a replace-decoded min can sit ABOVE the true bound and prune a file
+    that holds matching rows. _plain now strict-decodes or records None
+    (must-read), the same observable posture as stats_error."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    # unit: valid UTF-8 round-trips, invalid records no bound
+    assert S._plain("é".encode()) == "é"
+    assert S._plain(b"\xff\x10") is None
+    assert S._plain(b"ok") == "ok"
+
+    # footer harvest: a parquet file whose binary column min/max are not
+    # UTF-8 records null bounds for it => _may_contain always reads it
+    f = str(tmp_path / "bin.parquet")
+    pq.write_table(
+        pa.table({"b": pa.array([b"\xff\x01", b"\xfe\x02"], type=pa.binary())}),
+        f,
+    )
+    meta = S._footer_meta(f, ["b"])
+    assert _json.loads(meta)["bounds"]["b"] == [None, None]
+    assert S._may_contain(meta, {"b": ("zzz", None)}) is True
+
+    # a mixed file (valid min, invalid max) keeps the decodable side —
+    # still conservative, the null side simply never prunes
+    f2 = str(tmp_path / "bin2.parquet")
+    pq.write_table(
+        pa.table({"b": pa.array([b"\xff\x01", b"\x00a"], type=pa.binary())}),
+        f2,
+    )
+    assert _json.loads(S._footer_meta(f2, ["b"]))["bounds"]["b"] == [
+        "\x00a",
+        None,
+    ]
+
+
+def test_ref_names_cannot_hide_behind_tmp_filter(spark, tmp_path):
+    """Round-9 ADVICE: ref names containing '.tmp' are rejected — a
+    branch/tag named like an in-flight temp file would be created yet
+    invisible to list_refs, so expire_snapshots would not retain its head
+    (a tagged snapshot could be expired, leaving a dangling ref)."""
+    import pytest as _pytest
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "tmpref")
+    S.create_table(
+        spark, path, spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    for bad in ("v1.tmp-x", "a.tmpb", ".tmp"):
+        with _pytest.raises(ValueError, match="invalid ref name"):
+            S.create_tag(path, bad)
+        with _pytest.raises(ValueError, match="invalid ref name"):
+            S.create_branch(path, bad)
+    # legal dotted names still work and are visible to retention
+    S.create_tag(path, "v1.0")
+    assert S.list_refs(path)["tag"]["v1.0"] == 1
+
+
 def test_versioned_table_legacy_dir_manifests_still_read(spark, tmp_path):
     """Backward compatibility: manifests whose data entries are commit
     DIRECTORIES (pre-round-8 layout) still read, diff, vacuum, and carry

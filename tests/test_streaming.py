@@ -1279,6 +1279,31 @@ def test_snapshot_stream_prune_pushdown(spark, tmp_path):
         (300 + i, f"w{i}", float(i)) for i in range(5)
     }
 
+    # round-9 ADVICE: pruning ON the widened column across the evolution —
+    # pre-evolution files are all-null for x, and the batch twin's
+    # _range_condition drops every null row, so the stream must skip those
+    # files entirely (previously it delivered all their rows). live==batch
+    # exact on a prune column absent from older part files.
+    got3: list = []
+    q3 = (
+        read_snapshot_stream(spark, path, prune={"x": (0.0, 2.5)})
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: got3.extend(tuple(r) for r in b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    want3 = {
+        tuple(r)
+        for r in S.read_appends_since(
+            spark, path, 0, prune={"x": (0.0, 2.5)}
+        ).collect()
+    }
+    assert set(got3) == want3 == {(300 + i, f"w{i}", float(i)) for i in range(3)}
+
 
 def test_incremental_bigram_lm_matches_batch(spark, sf_dir, tmp_path):
     """Round-8 VERDICT item 4, pinned: the bigram LM streamed in per-batch
