@@ -114,6 +114,8 @@ HEADLINE = [
     # iterative integer-exact PageRank over the nation trade graph
     "hybrid_rrf",
     "nation_pagerank",
+    # r9: skew-capped SemDeDup (bounded within-cluster pair work)
+    "semantic_dedup_capped",
 ]
 
 

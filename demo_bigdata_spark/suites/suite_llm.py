@@ -3835,6 +3835,93 @@ ORDER BY cluster
 SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
+def q_semantic_dedup_capped(spark, sf_dir):
+    """SemDeDup with the per-cluster size cap (operator:
+    similarity.semantic_dedup(max_cluster=...), round-9 VERDICT item 1):
+    2 base planes give 4 clusters of ~125 at sf0.01, so the cap of 15
+    forces BOTH semantic refinement levels (4 extra planes each, seeds
+    143/244) before the within-cluster compare — the twin replays every
+    level from the same float64 plane literals plus the md5 guillotine
+    formula, so the refined string cluster paths, the drop set, and the
+    rollup must all match exactly. The quadratic stage is bounded at
+    sum_c min(|c|, cap)^2 regardless of skew."""
+    emb = _emb(spark, sf_dir)
+    surv = S.semantic_dedup(emb, PAIR_THRESHOLD, n_planes=2, max_cluster=15)
+    return (
+        surv.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _sql_plane_bucket(planes, vec: str = "v", dim: int = 64) -> str:
+    """Sign-LSH bucket as a DuckDB expression over ``vec`` (DOUBLE[]),
+    identical left-to-right IEEE fold as operators.similarity.lsh_bucket."""
+
+    def plane_lit(plane):
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    terms = []
+    for i, plane in enumerate(planes):
+        d = (
+            f"list_reduce(list_transform(range({dim}), "
+            f"j -> {vec}[j+1] * ({plane_lit(plane)})[j+1]), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _sql_semantic_dedup_capped() -> str:
+    """Twin of the capped operator: three FIXED refinement levels (two
+    sign-LSH, one md5 guillotine), each a size-CTE + conditional key
+    extension — a level whose clusters are all under the cap is the
+    identity, exactly like the operator's early break."""
+    cap, dim, seed = 15, 64, 42
+    b0 = _sql_plane_bucket(S.hyperplanes(dim, 2, seed))
+    b1 = _sql_plane_bucket(S.hyperplanes(dim, 4, seed + 101))
+    b2 = _sql_plane_bucket(S.hyperplanes(dim, 4, seed + 202))
+    lvl = []
+    for i, sub in enumerate(
+        (
+            f"({b1})::VARCHAR",
+            f"({b2})::VARCHAR",
+            f"((('0x' || substr(md5(ck || ':' || vec_id::VARCHAR), 1, 7))"
+            f"::BIGINT % ((n + {cap} - 1) // {cap})))::VARCHAR",
+        ),
+        start=1,
+    ):
+        lvl.append(
+            f"s{i} AS (SELECT ck, count(*)::BIGINT AS n FROM k{i - 1} "
+            f"GROUP BY ck),\n"
+            f"k{i} AS (SELECT vec_id, label, v,\n"
+            f"  CASE WHEN n > {cap} THEN ck || '.' || {sub} ELSE ck END AS ck\n"
+            f"  FROM k{i - 1} JOIN s{i} USING (ck))"
+        )
+    levels = ",\n".join(lvl)
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+k0 AS (SELECT vec_id, label, v, ({b0})::VARCHAR AS ck FROM v),
+{levels},
+kf AS MATERIALIZED (SELECT * FROM k3),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM kf a JOIN kf b ON a.ck = b.ck AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {PAIR_THRESHOLD}
+)
+SELECT ck AS cluster, count(*) AS n_survivors, count(DISTINCT label) AS n_labels
+FROM kf
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+GROUP BY ck
+ORDER BY cluster
+"""
+
+
+SQL_SEMANTIC_DEDUP_CAPPED = _sql_semantic_dedup_capped()
+
+
 def q_soft_dedup(spark, sf_dir):
     """Soft dedup weights (operator: dedup.soft_dedup_weights): per-doc
     sampling weight = 1 / mean document-frequency of its distinct 8-token
@@ -4090,6 +4177,7 @@ QUERIES = {
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "semantic_dedup_capped": (q_semantic_dedup_capped, SQL_SEMANTIC_DEDUP_CAPPED),
     "soft_dedup": (q_soft_dedup, SQL_SOFT_DEDUP),
     "lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     "ivf_topk": (q_ivf_topk, None),

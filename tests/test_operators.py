@@ -1292,6 +1292,77 @@ def test_semantic_dedup_survivors_superset_of_exact(spark, sf_dir):
     assert surv.columns[-1] == "cluster" or "cluster" in surv.columns
 
 
+def test_semantic_dedup_cap_bounds_dup_farm(spark):
+    """Round-9 VERDICT item 1, pinned: a planted dup farm (80 identical
+    vectors — same sign on EVERY plane, so no amount of semantic LSH
+    refinement splits it) must be guillotined into ~ceil(n/cap) id-hash
+    groups, bounding the within-cluster pair work; random vectors split
+    at the semantic levels and never reach the guillotine. Capped drops
+    stay a subset of the exact drop set and the split is deterministic."""
+    import random
+
+    from demo_bigdata_spark.operators.similarity import (
+        _split_oversized_clusters,
+        hyperplanes,
+        lsh_bucket,
+        semantic_dedup,
+    )
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+    rows = [(i, base, 1) for i in range(80)] + [
+        (1000 + i, [rng.uniform(-1.0, 1.0) for _ in range(64)], 2)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cap = 10
+    keyed = emb.withColumn(
+        "cluster", lsh_bucket(F.col("embedding"), hyperplanes(64, 2, 42))
+    )
+    refined = _split_oversized_clusters(
+        keyed,
+        cap,
+        vec_col="embedding",
+        id_col="vec_id",
+        dim=64,
+        seed=42,
+        split_planes=4,
+        semantic_levels=2,
+    )
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in refined.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    # bounded pair work: no refined cluster near the farm size (md5 hash
+    # imbalance allows modest overshoot past the expected <= cap)
+    assert max(sizes.values()) <= int(2.5 * cap), sizes
+    assert sum(n * n for n in sizes.values()) < 80 * 80 / 4
+    # the farm went through all three levels (depth-3 guillotine keys);
+    # ~ceil(80/10)=8 groups
+    farm_keys = [k for k in sizes if k.count(".") == 3]
+    assert 4 <= len(farm_keys) <= 16, sizes
+    assert sum(sizes[k] for k in farm_keys) == 80
+
+    surv = semantic_dedup(emb, 0.9, n_planes=2, max_cluster=cap)
+    surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    # keep-first within every refined sub-cluster: exactly one survivor
+    # per farm sub-cluster (all pairwise cosines are 1.0), so the cap's
+    # recall trade is len(farm_keys)-1 extra survivors, never a wrong drop
+    farm_survivors = [i for i in surv_ids if i < 1000]
+    assert len(farm_survivors) == len(farm_keys)
+    assert 0 in surv_ids  # keep-first: the minimum id always survives
+    # deterministic: identical second run
+    surv2 = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, 0.9, n_planes=2, max_cluster=cap)
+        .select("vec_id")
+        .collect()
+    }
+    assert surv2 == surv_ids
+
+
 def test_soft_dedup_weights_exact_on_hand_corpus(spark):
     """Hand-checkable commonness: docs shorter than the shingle width
     collapse to one whole-text shingle, so two identical short docs share

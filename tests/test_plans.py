@@ -562,6 +562,18 @@ def test_semantic_dedup_is_cluster_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_semantic_dedup_capped_is_cluster_equi_join(spark, sf_dir):
+    """The capped variant keeps the same plan discipline: the within-
+    cluster comparison equi-joins on the REFINED string key (materialized
+    by the per-level checkpoint, so neither join side re-evaluates the
+    LSH plane arithmetic) — no cartesian/nested-loop anywhere."""
+    from demo_bigdata_spark.suites.suite_llm import q_semantic_dedup_capped
+
+    plan = executed_plan(q_semantic_dedup_capped(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_hybrid_rrf_windows_bounded_by_candidate_lists(spark, sf_dir):
     """rrf_fuse's rank windows are single-partition BY DESIGN, but they
     must sit above the top-N candidate cuts (TakeOrderedAndProject /
