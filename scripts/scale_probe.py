@@ -168,6 +168,29 @@ def main() -> None:
             SIM.semantic_dedup(bemb, 0.35, n_planes=12),
         )
     )
+    # r9: ADVERSARIAL dup farm — a third of the corpus is ONE identical
+    # vector, so every semantic plane agrees and the whole farm lands in a
+    # single cluster no matter how many planes; max_cluster guillotines it
+    # into ~n/cap id-hash groups, so the pair stage stays bounded (the
+    # uncapped plan would put ~farm^2/2 cosine pairs on ONE join key —
+    # the single-task hotspot — and is deliberately not probed, like the
+    # exact twin above)
+    first_vec = emb.select("embedding").first()[0]
+    farm_n = en_ * FACTOR // 3
+    farm = spark.range(farm_n).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.lit([float(x) for x in first_vec]).cast("array<float>").alias("embedding"),
+        F.lit(99).alias("label"),
+    )
+    adv = bemb.unionByName(farm)
+    adv.write.mode("overwrite").parquet(f"{tmp}/embeddings_adv.parquet")
+    badv = spark.read.parquet(f"{tmp}/embeddings_adv.parquet")
+    doc_results.append(
+        timed(
+            f"semantic_dedup_capped_dupfarm_{farm_n}",
+            SIM.semantic_dedup(badv, 0.35, n_planes=12, max_cluster=2000),
+        )
+    )
 
     # packing/mixture tier (round-4 operators): the two-level prefix sum and
     # the one pack_id-keyed shuffle are the scale claims under test — growth
@@ -859,6 +882,12 @@ def main() -> None:
         "grows with the corpus, exactly the SemDeDup deployment recipe.",
         "The exact all-pairs twin at this scale would be ~11G pairs and is",
         "deliberately NOT probed.",
+        "r9: semantic_dedup_capped_dupfarm plants a third of the corpus as",
+        "ONE identical vector — unsplittable by any semantic plane — and",
+        "max_cluster=2000 guillotines it into ~n/cap md5 id-hash groups, so",
+        "the within-cluster pair stage stays bounded under the worst-case",
+        "skew; the uncapped plan would put ~farm^2/2 pairs on a single join",
+        "key (one task) and is deliberately not probed either.",
         "",
         "Packing/mixture tier (x30 corpus, targets scaled x30 so keep-rates",
         "stay realistic): pack_sequences' only global window runs over",
