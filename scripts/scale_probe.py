@@ -765,6 +765,66 @@ def main() -> None:
         )
     )
 
+    # r9: degree-ordered triangle counting on a SKEWED graph — a low-id
+    # hub (id 0) of degree H over a sparse background. Under raw
+    # id-ordering the hub keeps its full degree as forward-degree, so the
+    # wedge join materializes ~H^2/2 pairs through one key; under
+    # (degree, id) orientation the hub's edges point INTO it and the
+    # wedge stage stays bounded. Both variants are timed on the same
+    # frame; the id-order one uses a deliberately modest H so the probe
+    # finishes — the RATIO is the claim.
+    from demo_bigdata_spark.operators.graph import triangle_counts as _tric
+
+    hub_deg = 30000
+    bg = (
+        spark.range(1, 200_000)
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 48271) % 199_999 + 1).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    hub = spark.range(1, hub_deg + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    skew_edges = bg.unionAll(hub)
+    skew_edges.write.mode("overwrite").parquet(f"{tmp}/skew_graph.parquet")
+    bskew = spark.read.parquet(f"{tmp}/skew_graph.parquet")
+    t0 = time.perf_counter()
+    deg_n = _tric(bskew).count()
+    t_deg = round(time.perf_counter() - t0, 2)
+
+    def _tric_id_order(edges):
+        und = (
+            edges.select(
+                F.least("src", "dst").alias("_a"),
+                F.greatest("src", "dst").alias("_b"),
+            )
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        e1 = und.select(F.col("_a").alias("x"), F.col("_b").alias("y"))
+        e2 = und.select(F.col("_a").alias("y"), F.col("_b").alias("z"))
+        e3 = und.select(F.col("_a").alias("x"), F.col("_b").alias("z"))
+        return (
+            e1.join(e2, "y")
+            .join(e3, ["x", "z"], "left_semi")
+            .groupBy("x")
+            .agg(F.count("*").alias("n"))
+        )
+
+    t0 = time.perf_counter()
+    id_n = _tric_id_order(bskew).count()
+    t_id = round(time.perf_counter() - t0, 2)
+    rel_results += [
+        (
+            f"triangles_degree_order_hub{hub_deg} ({deg_n:,} node rows)",
+            t_deg,
+        ),
+        (f"triangles_id_order_hub{hub_deg} ({id_n:,} rows)", t_id),
+    ]
+
     # backfill: dynamic partition overwrite of TWO dates out of the x30
     # partitioned events table — cost must track the slice, not the table
     from demo_bigdata_spark.sources.maintenance import backfill_partitions
@@ -972,6 +1032,11 @@ def main() -> None:
         "forwarded by manifest entry alone) — write cost tracks the slice,",
         "read cost of the result is zero merge (no delete file added).",
         "pagerank_5it_part_supplier_x30 runs the iterative engine over the",
+        "triangles_degree_order vs triangles_id_order: the same skewed",
+        "graph (a 30k-degree low-id hub over a sparse background) through",
+        "the shipped (degree, id)-oriented wedge join and the naive",
+        "id-oriented one — the hub's H^2/2 wedge blowup lands only on the",
+        "naive plan; the ratio, not the decimals, is the claim (r9).",
         "bipartite part<->supplier graph: per-iteration cost is one",
         "co-partitioned edge join + one aggregate, the edge frame is",
         "normalized and pinned once, and the eager lineage cut keeps plan",

@@ -1589,3 +1589,24 @@ def test_triangle_counts_hand_graph(spark):
         r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # round-9 VERDICT item 3: a LOW-ID HUB (node 0 wired to everything) —
+    # under raw id-ordering its forward-degree is its full degree; under
+    # (degree, id) orientation its edges point INTO it, bounding the wedge
+    # join. Counts must match a pure-Python brute force exactly.
+    import itertools
+
+    hub_edges = [(0, v) for v in range(1, 6)]
+    all_edges = k4 + [(4, 5)] + hub_edges
+    edges2 = spark.createDataFrame(all_edges, "src long, dst long")
+    adj = {frozenset(e) for e in all_edges}
+    nodes = sorted({v for e in all_edges for v in e})
+    want: dict[int, int] = {}
+    for t in itertools.combinations(nodes, 3):
+        if all(frozenset(p) in adj for p in itertools.combinations(t, 2)):
+            for v in t:
+                want[v] = want.get(v, 0) + 1
+    got2 = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(edges2).collect()
+    }
+    assert got2 == want and want[0] == 7  # hub sits in 6 K4-edge + (4,5) tris
