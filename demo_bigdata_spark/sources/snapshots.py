@@ -1130,6 +1130,61 @@ def snapshot_diff(
     ).filter(F.col("change").isNotNull())
 
 
+def snapshot_changelog(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    key_col: str,
+) -> DataFrame:
+    """Row-level change feed between two snapshots with FULL ROWS — the
+    Iceberg changelog-scan (CDF) shape: ``insert`` rows carry the new
+    row, ``delete`` rows carry the PRE-IMAGE (the row as it stood at
+    ``from_snapshot``), and an updated key emits an ``update_preimage`` /
+    ``update_postimage`` pair. :func:`snapshot_diff` is the key-only
+    classification; this is what a downstream mirror or audit consumer
+    replays. Works across EVERY commit kind — MOR equality deletes,
+    position deletes, copy-on-write rewrites, upserts, compaction —
+    because it compares the two committed VIEWS rather than walking
+    per-commit files; the price is two committed reads plus one
+    full-outer join keyed by ``key_col`` (the honest equality-delete CDC
+    cost; the streaming source in sources/snapshot_cdc.py is the
+    O(new files) per-commit feed for append/delete/upsert lineages).
+    Output = table schema (as of ``to_snapshot``) + ``_change_type``."""
+    ta = read_table(spark, path, from_snapshot)
+    tb = read_table(spark, path, to_snapshot)
+    cols = tb.columns
+    ta = ta.select(
+        *[F.col(c) if c in ta.columns else F.lit(None).alias(c) for c in cols]
+    )
+
+    def keyed(df, tag):
+        others = sorted(c for c in df.columns if c != key_col)
+        return df.select(
+            F.col(key_col).alias("_k"),
+            F.sha2(
+                F.to_json(F.struct(*[F.col(c) for c in others])), 256
+            ).alias(f"_h{tag}"),
+            F.struct(*cols).alias(f"_r{tag}"),
+        )
+
+    j = keyed(ta, "a").join(keyed(tb, "b"), "_k", "full_outer")
+    ins = j.filter(F.col("_ha").isNull()).select(
+        "_rb.*", F.lit("insert").alias("_change_type")
+    )
+    dele = j.filter(F.col("_hb").isNull()).select(
+        "_ra.*", F.lit("delete").alias("_change_type")
+    )
+    upd = j.filter(
+        F.col("_ha").isNotNull()
+        & F.col("_hb").isNotNull()
+        & (F.col("_ha") != F.col("_hb"))
+    )
+    pre = upd.select("_ra.*", F.lit("update_preimage").alias("_change_type"))
+    post = upd.select("_rb.*", F.lit("update_postimage").alias("_change_type"))
+    return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
+
 def rollback(path: str, snapshot: int) -> None:
     """Point the table back at an earlier committed snapshot — a pointer
     swap, nothing rewritten; later snapshots stay readable by id until

@@ -4105,6 +4105,85 @@ def q_snapshot_changes(spark, sf_dir):
     )
 
 
+def q_snapshot_cdf(spark, sf_dir):
+    """Full-row change feed (sources.snapshots.snapshot_changelog, round-9
+    VERDICT item 2): the versioned table runs create(evens) ->
+    append(odds) -> MOR-delete('en') -> upsert(doc_id%7==0, uppercased)
+    -> POSITION-delete(doc_id%11==3) -> COPY-ON-WRITE-delete(doc_id%13==1)
+    — every delete flavor the table supports — and the changelog of
+    snapshot 1 vs the head emits insert post-images, delete PRE-IMAGES,
+    and update_preimage/update_postimage pairs. Rolled up by
+    (_change_type, lang); the oracle recomputes each key's s1/head
+    membership and content change straight from the documents table."""
+    import os
+    import shutil
+
+    from demo_bigdata_spark.sources.snapshots import (
+        append_snapshot,
+        create_table,
+        current_snapshot,
+        delete_where,
+        delete_where_cow,
+        delete_where_positions,
+        snapshot_changelog,
+        upsert_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    path = (
+        "/tmp/spark_graft_vclog_"
+        + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        + f"_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    create_table(spark, path, docs.filter(F.col("doc_id") % 2 == 0))
+    append_snapshot(spark, path, docs.filter(F.col("doc_id") % 2 == 1))
+    delete_where(spark, path, "doc_id", F.col("lang") == "en")
+    upsert_snapshot(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.upper("text")
+        ),
+        "doc_id",
+    )
+    delete_where_positions(spark, path, F.col("doc_id") % 11 == 3)
+    delete_where_cow(spark, path, F.col("doc_id") % 13 == 1)
+    cl = snapshot_changelog(spark, path, 1, current_snapshot(path), "doc_id")
+    return (
+        cl.groupBy("_change_type", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("_change_type", "lang")
+    )
+
+
+SQL_SNAPSHOT_CDF = """
+WITH base AS (
+  SELECT doc_id, lang, text,
+         doc_id % 2 = 0 AS in_s1,
+         (NOT (lang = 'en' AND doc_id % 7 <> 0))
+           AND doc_id % 11 <> 3 AND doc_id % 13 <> 1 AS in_head,
+         doc_id % 7 = 0 AND upper(text) <> text AS content_changed
+  FROM documents
+),
+ev AS (
+  SELECT lang, 'insert' AS _change_type FROM base WHERE in_head AND NOT in_s1
+  UNION ALL
+  SELECT lang, 'delete' FROM base WHERE in_s1 AND NOT in_head
+  UNION ALL
+  SELECT lang, 'update_preimage' FROM base
+  WHERE in_s1 AND in_head AND content_changed
+  UNION ALL
+  SELECT lang, 'update_postimage' FROM base
+  WHERE in_s1 AND in_head AND content_changed
+)
+SELECT _change_type, lang, count(*)::BIGINT AS n
+FROM ev
+GROUP BY _change_type, lang
+ORDER BY _change_type, lang
+"""
+
+
 SQL_SNAPSHOT_CHANGES = """
 WITH base AS (
   SELECT doc_id, lang, text,
@@ -4199,6 +4278,7 @@ QUERIES = {
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
+    "snapshot_cdf": (q_snapshot_cdf, SQL_SNAPSHOT_CDF),
     "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "index_search": (q_index_search, SQL_INDEX_SEARCH),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),

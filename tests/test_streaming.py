@@ -1305,6 +1305,151 @@ def test_snapshot_stream_prune_pushdown(spark, tmp_path):
     assert set(got3) == want3 == {(300 + i, f"w{i}", float(i)) for i in range(3)}
 
 
+def test_snapshot_cdf_stream_delete_aware(spark, tmp_path):
+    """Round-9 VERDICT item 2, pinned: the changelog stream
+    (sources/snapshot_cdc.py::read_changelog_stream) is DELETE-AWARE —
+    across a mixed create/append/MOR-delete/upsert/position-delete
+    lifecycle (checkpoint restart in the middle) it emits insert rows,
+    equality-delete key tombstones, and resolved position-delete
+    pre-images, each stamped with its commit; applying
+    tombstones-then-inserts per commit converges a mirror to read_table
+    EXACTLY, and each commit's events map onto snapshot_diff's
+    classification. A copy-on-write commit fails loudly instead of
+    silently streaming survivors as inserts."""
+    import itertools
+
+    import pytest as _pytest
+
+    from demo_bigdata_spark.sources import snapshots as S
+    from demo_bigdata_spark.sources.snapshot_cdc import read_changelog_stream
+
+    path = str(tmp_path / "cdf")
+    ck = str(tmp_path / "cdf_ck")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    S.create_table(spark, path, df([(1, "a"), (2, "b"), (3, "c")]))  # s1
+    S.append_snapshot(spark, path, df([(4, "d"), (5, "e")]))  # s2
+    S.delete_where(spark, path, "k", F.col("k") == 2)  # s3
+
+    got: list = []
+
+    def run():
+        q = (
+            read_changelog_stream(spark, path)
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda b, e: got.extend(tuple(r) for r in b.collect())
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()  # first segment: s1..s3
+    n_first = len(got)
+    assert n_first == 6  # 5 inserts + 1 tombstone
+
+    S.upsert_snapshot(spark, path, df([(3, "C2"), (6, "f")]), "k")  # s4
+    S.delete_where_positions(spark, path, F.col("v") == "d")  # s5
+    run()  # restart from checkpoint: only s4..s5, no replays
+    assert len(got) == n_first + 5
+
+    # mirror apply: per commit ascending, tombstones then inserts
+    mirror: dict = {}
+    for _, evs in itertools.groupby(
+        sorted(got, key=lambda r: r[3]), key=lambda r: r[3]
+    ):
+        evs = list(evs)
+        for k, _v, ct, _c in evs:
+            if ct == "delete":
+                mirror.pop(k, None)
+        for k, v, ct, _c in evs:
+            if ct == "insert":
+                mirror[k] = v
+    table = {r.k: r.v for r in S.read_table(spark, path).collect()}
+    assert mirror == table
+
+    # per-commit parity with snapshot_diff: map (tombstone, insert) pairs
+    # per key given the window-start membership
+    for s in range(2, 6):
+        start_keys = {
+            r.k for r in S.read_table(spark, path, snapshot=s - 1).collect()
+        }
+        evs = [r for r in got if r[3] == s]
+        by_key: dict = {}
+        for k, _v, ct, _c in evs:
+            by_key.setdefault(k, set()).add(ct)
+        mapped = {}
+        for k, kinds in by_key.items():
+            if kinds == {"insert"}:
+                mapped[k] = "insert"
+            elif kinds == {"delete"}:
+                mapped[k] = "delete"
+            else:  # tombstone + insert in one commit
+                mapped[k] = "update" if k in start_keys else "insert"
+        want = {
+            r.k: r.change
+            for r in S.snapshot_diff(spark, path, s - 1, s, "k").collect()
+        }
+        assert mapped == want, (s, mapped, want)
+
+    # position-delete events carry the full pre-image
+    pos_evs = [r for r in got if r[3] == 5]
+    assert pos_evs == [(4, "d", "delete", 5)]
+
+    # COW rewrite: the stream refuses the commit LOUDLY
+    S.delete_where_cow(spark, path, F.col("k") == 5)  # s6 rewrites files
+    with _pytest.raises(Exception, match="rewrites data files"):
+        q = (
+            read_changelog_stream(spark, path)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, e: None)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def test_snapshot_changelog_batch_full_rows(spark, tmp_path):
+    """snapshots.snapshot_changelog: the batch CDF twin carries FULL rows
+    — insert post-images, delete pre-images, update_preimage/postimage
+    pairs — and, unlike the per-commit stream, resolves ANY commit kind
+    including copy-on-write rewrites, because it diffs committed views."""
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "clog")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    S.create_table(spark, path, df([(1, "a"), (2, "b"), (3, "c")]))  # s1
+    S.append_snapshot(spark, path, df([(4, "d")]))  # s2
+    S.delete_where(spark, path, "k", F.col("k") == 2)  # s3
+    S.upsert_snapshot(spark, path, df([(3, "C2"), (5, "e")]), "k")  # s4
+    S.delete_where_cow(spark, path, F.col("k") == 1)  # s5 (COW)
+
+    rows = {
+        tuple(r)
+        for r in S.snapshot_changelog(spark, path, 1, 5, "k").collect()
+    }
+    assert rows == {
+        (4, "d", "insert"),
+        (5, "e", "insert"),
+        (2, "b", "delete"),
+        (1, "a", "delete"),
+        (3, "c", "update_preimage"),
+        (3, "C2", "update_postimage"),
+    }
+
+
 def test_incremental_bigram_lm_matches_batch(spark, sf_dir, tmp_path):
     """Round-8 VERDICT item 4, pinned: the bigram LM streamed in per-batch
     count frames (append_bigram_lm_batch) folds to EXACTLY the one-shot
