@@ -54,6 +54,10 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str = "w",
     sources: DataFrame | None = None,
+    eps: int | None = None,
+    max_iters: int = 100,
+    init_ranks: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` restricted to the ``nodes``
     universe, in exact scaled-integer arithmetic (see module docstring).
@@ -63,9 +67,22 @@ def pagerank(
     (node, rank) with rank a scaled bigint; ``rank / scale`` is the usual
     probability-like score. Nodes outside every edge still receive the
     teleport base plus their dangling share. ``iters`` is a fixed count —
-    the deterministic, oracle-replayable form; convergence-threshold
-    stopping is a trivial wrapper (loop until max |delta| < eps) that
-    trades replayability for adaptivity.
+    the deterministic, oracle-replayable form.
+
+    ``eps`` switches to CONVERGENCE mode (round-9 VERDICT item 5): iterate
+    until ``max |rank' - rank| < eps`` (scaled-bigint units; a 1-row
+    node-keyed join + max aggregate per iteration, the
+    ``_propagate_min_labels`` changed==0 discipline) or ``max_iters``,
+    whichever first; ``iters`` is ignored. The integer iteration dithers
+    by +-1 at the floor, so eps >= 2 always terminates; the distance to
+    the true fixed point at stop is ~ eps * d/(1-d). ``init_ranks``
+    WARM-STARTS from a prior (node, rank) frame — the affine update has
+    one attractor, so any start converges to the same fixed point, and a
+    start near it (ranks from before a small edge delta, e.g. an
+    ``incremental_edge_counts`` fold) re-converges in a few iterations
+    instead of a cold run (measured in docs/SCALE_NOTES.md); missing
+    nodes seed at the cold value. ``stats`` (a caller dict) records
+    ``stats["iterations"]`` actually performed.
 
     ``sources`` switches to PERSONALIZED PageRank (topic-sensitive,
     Haveliwala 2002): the teleport base and the dangling redistribution
@@ -174,14 +191,29 @@ def pagerank(
     ranks = tele.select(
         F.col(node_col),
         (F.col("_t") * F.lit(scale // n_tele)).cast("bigint").alias("rank"),
-    ).localCheckpoint(eager=True)
+    )
+    if init_ranks is not None:
+        warm = init_ranks.select(
+            node_col, F.col("rank").cast("bigint").alias("_warm")
+        )
+        ranks = (
+            ranks.join(warm, node_col, "left")
+            .select(
+                node_col,
+                F.coalesce("_warm", "rank").alias("rank"),
+            )
+        )
+    ranks = ranks.localCheckpoint(eager=True)
 
     # a checkpointed rank frame carries no size statistics, so Catalyst
     # cannot see it is node-sized; broadcast it explicitly while the node
     # count is broadcastable (a billion-node graph instead rides the
     # co-partitioned cached edge frame: only ranks shuffles, node-sized)
     bcast_ranks = n_nodes <= 4_000_000
-    for _ in range(iters):
+    n_rounds = iters if eps is None else int(max_iters)
+    performed = 0
+    for _ in range(n_rounds):
+        prev = ranks
         r = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = (
             en.join(r, en["_src"] == r[node_col])
@@ -207,6 +239,24 @@ def pagerank(
             )
             .localCheckpoint(eager=True)  # lineage cut: the iterative discipline
         )
+        performed += 1
+        if eps is not None:
+            # 1-row convergence check over two node-sized checkpointed
+            # frames — the adaptive stop the fixed-iteration form trades
+            # away for oracle replayability
+            delta = (
+                ranks.join(
+                    prev.withColumnRenamed("rank", "_prev"), node_col
+                )
+                .agg(
+                    F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d")
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta < eps:
+                break
+    if stats is not None:
+        stats["iterations"] = performed
     en.unpersist(blocking=False)  # returned ranks are checkpointed, not lazy
     return ranks
 

@@ -765,6 +765,38 @@ def main() -> None:
         )
     )
 
+    # r9: convergence mode + warm start — converge cold at eps=1e-6 of
+    # scale, then re-rank after a SMALL edge delta (one supplier's weights
+    # bumped) warm-started from the converged ranks: iterations and wall
+    # time must drop well below cold (the incremental re-rank recipe for
+    # consumers of incremental_edge_counts)
+    eps = 1_000_000
+    st_cold: dict = {}
+    t0 = time.perf_counter()
+    cold_ranks = _pagerank(None, pr_edges, eps=eps, stats=st_cold)
+    cold_ranks = cold_ranks.localCheckpoint(eager=True)
+    cold_ranks.count()
+    t_cold = round(time.perf_counter() - t0, 2)
+    bumped = pr_edges.withColumn(
+        "w",
+        F.when(F.col("src") == sup_off + 1, F.col("w") + 1).otherwise(
+            F.col("w")
+        ),
+    )
+    st_warm: dict = {}
+    t0 = time.perf_counter()
+    _pagerank(
+        None, bumped, eps=eps, init_ranks=cold_ranks, stats=st_warm
+    ).count()
+    t_warm = round(time.perf_counter() - t0, 2)
+    rel_results += [
+        (f"pagerank_converge_cold_x30 ({st_cold['iterations']} iters)", t_cold),
+        (
+            f"pagerank_converge_warm_x30 ({st_warm['iterations']} iters)",
+            t_warm,
+        ),
+    ]
+
     # r9: degree-ordered triangle counting on a SKEWED graph — a low-id
     # hub (id 0) of degree H over a sparse background. Under raw
     # id-ordering the hub keeps its full degree as forward-degree, so the

@@ -1547,6 +1547,62 @@ def test_personalized_pagerank_matches_integer_reference(spark):
     assert got["A"] > got["B"] > got["C"] > got["D"]
 
 
+def test_pagerank_convergence_and_warm_start(spark):
+    """Round-9 VERDICT item 5, pinned: eps-mode pagerank stops at
+    max|delta| < eps and lands within the contraction bound
+    (~eps * d/(1-d), pinned at 10*eps) of the long fixed-iteration run;
+    warm-starting from converged ranks after a small edge delta
+    re-converges in FEWER iterations than cold and reaches the same
+    fixed-point neighborhood. The integer iteration dithers +-1 at the
+    floor, so eps=2 is the exact-stop form."""
+    from demo_bigdata_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(v,) for v in "ABCD"], "node string")
+    edges = spark.createDataFrame(
+        [("A", "B", 2), ("A", "C", 1), ("B", "A", 1), ("D", "A", 1)],
+        "src string, dst string, w long",
+    )
+    fixed = {
+        r["node"]: r["rank"] for r in pagerank(nodes, edges, iters=80).collect()
+    }
+    eps = 1_000_000  # 1e-6 of PAGERANK_SCALE
+    st: dict = {}
+    conv = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, eps=eps, stats=st).collect()
+    }
+    assert 0 < st["iterations"] < 80
+    assert max(abs(conv[v] - fixed[v]) for v in conv) <= 10 * eps
+
+    # warm start after a small edge-weight delta: fewer iterations than
+    # cold, same destination
+    edges2 = spark.createDataFrame(
+        [("A", "B", 2), ("A", "C", 1), ("B", "A", 1), ("D", "A", 2)],
+        "src string, dst string, w long",
+    )
+    st_cold: dict = {}
+    cold = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges2, eps=eps, stats=st_cold).collect()
+    }
+    prior = spark.createDataFrame(
+        [(v, conv[v]) for v in conv], "node string, rank long"
+    )
+    st_warm: dict = {}
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            nodes, edges2, eps=eps, init_ranks=prior, stats=st_warm
+        ).collect()
+    }
+    assert st_warm["iterations"] < st_cold["iterations"]
+    assert max(abs(warm[v] - cold[v]) for v in warm) <= 10 * eps
+    # exact-stop form terminates too (dither floor)
+    st2: dict = {}
+    pagerank(nodes, edges, eps=2, max_iters=200, stats=st2).collect()
+    assert st2["iterations"] < 200
+
+
 def test_pagerank_restricts_edges_to_node_universe(spark):
     """Round-9 ADVICE: a caller-supplied node universe narrower than the
     edge endpoints must RESTRICT the edges (both endpoints), not leak mass
