@@ -2240,16 +2240,16 @@ def q_corpus_pipeline_v4(spark, sf_dir):
 SQL_CORPUS_PIPELINE_V4 = rf"""
 WITH {_SQL_GOPHER_BASE},
 {_SQL_PIPE_GOPHER_FEAT},
-gated AS (SELECT doc_id FROM feat WHERE {_SQL_GOPHER_KEEP}),
+gated AS MATERIALIZED (SELECT doc_id FROM feat WHERE {_SQL_GOPHER_KEEP}),
 sdd AS (
   SELECT d.doc_id,
          CASE WHEN trim(d.text) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(d.text), '\s+') END AS tok
   FROM documents d JOIN gated USING (doc_id)
 ),
-sdtn AS (SELECT doc_id, tok, len(tok)::BIGINT AS n FROM sdd),
+sdtn AS MATERIALIZED (SELECT doc_id, tok, len(tok)::BIGINT AS n FROM sdd),
 sdw AS (SELECT doc_id, unnest(range(n - 19)) AS p, tok FROM sdtn WHERE n >= 20),
-sdg AS (SELECT doc_id, p, md5(array_to_string(tok[p+1:p+20], ' ')) AS h FROM sdw),
+sdg AS MATERIALIZED (SELECT doc_id, p, md5(array_to_string(tok[p+1:p+20], ' ')) AS h FROM sdw),
 sdocc AS (
   SELECT h, min(struct_pack(i := doc_id, p := p)) AS first
   FROM sdg GROUP BY h HAVING count(*) >= 2
@@ -2270,7 +2270,7 @@ sdreb AS (
   SELECT doc_id, string_agg(wd, ' ' ORDER BY t) AS ct
   FROM sdcov WHERE cv IS NULL OR cv + 20 <= t GROUP BY doc_id
 ),
-cleaned AS (
+cleaned AS MATERIALIZED (
   SELECT g.doc_id, coalesce(r.ct, '') AS clean_text, d.source, d.lang
   FROM gated g
   LEFT JOIN sdreb r USING (doc_id)
@@ -2304,7 +2304,7 @@ esh AS (
   )
 ),
 cont AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e USING (h)),
-decon AS (
+decon AS MATERIALIZED (
   SELECT c.doc_id, c.lang, c.clean_text
   FROM cleaned c
   WHERE c.source NOT IN ('src0', 'src1')
@@ -2329,12 +2329,12 @@ scc AS (
   FROM bkc LEFT JOIN w USING (bucket)
   GROUP BY doc_id
 ),
-qual AS (
+qual AS MATERIALIZED (
   SELECT d.doc_id, d.lang, d.clean_text
   FROM decon d JOIN scc USING (doc_id)
   WHERE scc.raw_score > 0
 ),
-rt AS (
+rt AS MATERIALIZED (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
   FROM documents WHERE trim(text) <> '' AND lang = 'en'
 ),
@@ -2342,7 +2342,7 @@ rb AS (
   SELECT tok[p+1] AS w1, tok[p+2] AS w2
   FROM (SELECT tok, unnest(range(len(tok)-1)) AS p FROM rt WHERE len(tok) >= 2)
 ),
-c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM rb GROUP BY w1, w2),
+c12 AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS c12 FROM rb GROUP BY w1, w2),
 c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
 v AS (SELECT count(DISTINCT t)::BIGINT AS v
       FROM (SELECT unnest(tok) AS t FROM rt) WHERE t <> ''),
@@ -2361,7 +2361,7 @@ qsc AS (
   FROM qdb LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
   GROUP BY qdb.doc_id
 ),
-nq AS (
+nq AS MATERIALIZED (
   SELECT q.doc_id, q.lang, q.clean_text,
          round(s.mean_nll * 10000)::BIGINT AS nllq
   FROM qual q JOIN qsc s USING (doc_id)
@@ -2380,7 +2380,7 @@ th AS (
          min(CASE WHEN cum * 3 >= 2 * n THEN nllq END) AS t2
   FROM cumh c JOIN tot USING (lang) GROUP BY c.lang
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT nq.doc_id, nq.lang, nq.clean_text,
          CASE WHEN nllq <= t1 THEN 'head'
               WHEN nllq <= t2 THEN 'middle'
@@ -2397,7 +2397,7 @@ kdb AS (
   FROM (SELECT doc_id, lang, tok, unnest(range(len(tok)-1)) AS p
         FROM kdt WHERE len(tok) >= 2)
 ),
-kbk AS (
+kbk AS MATERIALIZED (
   SELECT doc_id, lang,
          ('0x' || substr(md5(w1 || ' ' || w2), 1, 7))::BIGINT % 4096 AS bucket
   FROM kdb
