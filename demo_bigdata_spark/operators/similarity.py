@@ -345,6 +345,196 @@ def ivf_topk_indexed(
     return brute_force_topk(scoped, [float(x) for x in q], k=k, vec_col="v", id_col=id_col)
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iterations: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    space splits into ``m`` subspaces of ``dim/m`` dims and each runs its
+    own ``ks``-centroid Lloyd k-means — all ``m`` subspaces trained in ONE
+    distributed pass per iteration (the ``train_ivf_centroids``
+    discipline: assignment is a per-Arrow-batch GEMM, the update
+    aggregates per (subspace, code, position) sums and collects only
+    ``m * ks * dim/m`` floats, never the data). Returns (m, ks, dim/m).
+
+    With ks=16 a vector compresses to m 4-bit codes — 64 float32 dims
+    (256 B) become 8 codes (4 B), the 64x memory cut that lets a 100 TB
+    embedding corpus's index live in RAM; IVF-PQ composes this with the
+    partition-pruned inverted lists (``ivf_pq_topk``), the FAISS
+    production shape."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    rng = np.random.RandomState(seed)
+    CB = rng.randn(m, ks, ds)
+    for _ in range(iterations):
+        enc = pq_encode(df, CB, vec_col=vec_col, id_col=id_col, keep_vec=True)
+        sums = (
+            enc.select(F.col("codes"), F.posexplode("v").alias("pos", "x"))
+            .select(
+                (F.col("pos") / ds).cast("int").alias("j"),
+                (F.col("pos") % ds).alias("p"),
+                F.element_at(
+                    F.col("codes"), (F.col("pos") / ds).cast("int") + 1
+                ).alias("c"),
+                "x",
+            )
+            .groupBy("j", "c", "p")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        newCB = CB.copy()
+        acc = np.zeros((m, ks, ds))
+        cnt = np.zeros((m, ks))
+        for r in sums:
+            acc[r["j"], r["c"], r["p"]] = r["s"]
+            cnt[r["j"], r["c"]] = r["n"]
+        for j in range(m):
+            for c in range(ks):
+                if cnt[j, c] > 0:
+                    newCB[j, c] = acc[j, c] / cnt[j, c]
+        CB = newCB
+    return CB
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the L2-nearest codebook
+    entry (argmin ||x - c||^2 via the ||c||^2 - 2 x.c identity — one GEMM
+    per subspace per Arrow batch). Output (id, codes array<int>); the
+    full-precision vector rides along only when ``keep_vec`` (training
+    and refine paths need it, the stored index does not)."""
+    from pyspark.sql import types as T
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, ks, ds = CB.shape
+    sq = (CB**2).sum(axis=2)  # (m, ks)
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ]
+    if keep_vec:
+        fields.insert(1, T.StructField("v", T.ArrayType(T.DoubleType())))
+    out_schema = T.StructType(fields)
+
+    def _enc(batches):
+        for pdf in batches:
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            n = V.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            if n:
+                for j in range(m):
+                    Vj = V[:, j * ds : (j + 1) * ds]
+                    d = sq[j][None, :] - 2.0 * (Vj @ CB[j].T)
+                    codes[:, j] = np.argmin(d, axis=1)
+            out = {id_col: pdf[id_col]}
+            if keep_vec:
+                out["v"] = pdf["v"]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    src = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    return src.mapInPandas(_enc, out_schema)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    full-precision and a per-subspace lookup table LUT[j][c] = <q_j,
+    cb[j][c]> is built DRIVER-side (m x ks floats); each row's
+    approximate inner product is m table lookups + a sum (vectorized
+    numpy gather per Arrow batch — no vector data read at all), and the
+    approximate cosine divides by the PQ-reconstructed norm. One scan +
+    TakeOrderedAndProject; scores are approximations — compose with an
+    exact refine (``ivf_pq_topk``) when true cosines are required."""
+    from pyspark.sql import types as T
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, ks, ds = CB.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut_ip = np.stack([CB[j] @ q[j * ds : (j + 1) * ds] for j in range(m)])
+    lut_sq = (CB**2).sum(axis=2)
+    qn = max(float(np.linalg.norm(q)), 1e-12)
+    idx = np.arange(m)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            Cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            if len(Cd):
+                ip = lut_ip[idx[None, :], Cd].sum(axis=1)
+                nsq = lut_sq[idx[None, :], Cd].sum(axis=1)
+                cos = np.where(
+                    nsq <= 0, 0.0, ip / (np.sqrt(np.maximum(nsq, 1e-24)) * qn)
+                )
+            else:
+                cos = np.array([], dtype=np.float64)
+            yield pd.DataFrame({id_col: pdf[id_col], "score": cos})
+
+    scored = encoded.select(id_col, "codes").mapInPandas(_score, out_schema)
+    return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ with exact refine — the FAISS production recipe at 100 TB:
+    coarse centroids prune to ``n_probe`` inverted lists (partition
+    pruning on a built index), PQ asymmetric distance ranks the probed
+    lists from codes alone (no vector reads), and the top ``refine``
+    candidates re-rank with TRUE cosines against their full vectors (a
+    refine-sized broadcast semi-join). Returned cosines are exact; recall
+    is governed by n_probe (cluster misses) and refine (ADC
+    approximation misses)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(Cn @ qn))[:n_probe]]
+    scoped = (
+        assign_clusters(df, centroids, vec_col, id_col)
+        .filter(F.col("cluster").isin(probes))
+        # two consumers (ADC pass + exact refine): pin the probed slice
+        .localCheckpoint(eager=False)
+    )
+    enc = pq_encode(scoped, codebooks, vec_col="v", id_col=id_col)
+    cands = pq_topk(enc, codebooks, [float(x) for x in q], k=refine, id_col=id_col)
+    rer = scoped.join(F.broadcast(cands.select(id_col)), id_col)
+    return brute_force_topk(
+        rer, [float(x) for x in q], k=k, vec_col="v", id_col=id_col
+    )
+
+
 def append_vectors(
     spark,
     batch_df: DataFrame,

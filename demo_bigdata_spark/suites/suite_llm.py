@@ -327,7 +327,7 @@ def _sql_dup_clusters() -> str:
         rounds.append(
             f"bmin{k} AS (SELECT bucket, min(lbl) AS bm FROM db "
             f"JOIN lbl{k - 1} USING (doc_id) GROUP BY bucket),\n"
-            f"lbl{k} AS (SELECT doc_id, min(bm) AS lbl FROM db "
+            f"lbl{k} AS MATERIALIZED (SELECT doc_id, min(bm) AS lbl FROM db "
             f"JOIN bmin{k} USING (bucket) GROUP BY doc_id)"
         )
     # cluster propagation reads all_bands DIRECTLY — the shared CTE's capped
@@ -336,7 +336,7 @@ def _sql_dup_clusters() -> str:
     # get cluster ids
     return f"""
 WITH {_SQL_SIGS_CTE},
-db AS (SELECT doc_id, band_idx || '|' || band_sig AS bucket FROM all_bands),
+db AS MATERIALIZED (SELECT doc_id, band_idx || '|' || band_sig AS bucket FROM all_bands),
 lbl0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM db),
 {",".join(rounds)}
 SELECT doc_id, lbl AS cluster_id FROM lbl10 ORDER BY doc_id
@@ -977,8 +977,8 @@ def _sql_lsh_pairs() -> str:
         for t in range(n_tables)
     )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-keyed AS ({keyed}),
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keyed AS MATERIALIZED ({keyed}),
 pairs AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM keyed a JOIN keyed b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
@@ -3440,7 +3440,7 @@ def _bpe_sql_rounds() -> str:
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
   WHERE tok <> '' GROUP BY tok
 )""",
-        r"""r0 AS (
+        r"""r0 AS MATERIALIZED (
   SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>' AS sym, freq
   FROM words
 )""",
@@ -3454,10 +3454,10 @@ def _bpe_sql_rounds() -> str:
     FROM (SELECT string_split(sym, ' ') AS l, freq FROM r{i - 1})
   ) GROUP BY pr
 ),
-m{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr ASC LIMIT 1),
+m{i} AS MATERIALIZED (SELECT pr, c FROM p{i} ORDER BY c DESC, pr ASC LIMIT 1),
 mm{i} AS (SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b,
                  replace(pr, ' ', '') AS mg FROM m{i}),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT word,
          list_reduce(list_prepend('', string_split(sym, ' ')),
            (acc, x) -> CASE WHEN acc = '' THEN x
@@ -3818,7 +3818,7 @@ def _sql_semantic_dedup() -> str:
     bucket = "(" + " + ".join(terms) + ")::BIGINT"
     return f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-keyed AS (SELECT vec_id, label, v, {bucket} AS cluster FROM v),
+keyed AS MATERIALIZED (SELECT vec_id, label, v, {bucket} AS cluster FROM v),
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM keyed a JOIN keyed b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -3896,14 +3896,14 @@ def _sql_semantic_dedup_capped() -> str:
         lvl.append(
             f"s{i} AS (SELECT ck, count(*)::BIGINT AS n FROM k{i - 1} "
             f"GROUP BY ck),\n"
-            f"k{i} AS (SELECT vec_id, label, v,\n"
+            f"k{i} AS MATERIALIZED (SELECT vec_id, label, v,\n"
             f"  CASE WHEN n > {cap} THEN ck || '.' || {sub} ELSE ck END AS ck\n"
             f"  FROM k{i - 1} JOIN s{i} USING (ck))"
         )
     levels = ",\n".join(lvl)
     return f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-k0 AS (SELECT vec_id, label, v, ({b0})::VARCHAR AS ck FROM v),
+k0 AS MATERIALIZED (SELECT vec_id, label, v, ({b0})::VARCHAR AS ck FROM v),
 {levels},
 kf AS MATERIALIZED (SELECT * FROM k3),
 dropped AS (
