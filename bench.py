@@ -114,8 +114,11 @@ HEADLINE = [
     # iterative integer-exact PageRank over the nation trade graph
     "hybrid_rrf",
     "nation_pagerank",
-    # r9: skew-capped SemDeDup (bounded within-cluster pair work)
+    # r9: skew-capped SemDeDup (bounded within-cluster pair work), IVF-PQ
+    # ANN with exact refine, delete-aware change feed
     "semantic_dedup_capped",
+    "ivf_pq_topk",
+    "snapshot_cdf",
 ]
 
 

@@ -191,6 +191,18 @@ def main() -> None:
             SIM.semantic_dedup(badv, 0.35, n_planes=12, max_cluster=2000),
         )
     )
+    # r9: IVF-PQ — train on the BASE corpus (models are corpus-shaped, not
+    # corpus-sized), then encode + ADC-rank + exact-refine over the x30
+    # corpus; codes are 16 ints vs 64 floats (16x memory cut on the scan
+    # the ADC stage reads). Query cost must track the probed slice.
+    CBp = SIM.train_pq_codebooks(emb, m=16, ks=256, iterations=2)
+    Cp = SIM.train_ivf_centroids(emb, n_centroids=16, iterations=2)
+    qv = [float(x) for x in first_vec]
+    t0 = time.perf_counter()
+    SIM.ivf_pq_topk(bemb, Cp, CBp, qv, k=10, n_probe=6, refine=50).count()
+    doc_results.append(
+        ("ivf_pq_topk_x30 (probe 6/16 + ADC + refine)", round(time.perf_counter() - t0, 2))
+    )
 
     # packing/mixture tier (round-4 operators): the two-level prefix sum and
     # the one pack_id-keyed shuffle are the scale claims under test — growth
@@ -980,6 +992,11 @@ def main() -> None:
         "the within-cluster pair stage stays bounded under the worst-case",
         "skew; the uncapped plan would put ~farm^2/2 pairs on a single join",
         "key (one task) and is deliberately not probed either.",
+        "ivf_pq_topk_x30: PQ codebooks/centroids train on the BASE corpus",
+        "(model size is corpus-shaped); the x30 query pays assignment +",
+        "code-gather ADC over the probed 6/16 lists + a 50-candidate",
+        "exact refine — 16 int codes stand in for 64 floats on the ADC",
+        "scan, the 16x memory cut that keeps a 100 TB index RAM-resident.",
         "",
         "Packing/mixture tier (x30 corpus, targets scaled x30 so keep-rates",
         "stay realistic): pack_sequences' only global window runs over",

@@ -65,6 +65,16 @@ def inv_ivf_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
 
 
 
+def inv_ivf_pq_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
+    """IVF-PQ with exact refine must hit the exact top-10 with recall@10
+    above the same per-sf floor as plain IVF (measured identical: the
+    refine recovers ADC misses inside the probed lists), and every
+    returned cosine must be the TRUE cosine — the refine stage re-scores
+    candidates against full vectors, so approximate scores never leak."""
+    inv_ivf_topk(out, spark, sf_dir, con)
+
+
 INVARIANTS = {
     "ivf_topk": inv_ivf_topk,
+    "ivf_pq_topk": inv_ivf_pq_topk,
 }

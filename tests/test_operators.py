@@ -1292,6 +1292,59 @@ def test_semantic_dedup_survivors_superset_of_exact(spark, sf_dir):
     assert surv.columns[-1] == "cluster" or "cluster" in surv.columns
 
 
+def test_pq_encode_adc_exact_on_codebook_vectors(spark):
+    """Round-9 VERDICT item 6, pinned: with vectors built FROM codebook
+    entries, pq_encode must pick the exact entry per subspace (L2 argmin
+    hits the zero-distance code) and pq_topk's asymmetric-distance cosine
+    equals the true cosine bit-for-bit (reconstruction is lossless) — the
+    falsifiable core of the ADC arithmetic. ivf_pq_topk then returns the
+    exact brute-force top-k with true cosines; training is deterministic
+    (seeded) and codes stay in [0, ks)."""
+    import numpy as np
+
+    from demo_bigdata_spark.operators import similarity as S
+
+    m, ds, ks = 8, 8, 4
+    rng = np.random.RandomState(3)
+    CB = rng.randn(m, ks, ds)
+    # 40 vectors, each subvector a verbatim codebook entry
+    picks = rng.randint(0, ks, size=(40, m))
+    vecs = [
+        [float(x) for j in range(m) for x in CB[j][picks[i, j]]]
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    enc = S.pq_encode(emb, CB)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert got_codes == {i: list(picks[i]) for i in range(40)}
+
+    q = [float(x) for x in rng.randn(m * ds)]
+    adc = {r["vec_id"]: r["score"] for r in S.pq_topk(enc, CB, q, k=40).collect()}
+    qn = np.linalg.norm(q)
+    for i in range(40):
+        v = np.array(vecs[i])
+        true = float(v @ np.array(q) / (np.linalg.norm(v) * qn))
+        assert abs(adc[i] - true) < 1e-12, (i, adc[i], true)
+
+    C = S.train_ivf_centroids(emb, n_centroids=4, iterations=2)
+    exact = [(r["vec_id"], r["cosine"]) for r in S.brute_force_topk(emb, q, k=5).collect()]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in S.ivf_pq_topk(emb, C, CB, q, k=5, n_probe=4, refine=40).collect()
+    ]
+    assert got == exact  # all clusters probed + lossless codes => exact
+
+    # deterministic training, codes in range
+    CB1 = S.train_pq_codebooks(emb, m=8, ks=4, iterations=2)
+    CB2 = S.train_pq_codebooks(emb, m=8, ks=4, iterations=2)
+    assert np.array_equal(CB1, CB2)
+    codes = S.pq_encode(emb, CB1).select(F.explode("codes").alias("c"))
+    mn, mx = codes.agg(F.min("c"), F.max("c")).first()
+    assert 0 <= mn and mx < 4
+
+
 def test_semantic_dedup_cap_bounds_dup_farm(spark):
     """Round-9 VERDICT item 1, pinned: a planted dup farm (80 identical
     vectors — same sign on EVERY plane, so no amount of semantic LSH
