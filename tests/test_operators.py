@@ -1292,6 +1292,58 @@ def test_semantic_dedup_survivors_superset_of_exact(spark, sf_dir):
     assert surv.columns[-1] == "cluster" or "cluster" in surv.columns
 
 
+def test_wav_codec_roundtrip_and_quarantine(spark):
+    """Round-9 VERDICT item 7: the stdlib WAV codec round-trips 16-bit
+    mono samples exactly; 8-bit unsigned and stereo (floor-averaged to
+    mono) decode per spec; compressed/forged/garbage payloads raise in
+    decode_wav and QUARANTINE (null features + decode_error) through
+    decode_audio_real instead of failing the batch."""
+    import io
+    import struct
+    import wave as _wave
+
+    import pytest as _pytest
+
+    from demo_bigdata_spark.functions.wav import decode_wav, encode_wav
+    from demo_bigdata_spark.operators.multimodal import decode_audio_real
+
+    samples = [0, 100, -200, 32767, -32768, 5]
+    nch, rate, mono = decode_wav(encode_wav(samples, sample_rate=16000))
+    assert (nch, rate, mono) == (1, 16000, samples)
+
+    # 8-bit unsigned
+    nch, rate, mono = decode_wav(encode_wav([0, 128, 255], sampwidth=1))
+    assert mono == [0, 128, 255] and nch == 1
+
+    # stereo floor-average: (-3 + 4) // 2 == 0 (floor, not trunc)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<6h", 10, 20, -3, 4, -5, -7))
+    nch, rate, mono = decode_wav(buf.getvalue())
+    assert nch == 2 and mono == [15, 0, -6]
+
+    # forged frame count over budget
+    with _pytest.raises(ValueError, match="over budget"):
+        decode_wav(encode_wav(list(range(100))), max_frames=10)
+    with _pytest.raises(ValueError, match="not a PCM WAV"):
+        decode_wav(b"RIFFgarbage")
+
+    good = encode_wav([1, -1, 2], sample_rate=8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not audio"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio_real(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert (rows[1]["n_samples"], rows[1]["energy_sum"]) == (3, 6)
+    assert rows[1]["zero_crossings"] == 2
+    assert rows[2]["decode_error"] is not None
+    assert rows[2]["n_samples"] is None
+
+
 def test_pq_encode_adc_exact_on_codebook_vectors(spark):
     """Round-9 VERDICT item 6, pinned: with vectors built FROM codebook
     entries, pq_encode must pick the exact entry per subspace (L2 argmin
