@@ -534,6 +534,115 @@ def read_changelog_stream(
     return r.load()
 
 
+def apply_changes_epoch(
+    spark, path: str, changes_df, key_col: str, epoch_id: int
+) -> int | None:
+    """APPLY CHANGES INTO for the versioned table (the DLT/Iceberg CDC
+    replication shape): fold one micro-batch of changelog rows (the
+    ``snapshot_cdf`` schema — table columns + ``_change_type`` +
+    ``_commit_snapshot``) into the mirror table at ``path`` as ONE atomic,
+    epoch-idempotent commit.
+
+    Net-effect semantics: a key with a tombstone in the batch is deleted
+    and re-seeded with its insert rows from the tombstone's commit onward
+    (within a commit the tombstone applies before its inserts — the
+    upsert shape); a key with only inserts keeps its pre-existing mirror
+    rows and appends the new ones, so duplicate-key append lineages
+    mirror faithfully. The commit is a delete file over the TOMBSTONED
+    keys plus a data file of the surviving batch inserts (the
+    ``upsert_snapshot`` manifest ordering, so the new rows outlive their
+    own delete keys), stamped with ``epoch_id`` so foreachBatch replays
+    after a crash are no-ops (the ``append_snapshot_epoch`` applied-check
+    against the manifest behind the pointer). Cost is O(batch) — the
+    mirror table is never read."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    cur = S.current_snapshot(path)
+    if cur is not None:
+        applied = (
+            S._read_manifest(spark, path, cur)
+            .filter(F.col("epoch_id") == int(epoch_id))
+            .head(1)
+        )
+        if applied:
+            return None
+    data_cols = [
+        c
+        for c in changes_df.columns
+        if c not in ("_change_type", "_commit_snapshot")
+    ]
+    ch = changes_df.localCheckpoint(eager=True)  # 3 consumers below
+    if ch.isEmpty():
+        return None
+    delmax = (
+        ch.filter(F.col("_change_type") != "insert")
+        .groupBy(key_col)
+        .agg(F.max("_commit_snapshot").alias("_dc"))
+    )
+    finals = (
+        ch.filter(F.col("_change_type") == "insert")
+        .join(delmax, key_col, "left")
+        .filter(F.col("_dc").isNull() | (F.col("_commit_snapshot") >= F.col("_dc")))
+        .select(*data_cols)
+    )
+    if cur is None:
+        # first batch creates the mirror: nothing to delete yet
+        return S.append_snapshot_epoch(spark, path, finals, epoch_id)
+    keys = delmax.select(key_col).localCheckpoint(eager=True)
+    if keys.isEmpty():
+        # append-only batch: no delete entry for future reads to anti-join
+        return S.append_snapshot_epoch(spark, path, finals, epoch_id)
+    dfiles = S._write_files(keys, path, "deletes")
+    afiles = S._write_files(finals, path, "data")
+    sc = S._stats_cols(path)
+    dmeta = _json.dumps({"key_col": key_col})
+    new = [(f, "delete", int(epoch_id), dmeta) for f in dfiles] + [
+        (f, "data", int(epoch_id), S._footer_meta(f, sc)) for f in afiles
+    ]
+
+    def build(cur_):
+        return S._manifest_entries(spark, path, cur_) + new
+
+    return S._retrying_commit(spark, path, build)
+
+
+def mirror_changelog_stream(
+    spark,
+    source_path: str,
+    mirror_path: str,
+    checkpoint: str,
+    key_col: str,
+    max_snapshots_per_trigger: int = 10,
+    trigger_seconds: int = 2,
+):
+    """End-to-end CDC replication: subscribe to the source versioned
+    table's delete-aware change feed (``read_changelog_stream``) and fold
+    every micro-batch into a mirror versioned table with
+    :func:`apply_changes_epoch`. Exactly-once end to end: the source side
+    replays identical immutable windows after a crash, and the mirror
+    commit is epoch-idempotent — ``read_table(mirror)`` equals
+    ``read_table(source)`` at every committed point (test-pinned across
+    the full append/MOR-delete/upsert/position-delete lifecycle)."""
+    changes = read_changelog_stream(
+        spark, source_path, max_snapshots_per_trigger=max_snapshots_per_trigger
+    )
+
+    def _fold(batch_df, epoch_id):
+        apply_changes_epoch(spark, mirror_path, batch_df, key_col, epoch_id)
+
+    return (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def read_snapshot_stream(
     spark,
     path: str,

@@ -1418,6 +1418,69 @@ def test_snapshot_cdf_stream_delete_aware(spark, tmp_path):
             q.stop()
 
 
+def test_mirror_changelog_stream_replicates_table(spark, tmp_path):
+    """End-to-end CDC replication (snapshot_cdc.mirror_changelog_stream +
+    apply_changes_epoch): a mirror versioned table fed only by the change
+    feed equals read_table(source) after every streamed segment — across
+    appends (including duplicate-key append lineages, which must
+    ACCUMULATE rows, not upsert), MOR equality deletes, single-commit
+    upserts, and position deletes; a checkpoint restart continues without
+    replay, and re-applying a batch under its epoch id is a no-op."""
+    from demo_bigdata_spark.sources import snapshots as S
+    from demo_bigdata_spark.sources.snapshot_cdc import (
+        apply_changes_epoch,
+        mirror_changelog_stream,
+    )
+
+    src = str(tmp_path / "src")
+    mir = str(tmp_path / "mir")
+    ck = str(tmp_path / "mck")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def sync():
+        q = mirror_changelog_stream(spark, src, mir, ck, "k")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        a = sorted(tuple(r) for r in S.read_table(spark, src).collect())
+        b = sorted(tuple(r) for r in S.read_table(spark, mir).collect())
+        assert a == b, (a, b)
+
+    # duplicate-key appends: k=1 appears twice at create, a third lands in
+    # a later commit — the mirror must carry all three
+    S.create_table(spark, src, df([(1, "a"), (1, "a2"), (2, "b")]))
+    S.append_snapshot(spark, src, df([(1, "a3"), (3, "c")]))
+    S.delete_where(spark, src, "k", F.col("k") == 2)
+    sync()
+    assert {
+        tuple(r) for r in S.read_table(spark, mir).collect()
+    } == {(1, "a"), (1, "a2"), (1, "a3"), (3, "c")}
+
+    S.upsert_snapshot(spark, src, df([(1, "A"), (4, "d")]), "k")
+    S.delete_where_positions(spark, src, F.col("v") == "c")
+    S.append_snapshot(spark, src, df([(5, "e")]))
+    sync()  # restart from checkpoint: only the new commits
+
+    # epoch idempotence: replaying an applied batch is a no-op commit-wise
+    before = S.current_snapshot(mir)
+    fake_batch = spark.createDataFrame(
+        [(9, "x", "insert", 99)],
+        "k long, v string, _change_type string, _commit_snapshot long",
+    )
+    applied_epochs = sorted(
+        {
+            r["epoch_id"]
+            for r in S._read_manifest(spark, mir, before).collect()
+            if r["epoch_id"] >= 0
+        }
+    )
+    assert apply_changes_epoch(spark, mir, fake_batch, "k", applied_epochs[-1]) is None
+    assert S.current_snapshot(mir) == before
+
+
 def test_snapshot_changelog_batch_full_rows(spark, tmp_path):
     """snapshots.snapshot_changelog: the batch CDF twin carries FULL rows
     — insert post-images, delete pre-images, update_preimage/postimage
