@@ -601,7 +601,8 @@ def apply_changes_epoch(
     sc = S._stats_cols(path)
     dmeta = _json.dumps({"key_col": key_col})
     new = [(f, "delete", int(epoch_id), dmeta) for f in dfiles] + [
-        (f, "data", int(epoch_id), S._footer_meta(f, sc)) for f in afiles
+        (f, "data", int(epoch_id), S._footer_meta(f, sc, *S._bloom_spec(path)))
+        for f in afiles
     ]
 
     def build(cur_):

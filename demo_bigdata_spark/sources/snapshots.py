@@ -272,6 +272,80 @@ def _stats_cols(path: str) -> list[str]:
     return list(table_properties(path).get("stats_cols") or [])
 
 
+def _bloom_spec(path: str) -> tuple[list[str], int]:
+    p = table_properties(path)
+    return list(p.get("bloom_cols") or []), int(p.get("bloom_bytes") or 2048)
+
+
+_BLOOM_K = 4
+
+
+def _bloom_hashes(value, m_bits: int) -> list[int]:
+    """k deterministic bit indices for a value: md5 of the canonical
+    ``str(_plain(v))`` encoding, 4-byte slices mod m — identical at write
+    (pyarrow values) and probe (caller values) time."""
+    import hashlib
+
+    d = hashlib.md5(str(_plain(value)).encode("utf-8")).digest()
+    return [
+        int.from_bytes(d[i * 4 : (i + 1) * 4], "big") % m_bits
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(file: str, cols: list[str], nbytes: int) -> dict[str, str]:
+    """Per-column Bloom filters over a part file's distinct values, read
+    with a column-projected pyarrow scan (O(file's bloom columns), no
+    Spark job — the footer-stats commit discipline). Base64-encoded for
+    the manifest meta JSON. Any failure means no bloom for that column —
+    observable fail-open, like null bounds."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, str] = {}
+    m_bits = nbytes * 8
+    try:
+        t = pq.read_table(file, columns=[c for c in cols if c])
+    except Exception:
+        return out
+    for c in cols:
+        if c not in t.schema.names:
+            continue
+        try:
+            bits = bytearray(nbytes)
+            for v in set(t.column(c).to_pylist()):
+                if v is None:
+                    continue
+                for h in _bloom_hashes(v, m_bits):
+                    bits[h >> 3] |= 1 << (h & 7)
+            out[c] = base64.b64encode(bytes(bits)).decode("ascii")
+        except Exception:
+            continue
+    return out
+
+
+def _bloom_may_contain(meta_obj: dict, col: str, value) -> bool:
+    """Probe a manifest-recorded bloom: False proves the value is absent
+    from the file; a missing/corrupt bloom fails open."""
+    import base64
+
+    blooms = meta_obj.get("blooms") or {}
+    b64 = blooms.get(col)
+    if not b64:
+        return True
+    try:
+        bits = base64.b64decode(b64)
+        m_bits = len(bits) * 8
+        if m_bits == 0:
+            return True
+        return all(
+            bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value, m_bits)
+        )
+    except Exception:
+        return True
+
+
 def _swap_pointer(path: str, snap: int) -> None:
     """Atomic commit: write the new pointer beside, then os.replace —
     readers see either the old snapshot or the new one, never a torn
@@ -524,7 +598,12 @@ def _plain(v):
     return v
 
 
-def _footer_meta(file: str, cols: list[str]) -> str | None:
+def _footer_meta(
+    file: str,
+    cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_bytes: int = 2048,
+) -> str | None:
     """Per-part-file [min, max] bounds for the declared stats columns,
     harvested from the parquet FOOTER (pyarrow metadata, KB-scale read) —
     the just-written data is never re-scanned, so recording statistics
@@ -540,8 +619,11 @@ def _footer_meta(file: str, cols: list[str]) -> str | None:
     min/max may be parquet-mr-truncated prefixes; truncation widens the
     interval (min rounds down, max rounds up), so pruning on them stays
     conservative."""
-    if not cols:
+    if not cols and not bloom_cols:
         return None
+    if not cols:
+        blooms = _bloom_build(file, bloom_cols or [], bloom_bytes)
+        return json.dumps({"bounds": {}, "blooms": blooms}) if blooms else None
     import pyarrow.parquet as pq
 
     try:
@@ -566,7 +648,12 @@ def _footer_meta(file: str, cols: list[str]) -> str | None:
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
             bounds[c] = [_plain(lo), _plain(hi)] if ok else [None, None]
-        return json.dumps({"bounds": bounds})
+        meta = {"bounds": bounds}
+        if bloom_cols:
+            blooms = _bloom_build(file, bloom_cols, bloom_bytes)
+            if blooms:
+                meta["blooms"] = blooms
+        return json.dumps(meta)
     except Exception as e:  # corrupted/unreadable footer: observable fail-open
         return json.dumps(
             {
@@ -584,10 +671,21 @@ def _may_contain(meta: str | None, prune: dict) -> bool:
     if not meta:
         return True
     try:
-        bounds = json.loads(meta).get("bounds") or {}
+        obj = json.loads(meta)
+        bounds = obj.get("bounds") or {}
     except (ValueError, TypeError):
         return True
     for c, (lo, hi) in prune.items():
+        # POINT predicate (lo == hi): a manifest bloom proves absence even
+        # when every file's [min, max] straddles the value — the
+        # hash-distributed-layout case range bounds cannot prune
+        if (
+            lo is not None
+            and hi is not None
+            and lo == hi
+            and not _bloom_may_contain(obj, c, lo)
+        ):
+            return False
         b = bounds.get(c)
         if not b or b[0] is None or b[1] is None:
             continue
@@ -640,21 +738,38 @@ def create_table(
     path: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bytes: int = 2048,
 ) -> int:
     """Initialize a versioned table with snapshot 1 holding ``df``.
     ``stats_cols`` declares the columns whose per-file [min, max] bounds
     every commit records in the manifest (Iceberg's write.metadata
-    metrics) — the basis for file pruning in :func:`read_table`."""
+    metrics) — the basis for file pruning in :func:`read_table`.
+    ``bloom_cols`` additionally records a per-file Bloom filter of each
+    column's values (``bloom_bytes`` per column per file), so POINT
+    lookups (``prune={col: (v, v)}``) prune files even when a
+    hash-distributed layout makes every file's [min, max] straddle the
+    value — the parquet-bloom/Iceberg story at the manifest level."""
     os.makedirs(path, exist_ok=True)
     if current_snapshot(path) is not None:
         raise ValueError(f"versioned table already exists at {path}")
-    if stats_cols:
+    if stats_cols or bloom_cols:
+        props: dict = {}
+        if stats_cols:
+            props["stats_cols"] = list(stats_cols)
+        if bloom_cols:
+            props["bloom_cols"] = list(bloom_cols)
+            props["bloom_bytes"] = int(bloom_bytes)
         with open(os.path.join(path, _PROPS), "w") as f:
-            json.dump({"stats_cols": list(stats_cols)}, f)
+            json.dump(props, f)
     files = _write_files(df, path, "data")
     sc = _stats_cols(path)
+    bc, bb = _bloom_spec(path)
     _commit(
-        spark, path, 1, [(f, "data", -1, _footer_meta(f, sc)) for f in files]
+        spark,
+        path,
+        1,
+        [(f, "data", -1, _footer_meta(f, sc, bc, bb)) for f in files],
     )
     return 1
 
@@ -679,7 +794,8 @@ def append_snapshot(
         return create_table(spark, path, df)
     files = _write_files(df, path, "data")
     sc = _stats_cols(path)
-    new = [(f, "data", -1, _footer_meta(f, sc)) for f in files]
+    bc, bb = _bloom_spec(path)
+    new = [(f, "data", -1, _footer_meta(f, sc, bc, bb)) for f in files]
 
     def build(cur):
         if replace:
@@ -831,7 +947,7 @@ def delete_where_cow(
     ).filter(F.coalesce(~condition, F.lit(True)))
     sc = _stats_cols(path)
     new = [
-        (f, "data", -1, _footer_meta(f, sc))
+        (f, "data", -1, _footer_meta(f, sc, *_bloom_spec(path)))
         for f in _write_files(survivors, path, "data")
     ]
 
@@ -895,7 +1011,7 @@ def upsert_snapshot(
     sc = _stats_cols(path)
     dmeta = json.dumps({"key_col": key_col})
     new = [(f, "delete", -1, dmeta) for f in dfiles] + [
-        (f, "data", -1, _footer_meta(f, sc)) for f in afiles
+        (f, "data", -1, _footer_meta(f, sc, *_bloom_spec(path))) for f in afiles
     ]
 
     def build(cur):
@@ -1364,7 +1480,10 @@ def append_snapshot_epoch(
             json.dump({"stats_cols": list(stats_cols)}, f)
     files = _write_files(batch_df, path, "data")
     sc = _stats_cols(path)
-    new = [(f, "data", int(epoch_id), _footer_meta(f, sc)) for f in files]
+    new = [
+        (f, "data", int(epoch_id), _footer_meta(f, sc, *_bloom_spec(path)))
+        for f in files
+    ]
     if cur is None:
         _commit(spark, path, 1, new)
         return 1

@@ -1198,6 +1198,50 @@ ORDER BY lang
 """
 
 
+def q_snapshot_point_lookup(spark, sf_dir):
+    """Manifest-Bloom point lookups (sources.snapshots, round-9 [EXT]):
+    the documents table lands HASH-distributed over 6 part files (every
+    file's doc_id [min, max] spans the corpus, so range bounds prune
+    nothing), with per-file Bloom filters on doc_id recorded at commit;
+    three point lookups then each plan ~1 file via the bloom probe (false
+    positives widen the read, never the result — row filter stays exact).
+    The oracle recomputes the looked-up rows straight from documents."""
+    import os
+    import shutil
+
+    from demo_bigdata_spark.sources.snapshots import create_table, read_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    path = (
+        "/tmp/spark_graft_vbloom_"
+        + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        + f"_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    create_table(
+        spark,
+        path,
+        docs.repartition(6, F.col("doc_id")),
+        stats_cols=["doc_id"],
+        bloom_cols=["doc_id"],
+    )
+    out = None
+    for k in (3, 57, 123):
+        part = read_table(spark, path, prune={"doc_id": (k, k)}).select(
+            "doc_id", "lang", "source"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("doc_id")
+
+
+SQL_SNAPSHOT_POINT_LOOKUP = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id IN (3, 57, 123)
+ORDER BY doc_id
+"""
+
+
 def q_snapshot_cow(spark, sf_dir):
     """Copy-on-write delete on the versioned table (sources.snapshots.
     delete_where_cow): same three doc_id-range commits as snapshot_prune
@@ -4321,6 +4365,7 @@ QUERIES = {
     "snapshot_table": (q_snapshot_table, SQL_SNAPSHOT_TABLE),
     "snapshot_prune": (q_snapshot_prune, SQL_SNAPSHOT_PRUNE),
     "snapshot_cow": (q_snapshot_cow, SQL_SNAPSHOT_COW),
+    "snapshot_point_lookup": (q_snapshot_point_lookup, SQL_SNAPSHOT_POINT_LOOKUP),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),

@@ -1168,6 +1168,55 @@ def test_ref_names_cannot_hide_behind_tmp_filter(spark, tmp_path):
     assert S.list_refs(path)["tag"]["v1.0"] == 1
 
 
+def test_versioned_table_bloom_point_lookup_pruning(spark, tmp_path):
+    """Round-9 [EXT]: manifest Bloom filters (bloom_cols) prune POINT
+    lookups where range bounds cannot — a hash-distributed layout gives
+    every file the full [min, max] range, yet prune={k: (v, v)} reads
+    exactly the file(s) whose bloom admits v (false positives only widen
+    the read, never the result); an absent value plans zero files; range
+    predicates and row-level exactness are unchanged; appends/upserts
+    record blooms too; a table without bloom_cols fails open."""
+    import json as _json
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    path = str(tmp_path / "bloomtab")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 997).alias("v")
+    )
+    S.create_table(
+        spark, path, df.repartition(8, "k"), stats_cols=["k"], bloom_cols=["k"]
+    )
+    pr = S.read_table(spark, path, prune={"k": (1234, 1234)})
+    assert len(pr.inputFiles()) <= 2 < 8  # 1 true file + rare bloom FP
+    assert [(r.k, r.v) for r in pr.collect()] == [(1234, 1234 * 7 % 997)]
+    assert S.read_table(spark, path, prune={"k": (10**9, 10**9)}).count() == 0
+    # range predicate path untouched by blooms
+    assert sorted(
+        r.k for r in S.read_table(spark, path, prune={"k": (5, 9)}).collect()
+    ) == [5, 6, 7, 8, 9]
+    # blooms recorded in the manifest meta and carried by later commits
+    metas = [
+        _json.loads(r["meta"])
+        for r in S.table_files(spark, path).collect()
+        if r["kind"] == "data" and r["meta"]
+    ]
+    assert metas and all("blooms" in m and "k" in m["blooms"] for m in metas)
+    S.upsert_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(1234, -1)], "k long, v long"),
+        "k",
+    )
+    pr2 = S.read_table(spark, path, prune={"k": (1234, 1234)})
+    assert [(r.k, r.v) for r in pr2.collect()] == [(1234, -1)]
+    # no-bloom table: point lookups fail open (all files), same answers
+    plain = str(tmp_path / "plain")
+    S.create_table(spark, plain, df.repartition(4, "k"), stats_cols=["k"])
+    pp = S.read_table(spark, plain, prune={"k": (77, 77)})
+    assert len(pp.inputFiles()) == 4 and pp.count() == 1
+
+
 def test_versioned_table_legacy_dir_manifests_still_read(spark, tmp_path):
     """Backward compatibility: manifests whose data entries are commit
     DIRECTORIES (pre-round-8 layout) still read, diff, vacuum, and carry
