@@ -379,11 +379,17 @@ class _SnapshotChangesStreamReader(_SnapshotAppendsStreamReader):
             cur_entries = _manifest_all(self.path, s)
             cur_files = {f for f, _, _ in cur_entries}
             removed = {
-                f for f, k, _ in prev_all if k == "data" and f not in cur_files
+                f
+                for f, k, _ in prev_all
+                if k != "epoch_marker" and f not in cur_files
             }
             if removed:
+                # ANY removed view-bearing entry — data files (COW,
+                # compaction, layout rewrite) or delete/posdelete files
+                # (a delete-compaction would resurrect rows) — breaks
+                # per-commit row lineage; fail loudly, never silently
                 raise ValueError(
-                    f"snapshot_cdf: commit {s} rewrites data files "
+                    f"snapshot_cdf: commit {s} rewrites manifest entries "
                     "(copy-on-write/compaction/layout rewrite) — no "
                     "per-commit row lineage; re-baseline the consumer "
                     "with read_table/snapshot_changelog"
@@ -548,7 +554,11 @@ def apply_changes_epoch(
     (within a commit the tombstone applies before its inserts — the
     upsert shape); a key with only inserts keeps its pre-existing mirror
     rows and appends the new ones, so duplicate-key append lineages
-    mirror faithfully. The commit is a delete file over the TOMBSTONED
+    mirror faithfully. DELETES are KEY-scoped (the standard APPLY
+    CHANGES INTO contract): when the source issues deletes,
+    ``key_col`` must uniquely identify rows — a position delete of one
+    of two identical-key rows has no key-level expression and would
+    degrade to deleting the whole key in the mirror. The commit is a delete file over the TOMBSTONED
     keys plus a data file of the surviving batch inserts (the
     ``upsert_snapshot`` manifest ordering, so the new rows outlive their
     own delete keys), stamped with ``epoch_id`` so foreachBatch replays

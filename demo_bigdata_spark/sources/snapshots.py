@@ -280,13 +280,29 @@ def _bloom_spec(path: str) -> tuple[list[str], int]:
 _BLOOM_K = 4
 
 
-def _bloom_hashes(value, m_bits: int) -> list[int]:
-    """k deterministic bit indices for a value: md5 of the canonical
-    ``str(_plain(v))`` encoding, 4-byte slices mod m — identical at write
-    (pyarrow values) and probe (caller values) time."""
+def _bloom_key(value) -> str | None:
+    """Canonical string for bloom hashing, identical at write (pyarrow
+    values) and probe (caller values) time. Numeric types unify — a
+    DOUBLE column's 1.0 and an int probe 1 must hash alike (the bounds
+    path compares numerically; the bloom must not silently prune what it
+    would match) — ints stay exact past 2^53. None (including non-UTF8
+    bytes _plain fails open on) means "cannot probe"."""
+    p = _plain(value)
+    if p is None:
+        return None
+    if isinstance(p, bool):
+        p = int(p)
+    elif isinstance(p, float) and p.is_integer() and abs(p) < 2**53:
+        p = int(p)
+    return str(p)
+
+
+def _bloom_hashes(key: str, m_bits: int) -> list[int]:
+    """k deterministic bit indices: md5 of the canonical key, 4-byte
+    slices mod m."""
     import hashlib
 
-    d = hashlib.md5(str(_plain(value)).encode("utf-8")).digest()
+    d = hashlib.md5(key.encode("utf-8")).digest()
     return [
         int.from_bytes(d[i * 4 : (i + 1) * 4], "big") % m_bits
         for i in range(_BLOOM_K)
@@ -295,10 +311,16 @@ def _bloom_hashes(value, m_bits: int) -> list[int]:
 
 def _bloom_build(file: str, cols: list[str], nbytes: int) -> dict[str, str]:
     """Per-column Bloom filters over a part file's distinct values, read
-    with a column-projected pyarrow scan (O(file's bloom columns), no
-    Spark job — the footer-stats commit discipline). Base64-encoded for
-    the manifest meta JSON. Any failure means no bloom for that column —
-    observable fail-open, like null bounds."""
+    with a column-projected pyarrow scan. Honest cost note: unlike the
+    footer [min,max] harvest this DOES re-read the bloom columns of each
+    just-written file (O(new files' bloom-column bytes), driver-side in
+    this single-node emulation) — the price of an absence-proving
+    structure footers don't carry; a cluster deployment computes blooms
+    inside the writer tasks (parquet's own bloom_filter_enabled) and the
+    manifest only points at them. Declare bloom_cols only on point-lookup
+    key columns. Base64-encoded into the manifest meta JSON. Any failure
+    means no bloom for that column — observable fail-open, like null
+    bounds."""
     import base64
 
     import pyarrow.parquet as pq
@@ -315,9 +337,10 @@ def _bloom_build(file: str, cols: list[str], nbytes: int) -> dict[str, str]:
         try:
             bits = bytearray(nbytes)
             for v in set(t.column(c).to_pylist()):
-                if v is None:
+                k = None if v is None else _bloom_key(v)
+                if k is None:
                     continue
-                for h in _bloom_hashes(v, m_bits):
+                for h in _bloom_hashes(k, m_bits):
                     bits[h >> 3] |= 1 << (h & 7)
             out[c] = base64.b64encode(bytes(bits)).decode("ascii")
         except Exception:
@@ -335,12 +358,15 @@ def _bloom_may_contain(meta_obj: dict, col: str, value) -> bool:
     if not b64:
         return True
     try:
+        key = _bloom_key(value)
+        if key is None:
+            return True
         bits = base64.b64decode(b64)
         m_bits = len(bits) * 8
         if m_bits == 0:
             return True
         return all(
-            bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value, m_bits)
+            bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(key, m_bits)
         )
     except Exception:
         return True
@@ -687,13 +713,15 @@ def _may_contain(meta: str | None, prune: dict) -> bool:
         ):
             return False
         b = bounds.get(c)
-        if not b or b[0] is None or b[1] is None:
+        if not b:
             continue
         mn, mx = b
+        # per-side: a half-recorded pair (e.g. strict-decode kept min but
+        # not max for a binary column) still prunes on its present side
         try:
-            if lo is not None and mx < _plain(lo):
+            if lo is not None and mx is not None and mx < _plain(lo):
                 return False
-            if hi is not None and mn > _plain(hi):
+            if hi is not None and mn is not None and mn > _plain(hi):
                 return False
         except TypeError:
             continue
@@ -1266,7 +1294,10 @@ def snapshot_changelog(
     full-outer join keyed by ``key_col`` (the honest equality-delete CDC
     cost; the streaming source in sources/snapshot_cdc.py is the
     O(new files) per-commit feed for append/delete/upsert lineages).
-    Output = table schema (as of ``to_snapshot``) + ``_change_type``."""
+    ``key_col`` must uniquely identify rows (the standard CDC contract,
+    as in snapshot_diff): duplicate keys would cross-product in the join
+    and report spurious updates. Output = table schema (as of
+    ``to_snapshot``) + ``_change_type``."""
     ta = read_table(spark, path, from_snapshot)
     tb = read_table(spark, path, to_snapshot)
     cols = tb.columns

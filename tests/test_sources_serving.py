@@ -1143,6 +1143,13 @@ def test_binary_stats_non_utf8_fail_open_not_lossy(tmp_path):
         "\x00a",
         None,
     ]
+    # ...and _may_contain USES the decodable side: recorded min '\\x00a'
+    # proves a hi-bound below it matches nothing (r9 review: per-side
+    # checks instead of discarding half-recorded pairs)
+    half = _json.dumps({"bounds": {"b": ["\x00a", None]}})
+    assert S._may_contain(half, {"b": (None, "\x00")}) is False
+    assert S._may_contain(half, {"b": (None, "zzz")}) is True
+    assert S._may_contain(half, {"b": ("zzz", None)}) is True  # no max: open
 
 
 def test_ref_names_cannot_hide_behind_tmp_filter(spark, tmp_path):
@@ -1215,6 +1222,22 @@ def test_versioned_table_bloom_point_lookup_pruning(spark, tmp_path):
     S.create_table(spark, plain, df.repartition(4, "k"), stats_cols=["k"])
     pp = S.read_table(spark, plain, prune={"k": (77, 77)})
     assert len(pp.inputFiles()) == 4 and pp.count() == 1
+
+    # numeric canonicalization (r9 review): a DOUBLE column's 1.0 and an
+    # int probe 1 hash alike — the bloom must never prune what the range
+    # condition would match
+    dbl = str(tmp_path / "dbl")
+    ddf = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("x")
+    )
+    S.create_table(
+        spark, dbl, ddf.repartition(4, "k"), stats_cols=["x"], bloom_cols=["x"]
+    )
+    hit = S.read_table(spark, dbl, prune={"x": (42, 42)})  # int probe
+    assert [r.k for r in hit.collect()] == [42]
+    assert S._bloom_key(1.0) == S._bloom_key(1) == "1"
+    assert S._bloom_key(1.5) == "1.5" and S._bloom_key(True) == "1"
+    assert S._bloom_key(b"\xff\x01") is None  # undecodable => no probe
 
 
 def test_versioned_table_legacy_dir_manifests_still_read(spark, tmp_path):

@@ -1404,7 +1404,7 @@ def test_snapshot_cdf_stream_delete_aware(spark, tmp_path):
 
     # COW rewrite: the stream refuses the commit LOUDLY
     S.delete_where_cow(spark, path, F.col("k") == 5)  # s6 rewrites files
-    with _pytest.raises(Exception, match="rewrites data files"):
+    with _pytest.raises(Exception, match="rewrites manifest entries"):
         q = (
             read_changelog_stream(spark, path)
             .writeStream.outputMode("append")
@@ -1479,6 +1479,38 @@ def test_mirror_changelog_stream_replicates_table(spark, tmp_path):
     )
     assert apply_changes_epoch(spark, mir, fake_batch, "k", applied_epochs[-1]) is None
     assert S.current_snapshot(mir) == before
+
+
+def test_snapshot_cdf_refuses_delete_compaction(spark, tmp_path):
+    """r9 review: the changelog stream's rewrite guard covers EVERY
+    view-bearing manifest kind — a commit that drops an applied
+    equality-delete entry (delete compaction) resurrects rows for
+    readers, streams no event, and must fail as loudly as a data
+    rewrite."""
+    import pytest as _pytest
+    from pyspark.sql.types import StructType
+
+    from demo_bigdata_spark.sources import snapshots as S
+    from demo_bigdata_spark.sources.snapshot_cdc import (
+        _SnapshotChangesStreamReader,
+    )
+
+    path = str(tmp_path / "delcomp")
+    S.create_table(
+        spark, path, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    S.delete_where(spark, path, "k", F.col("k") == 2)  # snap 2
+    cur = S.current_snapshot(path)
+    kept = [
+        e for e in S._manifest_entries(spark, path, cur) if e[1] != "delete"
+    ]
+    S._commit(spark, path, cur + 1, kept)  # simulated delete compaction
+    sch = StructType.fromDDL(
+        "k long, v string, `_change_type` string, `_commit_snapshot` bigint"
+    )
+    rd = _SnapshotChangesStreamReader({"path": path}, sch)
+    with _pytest.raises(ValueError, match="rewrites manifest entries"):
+        rd.partitions({"snap": cur}, {"snap": cur + 1})
 
 
 def test_snapshot_changelog_batch_full_rows(spark, tmp_path):
