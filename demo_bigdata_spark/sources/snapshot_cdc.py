@@ -338,8 +338,12 @@ class _SnapshotChangePartition(InputPartition):
 
 class _SnapshotChangesStreamReader(_SnapshotAppendsStreamReader):
     """Delete-AWARE change feed over the versioned table (round-9 VERDICT
-    item 2): each micro-batch walks the window's COMMITS one manifest
-    diff at a time and emits table-schema rows plus ``_change_type`` /
+    item 2; the reference's streaming tables declare
+    ``write.delete.mode=merge-on-read`` — services/streaming-service/
+    api.py:238 — which implies downstream consumers observe deletes as
+    events, the Iceberg CDF contract this source supplies): each
+    micro-batch walks the window's COMMITS one manifest diff at a time
+    and emits table-schema rows plus ``_change_type`` /
     ``_commit_snapshot``:
 
     - new data files -> ``insert`` rows (full rows, Arrow-vectorized);
