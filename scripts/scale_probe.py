@@ -188,7 +188,7 @@ def main() -> None:
     doc_results.append(
         timed(
             f"semantic_dedup_capped_dupfarm_{farm_n}",
-            SIM.semantic_dedup(badv, 0.35, n_planes=12, max_cluster=2000),
+            SIM.semantic_dedup(badv, 0.35, n_planes=12, max_cluster=500),
         )
     )
     # r9: IVF-PQ — train on the BASE corpus (models are corpus-shaped, not
@@ -820,6 +820,7 @@ def main() -> None:
     from demo_bigdata_spark.operators.graph import triangle_counts as _tric
 
     hub_deg = 30000
+    hub_id = 100_000
     bg = (
         spark.range(1, 200_000)
         .select(
@@ -828,8 +829,13 @@ def main() -> None:
         )
         .filter(F.col("src") != F.col("dst"))
     )
+    # neighbors STRADDLE the hub id: half below, half above — under raw
+    # id-ordering the hub is the wedge CENTER for (deg/2)^2 pairs (a
+    # minimal- or maximal-id hub is never a center and hides the blowup)
     hub = spark.range(1, hub_deg + 1).select(
-        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+        F.lit(hub_id).cast("long").alias("src"),
+        (hub_id - hub_deg // 2 + F.col("id")
+         + F.when(F.col("id") > hub_deg // 2, 0).otherwise(-1)).alias("dst"),
     )
     skew_edges = bg.unionAll(hub)
     skew_edges.write.mode("overwrite").parquet(f"{tmp}/skew_graph.parquet")
@@ -988,7 +994,7 @@ def main() -> None:
         "deliberately NOT probed.",
         "r9: semantic_dedup_capped_dupfarm plants a third of the corpus as",
         "ONE identical vector — unsplittable by any semantic plane — and",
-        "max_cluster=2000 guillotines it into ~n/cap md5 id-hash groups, so",
+        "max_cluster=500 guillotines it into ~n/cap md5 id-hash groups, so",
         "the within-cluster pair stage stays bounded under the worst-case",
         "skew; the uncapped plan would put ~farm^2/2 pairs on a single join",
         "key (one task) and is deliberately not probed either.",
@@ -1082,7 +1088,8 @@ def main() -> None:
         "read cost of the result is zero merge (no delete file added).",
         "pagerank_5it_part_supplier_x30 runs the iterative engine over the",
         "triangles_degree_order vs triangles_id_order: the same skewed",
-        "graph (a 30k-degree low-id hub over a sparse background) through",
+        "graph (a 30k-degree median-id hub, neighbors straddling its id,",
+        "over a sparse background) through",
         "the shipped (degree, id)-oriented wedge join and the naive",
         "id-oriented one — the hub's H^2/2 wedge blowup lands only on the",
         "naive plan; the ratio, not the decimals, is the claim (r9).",
