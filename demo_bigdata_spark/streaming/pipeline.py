@@ -118,15 +118,22 @@ def stream_stream_join(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     max_lag: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """[EXT] stream-stream inner join: pair each left event with right events
+    """[EXT] stream-stream join: pair each left event with right events
     from the same key within ``max_lag`` BEFORE it.
 
     Both sides are watermarked and the join carries a time-range condition —
     that bound is what lets Spark evict state (unbounded stream-stream joins
     would buffer both streams forever). Works identically on batch inputs
     (the oracle path). State per key is bounded by watermark + max_lag.
-    """
+
+    ``how="left_outer"`` emits UNMATCHED left rows with null right columns
+    — but only once the watermark passes the row's join window (the row
+    provably cannot match anymore), which is exactly when its state
+    evicts; Spark runs a no-data micro-batch on watermark advance to
+    flush them. The late-emission lag is the price of correct outer
+    results on unbounded inputs (test-pinned vs the batch left join)."""
     lt = left.withColumnRenamed(ts_col, "l_ts").withWatermark(
         "l_ts", watermark
     ) if left.isStreaming else left.withColumnRenamed(ts_col, "l_ts")
@@ -144,7 +151,7 @@ def stream_stream_join(
         & (rt["r_ts"] <= lt["l_ts"])
         & (rt["r_ts"] >= lt["l_ts"] - F.expr(f"INTERVAL {max_lag}"))
     )
-    return lt.join(rt, cond, "inner")
+    return lt.join(rt, cond, how)
 
 
 def running_user_totals(df: DataFrame, key_col: str = "user_id") -> DataFrame:

@@ -163,6 +163,68 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     assert len(expected) > 0
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """r9: left-outer stream-stream join — unmatched left rows emit with
+    NULL right columns once the watermark proves they can never match (a
+    far-future sentinel event advances it); matched rows join normally;
+    the drained result equals the batch left join exactly."""
+    import datetime as dt
+
+    from demo_bigdata_spark.streaming.pipeline import stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    purchases = spark.createDataFrame(
+        [
+            (1, 10, t0),              # matched: click 10 min earlier
+            (2, 20, t0),              # unmatched: no click for user 20
+            (3, 30, t0),              # unmatched: click too old (2 h before)
+            (99, 90, ts(days=30)),    # sentinel pushes the watermark
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (10, ts(minutes=-10), 1.5),
+            (30, ts(hours=-2), 9.9),
+            (90, ts(days=30, minutes=-1), 0.0),  # sentinel's own match
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    p_src, c_src = str(tmp_path / "lp"), str(tmp_path / "lc")
+    purchases.coalesce(1).write.parquet(p_src)
+    clicks.coalesce(1).write.parquet(c_src)
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_src)
+    c_stream = spark.readStream.schema(clicks.schema).parquet(c_src)
+    joined = stream_stream_join(
+        p_stream, c_stream, watermark="1 hour", how="left_outer"
+    ).select("event_id", "r_ts", "r_value")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssloj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM ssloj").collect()}
+    finally:
+        q.stop()
+    want = {
+        tuple(r)
+        for r in stream_stream_join(purchases, clicks, how="left_outer")
+        .select("event_id", "r_ts", "r_value")
+        .collect()
+    }
+    assert got == want, (got, want)
+    nulls = {e for e, rts, _ in got if rts is None}
+    assert nulls == {2, 3}  # the provably-unmatchable rows, null-padded
+    assert (1, ts(minutes=-10), 1.5) in got
+
+
 def test_checkpoint_recovery_no_loss(spark, sf_dir, tmp_path):
     """Stop a partitioned-sink stream mid-source, restart from the same
     checkpoint, drain: every source event must be present (at-least-once,
