@@ -55,10 +55,22 @@ def read_kafka_stream(spark, bootstrap: str, topic: str) -> DataFrame:
 
 
 def dedup_stream(df: DataFrame, id_col: str = "event_id", ts_col: str = "ts", watermark: str = "10 minutes") -> DataFrame:
-    """[EXT] exactly-once-per-key on an at-least-once stream: watermarked
-    dropDuplicates. State bounded by the watermark horizon (reference T3 had
-    no dedup — replays duplicate into the sink)."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+    """[EXT] exactly-once-per-key on an at-least-once stream (reference T3
+    had no dedup — replays duplicate into the sink).
+
+    Streaming path uses ``dropDuplicatesWithinWatermark`` (r9): plain
+    ``dropDuplicates([id])`` EVICTS NO STATE when the dedup key excludes
+    the event-time column — the watermark is ignored and the id set grows
+    forever, the classic unbounded-state trap this Spark 3.5 operator
+    exists to close. WithinWatermark keys eviction off the watermark
+    horizon while still deduping on id alone; the guarantee narrows to
+    duplicates arriving within the watermark delay of the first
+    occurrence — exactly the at-least-once replay window that produces
+    them. Batch inputs (the oracle path) keep exact dropDuplicates."""
+    wm = df.withWatermark(ts_col, watermark)
+    if df.isStreaming:
+        return wm.dropDuplicatesWithinWatermark([id_col])
+    return wm.dropDuplicates([id_col])
 
 
 def windowed_counts(
