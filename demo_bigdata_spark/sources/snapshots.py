@@ -125,13 +125,18 @@ def _refs_dir(path: str) -> str:
 
 
 def _ref_path(path: str, kind: str, name: str) -> str:
-    # ".tmp" is rejected so a legal ref can never collide with the
-    # ".tmp-" in-flight temp files list_refs/_live_heads filter out — a
-    # branch named "v1.tmp-x" would be created successfully yet invisible
-    # to retention, letting expire_snapshots drop its head.
+    # Names matching the in-flight temp-file pattern are rejected so a
+    # legal ref can never collide with what list_refs/_live_heads filter
+    # out (".tmp-" anywhere, or a trailing ".tmp") — such a branch would
+    # be created successfully yet invisible to retention, letting
+    # expire_snapshots drop its head. Only the actual filtered pattern is
+    # rejected (round-10 ADVICE): "v1.tmp2" stays legal. Migration
+    # caveat: a ref like "v1.tmp-x" created before round 9 was already
+    # invisible to retention; it stays unaddressable here by design.
     if (
         not name
-        or ".tmp" in name
+        or ".tmp-" in name
+        or name.endswith(".tmp")
         or not all(c.isalnum() or c in "_-." for c in name)
     ):
         raise ValueError(f"invalid ref name {name!r}")
@@ -285,15 +290,25 @@ def _bloom_key(value) -> str | None:
     values) and probe (caller values) time. Numeric types unify — a
     DOUBLE column's 1.0 and an int probe 1 must hash alike (the bounds
     path compares numerically; the bloom must not silently prune what it
-    would match) — ints stay exact past 2^53. None (including non-UTF8
-    bytes _plain fails open on) means "cannot probe"."""
+    would match). Integer magnitudes >= 2^53 fail OPEN (None) for BOTH
+    int and float: past the double-exact range an int probe against a
+    double column (or vice versa) would canonicalize differently and the
+    bloom would "prove" absence of rows the row-level numeric comparison
+    matches (round-10 ADVICE). None at build time is sound precisely
+    because every numerically-equal probe representation also keys to
+    None and falls open. Same contract for the non-UTF8 bytes _plain
+    fails open on."""
     p = _plain(value)
     if p is None:
         return None
     if isinstance(p, bool):
         p = int(p)
-    elif isinstance(p, float) and p.is_integer() and abs(p) < 2**53:
+    elif isinstance(p, float) and p.is_integer():
+        if abs(p) >= 2**53:
+            return None
         p = int(p)
+    elif isinstance(p, int) and abs(p) >= 2**53:
+        return None
     return str(p)
 
 
@@ -328,7 +343,14 @@ def _bloom_build(file: str, cols: list[str], nbytes: int) -> dict[str, str]:
     out: dict[str, str] = {}
     m_bits = nbytes * 8
     try:
-        t = pq.read_table(file, columns=[c for c in cols if c])
+        # Intersect with the file's own schema BEFORE the projected read:
+        # after schema evolution older files lack newly-declared bloom
+        # columns, and a read_table over the full declared list would
+        # raise — dropping blooms for ALL columns of that file, including
+        # present ones (round-10 ADVICE). Missing columns fail open
+        # individually; present columns keep their filters.
+        present = set(pq.read_schema(file).names)
+        t = pq.read_table(file, columns=[c for c in cols if c and c in present])
     except Exception:
         return out
     for c in cols:

@@ -3925,10 +3925,14 @@ def q_semantic_dedup(spark, sf_dir):
     """SemDeDup cluster-scoped semantic dedup (operator:
     similarity.semantic_dedup): sign-LSH clusters (6 seed-frozen planes =
     64 buckets), within-cluster keep-first drop at cosine >=
-    PAIR_THRESHOLD. Per-cluster survivor rollup; the twin replays the
-    bucketing from the same float64 plane literals (the lsh_pairs oracle
-    pattern), so cluster ids, the drop set, and the rollup must all match
-    exactly — the scale-path counterpart of the exact `embedding_dedup`."""
+    PAIR_THRESHOLD. Runs the operator DEFAULT — i.e. the scale-safe
+    capped path (round-9 VERDICT item 1: DEFAULT_MAX_CLUSTER bounds a
+    dup farm's pair work; at honest cluster sizes no split triggers and
+    the plan's only change is the cluster-key materialization before the
+    self-join). The twin replays the bucketing AND the (identity at this
+    scale) refinement levels from the same float64 plane literals, so
+    the string cluster paths, the drop set, and the rollup must all
+    match exactly — the scale-path counterpart of `embedding_dedup`."""
     emb = _emb(spark, sf_dir)
     surv = S.semantic_dedup(emb, PAIR_THRESHOLD, n_planes=6)
     return (
@@ -3939,42 +3943,6 @@ def q_semantic_dedup(spark, sf_dir):
         )
         .orderBy("cluster")
     )
-
-
-def _sql_semantic_dedup() -> str:
-    """Single-table twin of the lsh_pairs bucket replay: 6 planes of
-    float64 literals, identical left-to-right IEEE dot-product fold."""
-    n_planes, dim = 6, 64
-    planes = S.hyperplanes(dim, n_planes, seed=42)
-
-    def plane_lit(plane):
-        return "[" + ", ".join(repr(x) for x in plane) + "]"
-
-    terms = []
-    for i, plane in enumerate(planes):
-        d = (
-            f"list_reduce(list_transform(range({dim}), "
-            f"j -> v[j+1] * ({plane_lit(plane)})[j+1]), (a, b) -> a + b)"
-        )
-        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
-    bucket = "(" + " + ".join(terms) + ")::BIGINT"
-    return f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-keyed AS MATERIALIZED (SELECT vec_id, label, v, {bucket} AS cluster FROM v),
-dropped AS (
-  SELECT DISTINCT b.vec_id
-  FROM keyed a JOIN keyed b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {PAIR_THRESHOLD}
-)
-SELECT cluster, count(*) AS n_survivors, count(DISTINCT label) AS n_labels
-FROM keyed
-WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-GROUP BY cluster
-ORDER BY cluster
-"""
-
-
-SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
 def q_semantic_dedup_capped(spark, sf_dir):
@@ -4016,13 +3984,16 @@ def _sql_plane_bucket(planes, vec: str = "v", dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
-def _sql_semantic_dedup_capped() -> str:
+def _sql_semantic_dedup_capped(cap: int = 15, n_planes: int = 2) -> str:
     """Twin of the capped operator: three FIXED refinement levels (two
     sign-LSH, one md5 guillotine), each a size-CTE + conditional key
     extension — a level whose clusters are all under the cap is the
-    identity, exactly like the operator's early break."""
-    cap, dim, seed = 15, 64, 42
-    b0 = _sql_plane_bucket(S.hyperplanes(dim, 2, seed))
+    identity, exactly like the operator's early break. Parameterized so
+    the same generator twins both the headline default (cap=100k, 6
+    planes — identity levels at test scale) and the forced-split
+    exercise (cap=15, 2 planes)."""
+    dim, seed = 64, 42
+    b0 = _sql_plane_bucket(S.hyperplanes(dim, n_planes, seed))
     b1 = _sql_plane_bucket(S.hyperplanes(dim, 4, seed + 101))
     b2 = _sql_plane_bucket(S.hyperplanes(dim, 4, seed + 202))
     lvl = []
@@ -4062,6 +4033,14 @@ ORDER BY cluster
 
 
 SQL_SEMANTIC_DEDUP_CAPPED = _sql_semantic_dedup_capped()
+
+# Headline twin: operator default cap (similarity.DEFAULT_MAX_CLUSTER),
+# 6 base planes — the refinement CTEs are the identity at every test
+# scale, but they are REPLAYED, so a split that did trigger would be
+# caught, not hidden.
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup_capped(
+    cap=S.DEFAULT_MAX_CLUSTER, n_planes=6
+)
 
 
 def q_soft_dedup(spark, sf_dir):

@@ -1292,6 +1292,35 @@ def test_semantic_dedup_survivors_superset_of_exact(spark, sf_dir):
     assert surv.columns[-1] == "cluster" or "cluster" in surv.columns
 
 
+def test_semantic_dedup_gemm_equals_expr(spark, sf_dir):
+    """r10: the blocked-GEMM within-cluster pair stage (default) and the
+    pure-Catalyst expression self-join must produce the IDENTICAL
+    survivor set — same clusters, same np.round(.,4)/threshold contract
+    — on both the capped-default and forced-split parameterizations."""
+    from demo_bigdata_spark.operators.similarity import semantic_dedup
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for kw in (
+        dict(n_planes=6),
+        dict(n_planes=2, max_cluster=15),
+        dict(n_planes=6, block_size=7),  # many blocks per cluster
+    ):
+        g = {
+            (r["vec_id"], r["cluster"])
+            for r in semantic_dedup(emb, 0.35, **kw)
+            .select("vec_id", "cluster")
+            .collect()
+        }
+        e = {
+            (r["vec_id"], r["cluster"])
+            for r in semantic_dedup(emb, 0.35, pair_method="expr", **kw)
+            .select("vec_id", "cluster")
+            .collect()
+        }
+        assert g == e, kw
+
+
 def test_wav_codec_roundtrip_and_quarantine(spark):
     """Round-9 VERDICT item 7: the stdlib WAV codec round-trips 16-bit
     mono samples exactly; 8-bit unsigned and stereo (floor-averaged to

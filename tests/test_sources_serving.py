@@ -1153,10 +1153,12 @@ def test_binary_stats_non_utf8_fail_open_not_lossy(tmp_path):
 
 
 def test_ref_names_cannot_hide_behind_tmp_filter(spark, tmp_path):
-    """Round-9 ADVICE: ref names containing '.tmp' are rejected — a
-    branch/tag named like an in-flight temp file would be created yet
-    invisible to list_refs, so expire_snapshots would not retain its head
-    (a tagged snapshot could be expired, leaving a dangling ref)."""
+    """Round-9 ADVICE (narrowed by round-10 ADVICE): exactly the ref
+    names matching the list_refs temp-file filter ('.tmp-' anywhere, or a
+    trailing '.tmp') are rejected — such a branch/tag would be created
+    yet invisible to retention, so expire_snapshots could drop its head.
+    Names that merely CONTAIN '.tmp' (e.g. 'a.tmpb') are visible to
+    list_refs and stay legal."""
     import pytest as _pytest
 
     from demo_bigdata_spark.sources import snapshots as S
@@ -1165,14 +1167,17 @@ def test_ref_names_cannot_hide_behind_tmp_filter(spark, tmp_path):
     S.create_table(
         spark, path, spark.createDataFrame([(1, "a")], "k long, v string")
     )
-    for bad in ("v1.tmp-x", "a.tmpb", ".tmp"):
+    for bad in ("v1.tmp-x", ".tmp", "x.tmp", ".tmp-a"):
         with _pytest.raises(ValueError, match="invalid ref name"):
             S.create_tag(path, bad)
         with _pytest.raises(ValueError, match="invalid ref name"):
             S.create_branch(path, bad)
-    # legal dotted names still work and are visible to retention
+    # legal dotted names still work and are visible to retention —
+    # including ones the pre-r10 blanket '.tmp' substring check refused
     S.create_tag(path, "v1.0")
-    assert S.list_refs(path)["tag"]["v1.0"] == 1
+    S.create_tag(path, "a.tmpb")
+    refs = S.list_refs(path)["tag"]
+    assert refs["v1.0"] == 1 and refs["a.tmpb"] == 1
 
 
 def test_versioned_table_bloom_point_lookup_pruning(spark, tmp_path):
@@ -1238,6 +1243,46 @@ def test_versioned_table_bloom_point_lookup_pruning(spark, tmp_path):
     assert S._bloom_key(1.0) == S._bloom_key(1) == "1"
     assert S._bloom_key(1.5) == "1.5" and S._bloom_key(True) == "1"
     assert S._bloom_key(b"\xff\x01") is None  # undecodable => no probe
+    # r10 ADVICE: past the double-exact range, int and float probes of the
+    # same numeric value canonicalize DIFFERENTLY — both fail open (None
+    # at build AND probe), never a false absence proof
+    assert S._bloom_key(2**60) is None and S._bloom_key(float(2**60)) is None
+    assert S._bloom_key(-(2**53)) is None and S._bloom_key(2**53 - 1) == str(2**53 - 1)
+    # end-to-end: a bigint column holding 2^60 probed as int or float must
+    # never bloom-prune the file that holds it
+    big = str(tmp_path / "bigmag")
+    bdf = spark.createDataFrame(
+        [(1, 2**60), (2, 5)], "k long, x long"
+    )
+    S.create_table(
+        spark, big, bdf.repartition(2, "k"), stats_cols=["x"], bloom_cols=["x"]
+    )
+    assert [r.k for r in S.read_table(spark, big, prune={"x": (2**60, 2**60)}).collect()] == [1]
+    assert [r.k for r in S.read_table(spark, big, prune={"x": (5, 5)}).collect()] == [2]
+
+
+def test_bloom_build_survives_schema_evolution(tmp_path):
+    """r10 ADVICE: a declared bloom column ABSENT from an older file (added
+    after schema evolution) must not disable blooms for the file's present
+    columns — the projected read intersects with the file's own schema."""
+    import base64
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from demo_bigdata_spark.sources import snapshots as S
+
+    f = str(tmp_path / "old.parquet")
+    pq.write_table(pa.table({"k": [1, 2, 3]}), f)
+    blooms = S._bloom_build(f, ["k", "added_later"], 256)
+    assert "added_later" not in blooms
+    assert "k" in blooms  # present column keeps its filter
+    bits = base64.b64decode(blooms["k"])
+    m = len(bits) * 8
+    present = all(
+        bits[h >> 3] & (1 << (h & 7)) for h in S._bloom_hashes("2", m)
+    )
+    assert present
 
 
 def test_versioned_table_legacy_dir_manifests_still_read(spark, tmp_path):
