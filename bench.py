@@ -119,6 +119,8 @@ HEADLINE = [
     "semantic_dedup_capped",
     "ivf_pq_topk",
     "snapshot_cdf",
+    # r10: persisted IVF-PQ index probe (partition-pruned ADC scan)
+    "ivf_pq_topk_indexed",
 ]
 
 

@@ -409,12 +409,15 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep_vec: bool = False,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode vectors to PQ codes: per subspace, the L2-nearest codebook
     entry (argmin ||x - c||^2 via the ||c||^2 - 2 x.c identity — one GEMM
     per subspace per Arrow batch). Output (id, codes array<int>); the
     full-precision vector rides along only when ``keep_vec`` (training
-    and refine paths need it, the stored index does not)."""
+    and refine paths need it, the stored index does not). ``keep_cols``
+    passes extra columns through untouched (the persisted index keeps its
+    ``cluster`` partition key this way)."""
     from pyspark.sql import types as T
 
     CB = np.asarray(codebooks, dtype=np.float64)
@@ -426,6 +429,7 @@ def pq_encode(
     ]
     if keep_vec:
         fields.insert(1, T.StructField("v", T.ArrayType(T.DoubleType())))
+    fields += [df.schema[c] for c in keep_cols]
     out_schema = T.StructType(fields)
 
     def _enc(batches):
@@ -442,9 +446,11 @@ def pq_encode(
             if keep_vec:
                 out["v"] = pdf["v"]
             out["codes"] = list(codes)
+            for c in keep_cols:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    src = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    src = df.select(F.col(id_col), _as_double(vec_col).alias("v"), *keep_cols)
     return src.mapInPandas(_enc, out_schema)
 
 
@@ -590,6 +596,133 @@ def read_ivf_index(spark, index_path: str, id_col: str = "vec_id") -> DataFrame:
         index_path + "_epochs",
         [id_col, "cluster", "epoch_id"],
         f"{id_col} long, v array<double>, cluster int, epoch_id long",
+    )
+
+
+def build_ivf_pq_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF-PQ index (round-9 VERDICT item 5, the FAISS
+    IndexIVFPQ on-disk shape): PQ CODES in cluster-partitioned inverted
+    lists — (id, codes array<int>) parquet partitioned BY cluster. A
+    probe reads n_probe/n_lists of the index and each row is m int codes
+    instead of dim floats (16 vs 64*8 bytes at the suite shape, the 16x
+    scan-byte cut ``pq_encode`` documents); full vectors are NOT stored —
+    the exact refine reads them from the source table."""
+    assigned = assign_clusters(df, centroids, vec_col, id_col)
+    enc = pq_encode(
+        assigned, codebooks, vec_col="v", id_col=id_col, keep_cols=("cluster",)
+    )
+    enc.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def append_pq_vectors(
+    spark,
+    batch_df: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    epoch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Exactly-once incremental IVF-PQ maintenance: assign + PQ-encode one
+    micro-batch against the FROZEN models and append its code rows under
+    the same epoch-ledger discipline as ``append_vectors`` (FAISS
+    add-after-train: both k-means models stay fixed between retrains, so
+    replayed epochs encode to identical rows and dedup on read is exact).
+    Work per epoch is O(batch)."""
+    from demo_bigdata_spark.streaming.pipeline import (
+        commit_epoch,
+        epoch_already_applied,
+    )
+
+    epochs_path = index_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    (
+        pq_encode(
+            assign_clusters(batch_df, centroids, vec_col, id_col),
+            codebooks,
+            vec_col="v",
+            id_col=id_col,
+            keep_cols=("cluster",),
+        )
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(index_path)
+    )
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_ivf_pq_index(spark, index_path: str, id_col: str = "vec_id") -> DataFrame:
+    """Committed view of an incrementally-maintained IVF-PQ index —
+    ledger semi-join + exact dedup, ``cluster`` in the dedup keys so the
+    probe's partition pruning still fires (same rationale as
+    ``read_ivf_index``)."""
+    from demo_bigdata_spark.streaming.pipeline import committed_view
+
+    return committed_view(
+        spark,
+        index_path,
+        index_path + "_epochs",
+        [id_col, "cluster", "epoch_id"],
+        f"{id_col} long, codes array<int>, cluster int, epoch_id long",
+    )
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    index_path: str,
+    source_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ top-k against a PERSISTED codes index (see
+    ``build_ivf_pq_index``): centroid ranking driver-side, the cluster
+    predicate prunes index partitions, ADC ranks the probed lists from
+    codes alone — the scan reads m ints per row, never a vector — and the
+    top ``refine`` ids re-rank with TRUE cosines against ``source_df``
+    (a broadcast semi-join: refine ids broadcast into the source scan's
+    pushdown, the honest exact-refine cost; a production serving layer
+    fronts it with an id-keyed row store). Returned cosines are exact.
+
+    On an incrementally-maintained index (``_epochs`` ledger exists) the
+    committed view is read — crash-window rows never appear."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(Cn @ qn))[:n_probe]]
+    if _read_parquet_if_exists(spark, index_path + "_epochs") is not None:
+        enc = read_ivf_pq_index(spark, index_path, id_col)
+    else:
+        enc = spark.read.parquet(index_path)
+    scoped = enc.filter(F.col("cluster").isin(probes))
+    cands = pq_topk(
+        scoped, codebooks, [float(x) for x in q], k=refine, id_col=id_col
+    )
+    rer = source_df.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).join(F.broadcast(cands.select(id_col)), id_col)
+    return brute_force_topk(
+        rer, [float(x) for x in q], k=k, vec_col="v", id_col=id_col
     )
 
 

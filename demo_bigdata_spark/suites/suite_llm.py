@@ -945,6 +945,42 @@ def q_ivf_pq_topk(spark, sf_dir):
     return S.ivf_pq_topk(emb, C, CB, qvec, k=10, n_probe=6, refine=50)
 
 
+def q_ivf_pq_topk_indexed(spark, sf_dir):
+    # PERSISTED IVF-PQ index (operators: similarity.build_ivf_pq_index /
+    # ivf_pq_topk_indexed / append_pq_vectors; round-9 VERDICT item 5 —
+    # the FAISS IndexIVFPQ on-disk shape): codes live in cluster-
+    # partitioned parquet inverted lists, the probe prunes partitions and
+    # the ADC scan reads 16 int codes per row (never a vector), top-50
+    # re-rank with true cosines against the source table. Rows-only (both
+    # k-means models are data-dependent); the twin invariant asserts the
+    # same recall floor + true-cosine contract as ivf_pq_topk. The index
+    # builds ONCE per (session, sf) into a session tempdir — the
+    # build-once-probe-many production reality, same cache discipline as
+    # _PQ_CACHE.
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PQ_IDX_CACHE if k[0] != app_id]:
+        shutil.rmtree(_PQ_IDX_CACHE.pop(k)[0], ignore_errors=True)
+    key = (app_id, sf_dir)
+    if key not in _PQ_IDX_CACHE:
+        CB = S.train_pq_codebooks(emb, m=16, ks=256, iterations=2)
+        C = S.train_ivf_centroids(emb, n_centroids=16, iterations=2)
+        path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        S.build_ivf_pq_index(emb, C, CB, path)
+        _PQ_IDX_CACHE[key] = (path, C, CB)
+    path, C, CB = _PQ_IDX_CACHE[key]
+    return S.ivf_pq_topk_indexed(
+        spark, path, emb, C, CB, qvec, k=10, n_probe=6, refine=50
+    )
+
+
+_PQ_IDX_CACHE: dict = {}
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup dedup: drop the higher id of every pair
     above the threshold, keep survivors (greedy, deterministic)."""
@@ -4383,6 +4419,7 @@ QUERIES = {
     "lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     "ivf_topk": (q_ivf_topk, None),
     "ivf_pq_topk": (q_ivf_pq_topk, None),
+    "ivf_pq_topk_indexed": (q_ivf_pq_topk_indexed, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),

@@ -204,6 +204,44 @@ def main() -> None:
         ("ivf_pq_topk_x30 (probe 6/16 + ADC + refine)", round(time.perf_counter() - t0, 2))
     )
 
+    # r10: PERSISTED IVF-PQ index (round-9 VERDICT item 5) — build the
+    # cluster-partitioned codes index once over the x30 corpus, then
+    # probe it. The codes-not-vectors claim is MEASURED from disk: index
+    # bytes vs the raw embedding parquet bytes; the probe's ADC stage
+    # reads only the probed partitions' code rows.
+    import os as _os
+
+    def _du(path):
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(path)
+            for f in fs
+        )
+
+    idxp = f"{tmp}/ivfpq_idx_x30"
+    t0 = time.perf_counter()
+    SIM.build_ivf_pq_index(bemb, Cp, CBp, idxp)
+    build_s = round(time.perf_counter() - t0, 2)
+    idx_mb = _du(idxp) / 1e6
+    vec_mb = _du(f"{tmp}/embeddings_big.parquet") / 1e6
+    doc_results.append(
+        (
+            f"ivf_pq_index_build_x30 ({idx_mb:.2f} MB codes vs "
+            f"{vec_mb:.2f} MB vectors on disk)",
+            build_s,
+        )
+    )
+    t0 = time.perf_counter()
+    SIM.ivf_pq_topk_indexed(
+        spark, idxp, bemb, Cp, CBp, qv, k=10, n_probe=6, refine=50
+    ).count()
+    doc_results.append(
+        (
+            "ivf_pq_probe_indexed_x30 (partition-pruned ADC scan + refine)",
+            round(time.perf_counter() - t0, 2),
+        )
+    )
+
     # packing/mixture tier (round-4 operators): the two-level prefix sum and
     # the one pack_id-keyed shuffle are the scale claims under test — growth
     # must track corpus tokens, with no corpus-sized single partition.
@@ -746,6 +784,58 @@ def main() -> None:
         )
     )
 
+    # r10 (round-9 VERDICT item 7): CDC REPLICATION throughput — mirror a
+    # fresh versioned table through mirror_changelog_stream across an x30
+    # mixed append/MOR-delete/upsert lifecycle; report end-to-end rows/s
+    # and per-commit fold latency, then verify the mirror converged.
+    from demo_bigdata_spark.sources.snapshot_cdc import mirror_changelog_stream
+
+    repl_src = f"{tmp}/cdc_repl_src"
+    repl_mir = f"{tmp}/cdc_repl_mirror"
+    repl_ck = f"{tmp}/cdc_repl_ck"
+    for pth in (repl_src, repl_mir, repl_ck):
+        _sh2.rmtree(pth, ignore_errors=True)
+    halves = slices.randomSplit([0.5, 0.5], seed=7)
+    SN.create_table(spark, repl_src, halves[0])
+    SN.append_snapshot(spark, repl_src, halves[1])
+    SN.delete_where(
+        spark, repl_src, "o_orderkey", F.col("o_orderkey") % 10 == 3
+    )
+    SN.upsert_snapshot(
+        spark,
+        repl_src,
+        halves[0].limit(200000).withColumn("cents", F.col("cents") + 1),
+        "o_orderkey",
+    )
+    n_changes = 0
+    t0 = time.perf_counter()
+    qrep = mirror_changelog_stream(
+        spark,
+        repl_src,
+        repl_mir,
+        repl_ck,
+        key_col="o_orderkey",
+        max_snapshots_per_trigger=1,
+        trigger_seconds=1,
+    )
+    qrep.processAllAvailable()
+    qrep.stop()
+    dt_rep = time.perf_counter() - t0
+    n_changes = sum(
+        p["numInputRows"] for p in qrep.recentProgress
+    )
+    src_cnt = SN.read_table(spark, repl_src).count()
+    mir_cnt = SN.read_table(spark, repl_mir).count()
+    assert mir_cnt == src_cnt, (mir_cnt, src_cnt)
+    rel_results.append(
+        (
+            f"cdc_replication_mirror_x30 ({n_changes} change rows over 4 "
+            f"commits, {int(n_changes / max(dt_rep, 1e-9)):,} rows/s, "
+            f"{dt_rep / 4:.1f} s/commit, mirror==source)",
+            round(dt_rep, 2),
+        )
+    )
+
     # r8 session 3: iterative PageRank over the x30 bipartite
     # part<->supplier graph (edges = distinct lineitem pairs, both
     # directions) — probes the per-iteration join+aggregate machinery at a
@@ -992,6 +1082,23 @@ def main() -> None:
         "grows with the corpus, exactly the SemDeDup deployment recipe.",
         "The exact all-pairs twin at this scale would be ~11G pairs and is",
         "deliberately NOT probed.",
+        "r10: the blocked-GEMM within-cluster pair stage cut the x30",
+        "SemDeDup rows ~25-65x (semantic_dedup_4096_clusters 63.9 -> 2.7 s,",
+        "capped dup farm 89.5 -> 1.4 s vs the r9 probe): at real pair counts",
+        "the interpreted per-pair Catalyst folds were the dominant cost, and",
+        "one BLAS call per cluster-scoped block pair replaces them; drop set",
+        "bit-identical (test-pinned gemm==expr).",
+        "r10: ivf_pq_index_build_x30 persists the codes index once",
+        "(cluster-partitioned parquet; the recorded MB ratio is the",
+        "codes-not-vectors claim measured from disk, ~16x under the raw",
+        "embedding bytes); ivf_pq_probe_indexed_x30 then answers from the",
+        "probed partitions alone — no assignment recompute, no vector",
+        "reads before the refine join. cdc_replication_mirror_x30 drives",
+        "mirror_changelog_stream over a 4-commit mixed lifecycle",
+        "(create/append/MOR-delete/upsert) and reports end-to-end change",
+        "rows/s + per-commit fold latency with the mirror==source count",
+        "asserted inside the probe; the fold is O(batch) and the mirror",
+        "is never read (apply_changes_epoch).",
         "r9: semantic_dedup_capped_dupfarm plants a third of the corpus as",
         "ONE identical vector — unsplittable by any semantic plane — and",
         "max_cluster=500 guillotines it into ~n/cap md5 id-hash groups, so",

@@ -74,7 +74,16 @@ def inv_ivf_pq_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
     inv_ivf_topk(out, spark, sf_dir, con)
 
 
+def inv_ivf_pq_topk_indexed(out: pd.DataFrame, spark, sf_dir, con) -> None:
+    """The PERSISTED IVF-PQ index must honor the identical contract as the
+    in-flight ivf_pq_topk: recall@10 over the per-sf floor and every
+    returned cosine the TRUE cosine (the refine re-scores against the
+    source table's full vectors, so stored codes never leak scores)."""
+    inv_ivf_topk(out, spark, sf_dir, con)
+
+
 INVARIANTS = {
     "ivf_topk": inv_ivf_topk,
     "ivf_pq_topk": inv_ivf_pq_topk,
+    "ivf_pq_topk_indexed": inv_ivf_pq_topk_indexed,
 }
