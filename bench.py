@@ -121,6 +121,8 @@ HEADLINE = [
     "snapshot_cdf",
     # r10: persisted IVF-PQ index probe (partition-pruned ADC scan)
     "ivf_pq_topk_indexed",
+    # r10: batched exact ANN - Q queries, one corpus scan
+    "multi_query_topk",
 ]
 
 

@@ -50,6 +50,90 @@ def brute_force_topk(
     )
 
 
+def multi_query_topk(
+    df: DataFrame,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE corpus scan
+    (round 10) — the batch-inference shape ``brute_force_topk`` pays one
+    scan per query for: all Q queries ride one GEMM per Arrow batch
+    (rows x Q scores), each task keeps only its local top-k per query
+    (bounded k*Q rows emitted per partition), and a final window takes
+    the global top-k per query. Returns (query_id, vec_id, cosine),
+    cosine = np.round(true cosine, 4), ties broken by id — the same
+    numeric contract as ``all_pairs_above``. At 100 TB: corpus scanned
+    once regardless of Q; the final window moves only
+    partitions * k * Q candidate rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    qids = sorted(query_vecs)
+    Q = np.array([query_vecs[q] for q in qids], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        # accumulate per-partition top-k per query across Arrow batches
+        best: dict[int, list] = {q: [] for q in qids}
+        import heapq
+
+        for pdf in batches:
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            if not len(V):
+                continue
+            ids = pdf["_id"].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(
+                    (V @ Q.T)
+                    / np.outer(np.linalg.norm(V, axis=1), Qn),
+                    4,
+                )
+            cos = np.nan_to_num(cos, nan=-2.0)  # zero vectors sort last
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                # (cosine, -id) max-heap semantics via heapq.nlargest
+                cand = best[qid] + list(zip(col.tolist(), (-ids).tolist()))
+                best[qid] = heapq.nlargest(k, cand)
+        rows = {
+            "query_id": [],
+            id_col: [],
+            "cosine": [],
+        }
+        for qid in qids:
+            for c, negid in best[qid]:
+                if c <= -2.0:
+                    continue
+                rows["query_id"].append(qid)
+                rows[id_col].append(-negid)
+                rows["cosine"].append(c)
+        yield pd.DataFrame(rows, dtype=None).astype(
+            {"query_id": "int64", id_col: "int64", "cosine": "float64"}
+        )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("v")
+    )
+    local = src.mapInPandas(_score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), id_col)
+    )
+
+
 def all_pairs_above(
     df: DataFrame,
     threshold: float,
@@ -296,6 +380,91 @@ def ivf_topk(
     assigned = assign_clusters(df, centroids, vec_col, id_col)
     scoped = assigned.filter(F.col("cluster").isin(probes))
     return brute_force_topk(scoped, [float(x) for x in q], k=k, vec_col="v", id_col=id_col)
+
+
+def multi_query_ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF top-k (round 10): Q queries, ONE pruned scan. Each
+    query ranks centroids driver-side; the scan reads the UNION of all
+    probe clusters (partition pruning on a built index); inside the scan
+    a rows x Q GEMM scores every row, masked so a row counts for a query
+    only when its cluster is in THAT query's probe set — so results are
+    exactly per-query ``ivf_topk`` (test-pinned) at one scan for the
+    whole batch. Returns (query_id, id, cosine); the same
+    per-partition-top-k + Q-partition window shape as
+    ``multi_query_topk``."""
+    import heapq
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    qids = sorted(query_vecs)
+    Q = np.array([query_vecs[q] for q in qids], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    n_lists = C.shape[0]
+    allowed = np.zeros((n_lists, len(qids)), dtype=bool)
+    for j, qid in enumerate(qids):
+        qv = Q[j] / max(Qn[j], 1e-12)
+        for c in np.argsort(-(Cn @ qv))[:n_probe]:
+            allowed[int(c), j] = True
+    union = [int(c) for c in np.nonzero(allowed.any(axis=1))[0]]
+
+    assigned = assign_clusters(df, centroids, vec_col, id_col)
+    scoped = assigned.filter(F.col("cluster").isin(union))
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        best: dict[int, list] = {q: [] for q in qids}
+        for pdf in batches:
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            if not len(V):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cl = pdf["cluster"].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(
+                    (V @ Q.T) / np.outer(np.linalg.norm(V, axis=1), Qn), 4
+                )
+            cos = np.where(allowed[cl], np.nan_to_num(cos, nan=-2.0), -2.0)
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                cand = best[qid] + list(zip(col.tolist(), (-ids).tolist()))
+                best[qid] = heapq.nlargest(k, cand)
+        rows = {"query_id": [], id_col: [], "cosine": []}
+        for qid in qids:
+            for c, negid in best[qid]:
+                if c <= -2.0:
+                    continue
+                rows["query_id"].append(qid)
+                rows[id_col].append(-negid)
+                rows["cosine"].append(c)
+        yield pd.DataFrame(rows).astype(
+            {"query_id": "int64", id_col: "int64", "cosine": "float64"}
+        )
+
+    local = scoped.select(id_col, "cluster", "v").mapInPandas(_score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), id_col)
+    )
 
 
 def build_ivf_index(
@@ -757,6 +926,8 @@ def lsh_pairs_above(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    method: str = "gemm",
+    block_size: int = 1024,
 ) -> DataFrame:
     """Approximate near-pair search: score only within sign-LSH buckets,
     OR-amplified across ``n_tables`` independent hash tables.
@@ -766,11 +937,16 @@ def lsh_pairs_above(
     (n_planes, n_tables): more planes -> smaller buckets (cheaper join,
     lower recall); more tables -> higher recall (linear extra cost).
 
-    Plan shape: explode each vector into L (table, bucket) keys, self-join on
-    the composite key (shuffle-partitionable equi-join — never a cartesian
-    product), dedup candidate pairs, score exactly. At 100 TB, bucket sizes
-    bound the join fan-out; skewed buckets (many near-identical vectors) are
-    exactly the clusters a dedup pass should collapse first.
+    Plan shape: explode each vector into L (table, bucket) keys, nest each
+    bucket into GEMM blocks, equi-join block pairs on the bucket key
+    (never a cartesian product), score each block pair with one BLAS call
+    (``method="gemm"``, default — same numeric contract as
+    all_pairs_above), and dedup cross-table hits on the bare (id_a, id_b)
+    key with max(cosine) — the dedup shuffle carries 3 scalars per
+    candidate instead of both vectors. ``method="expr"`` keeps the
+    pure-Catalyst per-pair path (equality test-pinned). At 100 TB, bucket
+    sizes bound the join fan-out; skewed buckets (many near-identical
+    vectors) are exactly the clusters a dedup pass should collapse first.
     """
     keyed = df.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
         "tb",
@@ -786,18 +962,112 @@ def lsh_pairs_above(
             )
         ),
     )
-    a = keyed.select(F.col("tb"), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = keyed.select(F.col("tb").alias("tb_b"), F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    cands = (
-        a.join(b, (F.col("tb") == F.col("tb_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])
+    if method == "expr":
+        # Reference/debug path: pair self-join carrying both vectors
+        # through the dedup shuffle, per-pair interpreted cosine.
+        a = keyed.select(F.col("tb"), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        b = keyed.select(F.col("tb").alias("tb_b"), F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        cands = (
+            a.join(b, (F.col("tb") == F.col("tb_b")) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return cands.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        ).filter(F.col("cosine") >= threshold)
+    # Default "gemm" (round 10): score INSIDE each (table, bucket) with the
+    # blocked-GEMM strategy — blocks of block_size rows per bucket, block
+    # pairs meet in an equi-join on the bucket key, one BLAS call per
+    # block pair — then dedup cross-table hits on the (id_a, id_b) key
+    # alone. Two structural wins over the expr path at 100 TB: the
+    # per-pair cosine leaves the interpreted expression engine, and the
+    # dedup shuffle carries (long, long, double) instead of BOTH vectors
+    # (128 doubles per candidate). max(cosine) is the dedup reducer: the
+    # same pair scores identically in every table it collides in, so max
+    # is a deterministic pick that never depends on table order.
+    from pyspark.sql import Window
+
+    _cn = F.count("*").over(Window.partitionBy("tb"))
+    rows = keyed.select(
+        "tb",
+        F.col(id_col).alias("vid"),
+        "v",
+        F.pmod(
+            F.hash(F.col(id_col)),
+            F.greatest(F.lit(1), F.ceil(_cn / F.lit(block_size)).cast("int")),
+        ).alias("blk"),
     )
-    return cands.select(
-        "id_a",
-        "id_b",
-        F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    blocks = rows.groupBy("tb", "blk").agg(
+        F.collect_list(F.struct("vid", "v")).alias("items")
+    )
+    a = blocks.select(
+        "tb", F.col("blk").alias("blk_a"), F.col("items").alias("items_a")
+    )
+    b = blocks.select(
+        "tb", F.col("blk").alias("blk_b"), F.col("items").alias("items_b")
+    )
+    block_pairs = a.join(b, "tb").filter(F.col("blk_a") <= F.col("blk_b"))
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ia = np.array([it["vid"] for it in row["items_a"]], dtype=np.int64)
+                ib = np.array([it["vid"] for it in row["items_b"]], dtype=np.int64)
+                A = np.array([it["v"] for it in row["items_a"]], dtype=np.float64)
+                B = np.array([it["v"] for it in row["items_b"]], dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.round(
+                        (A @ B.T)
+                        / np.outer(
+                            np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+                        ),
+                        4,
+                    )
+                hit = cos >= threshold
+                m = hit & (ia[:, None] < ib[None, :])
+                xi, yi = np.nonzero(m)
+                if len(xi):
+                    outs.append(
+                        pd.DataFrame(
+                            {"id_a": ia[xi], "id_b": ib[yi], "cosine": cos[xi, yi]}
+                        )
+                    )
+                if row["blk_a"] != row["blk_b"]:
+                    m2 = hit & (ia[:, None] > ib[None, :])
+                    xi2, yi2 = np.nonzero(m2)
+                    if len(xi2):
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "id_a": ib[yi2],
+                                    "id_b": ia[xi2],
+                                    "cosine": cos[xi2, yi2],
+                                }
+                            )
+                        )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+
+    scored = block_pairs.mapInPandas(_score, out_schema)
+    return scored.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def quantize_embeddings(

@@ -882,6 +882,38 @@ ORDER BY cosine DESC, vec_id
 LIMIT 10
 """
 
+def q_multi_query_topk(spark, sf_dir):
+    """Batched exact ANN (operator: similarity.multi_query_topk, r10):
+    three query vectors (vec_id 0/1/2) score in ONE corpus scan — per
+    Arrow batch a rows x 3 GEMM, per-partition top-k per query, global
+    window. The twin recomputes every (query, corpus) cosine in SQL and
+    windows to the same top-10 — exact values, exact tie order."""
+    emb = _emb(spark, sf_dir)
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        "vec_id", "embedding"
+    ).collect()
+    qvecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    return S.multi_query_topk(emb, qvecs, k=10)
+
+
+SQL_MULTI_QUERY_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM s
+) WHERE rn <= 10
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
 PAIR_THRESHOLD = 0.35
 
 
@@ -976,6 +1008,21 @@ def q_ivf_pq_topk_indexed(spark, sf_dir):
     return S.ivf_pq_topk_indexed(
         spark, path, emb, C, CB, qvec, k=10, n_probe=6, refine=50
     )
+
+
+def q_multi_query_ivf_topk(spark, sf_dir):
+    # Batched IVF (operator: similarity.multi_query_ivf_topk, r10): three
+    # queries share ONE pruned scan of the union probe set, per-query
+    # probe masks inside the GEMM. k-means centroids are data-dependent
+    # -> rows-only; the twin invariant checks, PER QUERY, the recall
+    # floor vs exact brute force and that returned cosines are true.
+    emb = _emb(spark, sf_dir)
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        "vec_id", "embedding"
+    ).collect()
+    qvecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    C = S.train_ivf_centroids(emb, n_centroids=16, iterations=2)
+    return S.multi_query_ivf_topk(emb, C, qvecs, k=10, n_probe=6)
 
 
 _PQ_IDX_CACHE: dict = {}
@@ -4420,6 +4467,8 @@ QUERIES = {
     "ivf_topk": (q_ivf_topk, None),
     "ivf_pq_topk": (q_ivf_pq_topk, None),
     "ivf_pq_topk_indexed": (q_ivf_pq_topk_indexed, None),
+    "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
+    "multi_query_ivf_topk": (q_multi_query_ivf_topk, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),

@@ -204,6 +204,17 @@ def main() -> None:
         ("ivf_pq_topk_x30 (probe 6/16 + ADC + refine)", round(time.perf_counter() - t0, 2))
     )
 
+    # r10: lsh_pairs_above at x30 under the bucket-scoped blocked-GEMM
+    # scorer — candidate generation is the (table, bucket) equi-join,
+    # scoring one BLAS call per block pair, cross-table dedup shuffles
+    # (long, long, double) instead of both vectors.
+    doc_results.append(
+        timed(
+            "lsh_pairs_gemm_x30 (8 tables, 4 planes)",
+            SIM.lsh_pairs_above(bemb, 0.35, n_planes=4, n_tables=8),
+        )
+    )
+
     # r10: PERSISTED IVF-PQ index (round-9 VERDICT item 5) — build the
     # cluster-partitioned codes index once over the x30 corpus, then
     # probe it. The codes-not-vectors claim is MEASURED from disk: index

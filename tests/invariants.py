@@ -82,8 +82,44 @@ def inv_ivf_pq_topk_indexed(out: pd.DataFrame, spark, sf_dir, con) -> None:
     inv_ivf_topk(out, spark, sf_dir, con)
 
 
+def inv_multi_query_ivf_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
+    """Batched IVF: PER QUERY (vec_id 0/1/2), the probe search must hit
+    the exact top-10 with recall over the per-sf floor, and every
+    returned cosine must be the true cosine for that (query, id)."""
+    floor = IVF_RECALL_FLOOR.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 4)
+    assert set(out["query_id"]) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        grp = out[out["query_id"] == qid]
+        assert len(grp) == 10, (qid, len(grp))
+        exact = con.sql(
+            f"""
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings
+                          WHERE vec_id = {qid})), 4) AS cosine
+            FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+            """
+        ).df()
+        overlap = set(grp["vec_id"]) & set(exact["vec_id"])
+        assert len(overlap) >= floor, (qid, len(overlap), floor)
+        true_cos = dict(
+            con.sql(
+                f"""
+                SELECT vec_id,
+                       round(list_cosine_similarity(embedding::DOUBLE[],
+                             (SELECT embedding::DOUBLE[] FROM embeddings
+                              WHERE vec_id = {qid})), 4) AS cosine
+                FROM embeddings
+                """
+            ).df().itertuples(index=False, name=None)
+        )
+        for vid, c in grp[["vec_id", "cosine"]].itertuples(index=False, name=None):
+            assert abs(c - true_cos[vid]) <= 1e-4 + 1e-9, (qid, vid, c)
+
+
 INVARIANTS = {
     "ivf_topk": inv_ivf_topk,
     "ivf_pq_topk": inv_ivf_pq_topk,
     "ivf_pq_topk_indexed": inv_ivf_pq_topk_indexed,
+    "multi_query_ivf_topk": inv_multi_query_ivf_topk,
 }

@@ -1292,6 +1292,96 @@ def test_semantic_dedup_survivors_superset_of_exact(spark, sf_dir):
     assert surv.columns[-1] == "cluster" or "cluster" in surv.columns
 
 
+def test_multi_query_topk_equals_per_query_brute_force(spark, sf_dir):
+    """r10: the one-scan batched ANN must return, for every query vector,
+    exactly what brute_force_topk returns for that query alone (same
+    cosines at round-4, same id tiebreak) — and scale Q without extra
+    scans (asserted structurally: one mapInPandas over the corpus)."""
+    from demo_bigdata_spark.operators.similarity import (
+        brute_force_topk,
+        multi_query_topk,
+    )
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin(0, 5, 9)).collect()
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows
+    }
+    batched = multi_query_topk(emb, qvecs, k=10)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(got) == set(qvecs)
+    for qid, qv in qvecs.items():
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(emb, qv, k=10).collect()
+        ]
+        assert got[qid] == want, qid
+    # one corpus scan regardless of Q (AQE repeats the plan under an
+    # "Initial Plan" section — count only the final plan)
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("FileScan") <= 1, final
+
+
+def test_multi_query_ivf_topk_equals_per_query(spark, sf_dir):
+    """r10: batched IVF (one pruned scan for Q queries, per-query probe
+    masks inside the GEMM) must equal per-query ivf_topk exactly — same
+    ids, same round-4 cosines, including queries whose probe sets only
+    partially overlap."""
+    from demo_bigdata_spark.operators.similarity import (
+        ivf_topk,
+        multi_query_ivf_topk,
+        train_ivf_centroids,
+    )
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    qrows = emb.filter(F.col("vec_id").isin(0, 5, 9)).collect()
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows
+    }
+    batched = multi_query_ivf_topk(emb, C, qvecs, k=10, n_probe=3)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, qv in qvecs.items():
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_topk(emb, C, qv, k=10, n_probe=3).collect()
+        ]
+        assert got.get(qid, []) == want, qid
+
+
+def test_lsh_pairs_gemm_equals_expr(spark, sf_dir):
+    """r10: lsh_pairs_above's bucket-scoped blocked-GEMM scorer (default)
+    must equal the pure-Catalyst expression path exactly — pairs AND
+    rounded cosines — including with many blocks per bucket. The gemm
+    path's dedup shuffle carries (long, long, double) per candidate
+    instead of both 64-double vectors."""
+    from demo_bigdata_spark.operators.similarity import lsh_pairs_above
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in lsh_pairs_above(
+            emb, 0.35, n_planes=4, n_tables=8, method="expr"
+        ).collect()
+    }
+    for kw in (dict(), dict(block_size=7)):
+        g = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in lsh_pairs_above(
+                emb, 0.35, n_planes=4, n_tables=8, **kw
+            ).collect()
+        }
+        assert g == e and g, kw
+
+
 def test_semantic_dedup_gemm_equals_expr(spark, sf_dir):
     """r10: the blocked-GEMM within-cluster pair stage (default) and the
     pure-Catalyst expression self-join must produce the IDENTICAL

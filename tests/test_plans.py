@@ -574,6 +574,18 @@ def test_semantic_dedup_capped_is_cluster_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_lsh_pairs_gemm_is_bucket_equi_join(spark, sf_dir):
+    """r10: lsh_pairs_above's default gemm path must equi-join GEMM
+    blocks on the (table, bucket) key — no cartesian/nested-loop — and
+    its cross-table dedup aggregate must group on the bare id pair (the
+    shuffle carries scalars, not vectors)."""
+    from demo_bigdata_spark.suites.suite_llm import q_lsh_pairs
+
+    plan = executed_plan(q_lsh_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_hybrid_rrf_windows_bounded_by_candidate_lists(spark, sf_dir):
     """rrf_fuse's rank windows are single-partition BY DESIGN, but they
     must sit above the top-N candidate cuts (TakeOrderedAndProject /
