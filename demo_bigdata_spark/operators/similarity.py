@@ -400,26 +400,39 @@ def multi_query_ivf_topk(
     whole batch. Returns (query_id, id, cosine); the same
     per-partition-top-k + Q-partition window shape as
     ``multi_query_topk``."""
-    import heapq
+    qids, Q, Qn, allowed, union = _multi_query_probes(
+        centroids, query_vecs, n_probe
+    )
+    assigned = assign_clusters(df, centroids, vec_col, id_col)
+    scoped = assigned.filter(F.col("cluster").isin(union))
+    return _masked_multi_query_scan(scoped, qids, Q, Qn, allowed, k, id_col)
 
-    from pyspark.sql import Window
-    from pyspark.sql import types as T
 
+def _multi_query_probes(centroids, query_vecs, n_probe):
+    """(qids, Q, Qn, allowed[cluster, query] bool, union cluster list) —
+    the driver-side probe planning both batched IVF variants share."""
     qids = sorted(query_vecs)
     Q = np.array([query_vecs[q] for q in qids], dtype=np.float64)
     Qn = np.linalg.norm(Q, axis=1)
     C = np.asarray(centroids, dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    n_lists = C.shape[0]
-    allowed = np.zeros((n_lists, len(qids)), dtype=bool)
-    for j, qid in enumerate(qids):
+    allowed = np.zeros((C.shape[0], len(qids)), dtype=bool)
+    for j in range(len(qids)):
         qv = Q[j] / max(Qn[j], 1e-12)
         for c in np.argsort(-(Cn @ qv))[:n_probe]:
             allowed[int(c), j] = True
     union = [int(c) for c in np.nonzero(allowed.any(axis=1))[0]]
+    return qids, Q, Qn, allowed, union
 
-    assigned = assign_clusters(df, centroids, vec_col, id_col)
-    scoped = assigned.filter(F.col("cluster").isin(union))
+
+def _masked_multi_query_scan(scoped, qids, Q, Qn, allowed, k, id_col):
+    """One masked rows x Q GEMM pass over ``scoped`` (id, cluster, v):
+    per-partition top-k per query, then the global Q-partition window."""
+    import heapq
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -465,6 +478,35 @@ def multi_query_ivf_topk(
         .drop("rn")
         .orderBy("query_id", F.desc("cosine"), id_col)
     )
+
+
+def multi_query_ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF against a PERSISTED index (round 10): the union of all
+    queries' probe clusters prunes index partitions ONCE, per-query probe
+    masks inside the shared GEMM keep results exactly per-query
+    ``ivf_topk_indexed`` (test-pinned) — the production batch-serving
+    shape: Q queries amortize one pruned scan and zero assignment
+    recompute. Honors the epoch-ledger committed view like the
+    single-query probe."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    qids, Q, Qn, allowed, union = _multi_query_probes(
+        centroids, query_vecs, n_probe
+    )
+    if _read_parquet_if_exists(spark, index_path + "_epochs") is not None:
+        assigned = read_ivf_index(spark, index_path, id_col)
+    else:
+        assigned = spark.read.parquet(index_path)
+    scoped = assigned.filter(F.col("cluster").isin(union))
+    return _masked_multi_query_scan(scoped, qids, Q, Qn, allowed, k, id_col)
 
 
 def build_ivf_index(
@@ -999,9 +1041,13 @@ def lsh_pairs_above(
             F.greatest(F.lit(1), F.ceil(_cn / F.lit(block_size)).cast("int")),
         ).alias("blk"),
     )
+    # Materialize the nested blocks once (eager localCheckpoint, the
+    # semantic_dedup pattern): the a x b self-join below would otherwise
+    # recompute the explode + window + collect_list chain TWICE per
+    # action — two full corpus scans instead of none.
     blocks = rows.groupBy("tb", "blk").agg(
         F.collect_list(F.struct("vid", "v")).alias("items")
-    )
+    ).localCheckpoint(eager=True)
     a = blocks.select(
         "tb", F.col("blk").alias("blk_a"), F.col("items").alias("items_a")
     )

@@ -149,7 +149,8 @@ def stream_stream_join(
     null-pads the left columns once the LEFT watermark passes
     ``r_ts + max_lag`` (no future left row can reach back to it, since
     the range condition bounds ``l_ts`` to ``[r_ts, r_ts + max_lag]``).
-    ``how="full_outer"`` flushes both sides. In every case the flush
+    ``how="full_outer"`` flushes both sides. ``how="left_semi"`` emits
+    each matched left row once, no right columns. In every case the flush
     point IS the state-eviction point — the time-range condition gives
     Spark a state watermark for each side, so outer results cost no
     extra state over the inner join (progress-asserted in tests). The

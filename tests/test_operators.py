@@ -1356,6 +1356,38 @@ def test_multi_query_ivf_topk_equals_per_query(spark, sf_dir):
         assert got.get(qid, []) == want, qid
 
 
+def test_multi_query_ivf_indexed_equals_per_query(spark, sf_dir, tmp_path):
+    """r10: batched IVF against the PERSISTED index (one partition-pruned
+    scan of the union probe set) must equal per-query ivf_topk_indexed
+    exactly."""
+    from demo_bigdata_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        multi_query_ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    path = str(tmp_path / "mq_idx")
+    build_ivf_index(emb, C, path)
+    qrows = emb.filter(F.col("vec_id").isin(0, 5, 9)).collect()
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows
+    }
+    batched = multi_query_ivf_topk_indexed(spark, path, C, qvecs, k=10, n_probe=3)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, qv in qvecs.items():
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_topk_indexed(spark, path, C, qv, k=10, n_probe=3).collect()
+        ]
+        assert got.get(qid, []) == want, qid
+
+
 def test_lsh_pairs_gemm_equals_expr(spark, sf_dir):
     """r10: lsh_pairs_above's bucket-scoped blocked-GEMM scorer (default)
     must equal the pure-Catalyst expression path exactly — pairs AND
@@ -1395,6 +1427,7 @@ def test_semantic_dedup_gemm_equals_expr(spark, sf_dir):
         dict(n_planes=6),
         dict(n_planes=2, max_cluster=15),
         dict(n_planes=6, block_size=7),  # many blocks per cluster
+        dict(n_planes=6, max_cluster=None),  # uncapped opt-in
     ):
         g = {
             (r["vec_id"], r["cluster"])

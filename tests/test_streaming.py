@@ -321,6 +321,38 @@ def test_stream_stream_outer_join_matrix(spark, tmp_path, how):
     assert removed > 0 or (totals and totals[-1] < max(totals)), totals
 
 
+def test_stream_stream_left_semi_join(spark, tmp_path):
+    """r10: left-semi stream-stream join — each left row with at least one
+    in-window match emits exactly once with no right columns; drained
+    result equals the batch left-semi join."""
+    from demo_bigdata_spark.streaming.pipeline import stream_stream_join
+
+    purchases, clicks, p_stream, c_stream = _outer_join_fixture(
+        spark, tmp_path, "ls"
+    )
+    joined = stream_stream_join(
+        p_stream, c_stream, watermark="1 hour", how="left_semi"
+    ).select("event_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sslsj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.event_id for r in spark.sql("SELECT * FROM sslsj").collect())
+    finally:
+        q.stop()
+    want = sorted(
+        r.event_id
+        for r in stream_stream_join(purchases, clicks, how="left_semi")
+        .select("event_id")
+        .collect()
+    )
+    assert got == want == [1, 99]
+
+
 def test_checkpoint_recovery_no_loss(spark, sf_dir, tmp_path):
     """Stop a partitioned-sink stream mid-source, restart from the same
     checkpoint, drain: every source event must be present (at-least-once,
