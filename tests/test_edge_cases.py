@@ -458,3 +458,33 @@ def test_mixture_weighted_rejects_fractional_weights(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").withColumn("w", F.lit(0.7))
     with _pytest.raises(ValueError, match="integral"):
         mixture_sample_weighted(docs, "source", "doc_id", {"src0": 1.0}, 100, "w")
+
+
+def test_gemm_paths_survive_degenerate_inputs(spark):
+    """r10: the blocked-GEMM operators (SemDeDup, LSH pairs, batched ANN)
+    must handle single-row, empty, and zero-vector inputs — empty GEMM
+    blocks, NaN cosines from zero norms, and k > corpus all degrade
+    gracefully instead of crashing a driver query."""
+    from pyspark.sql import functions as F
+
+    import demo_bigdata_spark.operators.similarity as S
+
+    one = spark.createDataFrame(
+        [(1, [1.0] * 64, 0)], "vec_id long, embedding array<double>, label int"
+    )
+    assert S.semantic_dedup(one, 0.35, n_planes=2).count() == 1
+    empty = one.filter(F.lit(False))
+    assert S.semantic_dedup(empty, 0.35, n_planes=2).count() == 0
+    assert S.lsh_pairs_above(empty, 0.35).count() == 0
+    assert S.multi_query_topk(one, {0: [1.0] * 64}, k=10).count() == 1
+    # zero vectors: NaN cosine compares False everywhere -> both survive,
+    # and the zero row never appears in a top-k
+    z = spark.createDataFrame(
+        [(1, [0.0] * 64, 0), (2, [1.0] * 64, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    assert sorted(
+        r.vec_id for r in S.semantic_dedup(z, 0.35, n_planes=2).collect()
+    ) == [1, 2]
+    top = S.multi_query_topk(z, {7: [1.0] * 64}, k=5).collect()
+    assert [r.vec_id for r in top] == [2]
