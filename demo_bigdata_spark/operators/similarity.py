@@ -36,8 +36,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector.
 
-    Single scan; cosine computed in codegen; TakeOrderedAndProject keeps only
-    k rows per partition then merges — no global sort, no collect.
+    Single scan; TakeOrderedAndProject keeps only k rows per partition
+    then merges — no global sort, no collect. The cosine expression is a
+    higher-order-function fold (interpreted, not codegen) — fine for the
+    small refine sets the IVF/PQ paths feed it, but for full-corpus
+    scans, or several queries, ``multi_query_topk`` GEMM-scores the scan
+    instead (x30 probe: 8 queries in one 0.6 s scan vs 12 s for 8
+    expression scans).
     """
     q = F.lit(np.asarray(query_vec, dtype=np.float64).tolist()).cast("array<double>")
     return (

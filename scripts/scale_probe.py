@@ -215,6 +215,22 @@ def main() -> None:
         )
     )
 
+    # r10: batched exact ANN — 8 queries, ONE scan of the 3M-vector
+    # corpus, vs the same 8 queries as separate brute_force_topk scans;
+    # the batched row must land well under 8x the single-query cost.
+    qv8 = {i: [float(x) for x in r["embedding"]] for i, r in enumerate(
+        spark.read.parquet(f"{tmp}/embeddings_big.parquet").limit(8).collect()
+    )}
+    doc_results.append(
+        timed("multi_query_topk_8q_x30 (one scan)", SIM.multi_query_topk(bemb, qv8, k=10))
+    )
+    t0 = time.perf_counter()
+    for _qv in qv8.values():
+        SIM.brute_force_topk(bemb, _qv, k=10).count()
+    doc_results.append(
+        ("brute_force_topk_8q_x30 (8 separate scans)", round(time.perf_counter() - t0, 2))
+    )
+
     # r10: PERSISTED IVF-PQ index (round-9 VERDICT item 5) — build the
     # cluster-partitioned codes index once over the x30 corpus, then
     # probe it. The codes-not-vectors claim is MEASURED from disk: index
@@ -1099,6 +1115,10 @@ def main() -> None:
         "the interpreted per-pair Catalyst folds were the dominant cost, and",
         "one BLAS call per cluster-scoped block pair replaces them; drop set",
         "bit-identical (test-pinned gemm==expr).",
+        "r10: multi_query_topk_8q_x30 answers 8 queries in ONE corpus",
+        "scan (rows x 8 GEMM per Arrow batch, WindowGroupLimit top-k);",
+        "its brute_force_topk_8q counterpart pays 8 scans — the batched",
+        "row's advantage grows linearly with Q at fixed scan cost.",
         "r10: ivf_pq_index_build_x30 persists the codes index once",
         "(cluster-partitioned parquet; the recorded MB ratio is the",
         "codes-not-vectors claim measured from disk, ~16x under the raw",
