@@ -942,6 +942,155 @@ def ivf_pq_topk_indexed(
     )
 
 
+def multi_query_pq_topk_indexed(
+    spark,
+    index_path: str,
+    source_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF-PQ against the persisted codes index (round 10,
+    completing the batched tier: exact / IVF / IVF-indexed / PQ-indexed):
+    Q queries share ONE partition-pruned scan of the union probe set,
+    the ADC stage gathers per-query LUT scores from the SAME code rows
+    (the reconstructed-norm term is query-independent and computed
+    once), per-query probe masks keep candidate sets per-query, and the
+    top ``refine`` ids per query re-rank with TRUE cosines against
+    ``source_df`` — a Q*refine-row join, never a corpus scan. Per-query
+    results match single-query ``ivf_pq_topk_indexed`` (test-pinned)."""
+    import heapq
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    qids, Q, Qn, allowed, union = _multi_query_probes(
+        centroids, query_vecs, n_probe
+    )
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, ks, ds = CB.shape
+    lut_ip = np.stack(
+        [
+            np.stack([CB[j] @ Q[qi, j * ds : (j + 1) * ds] for j in range(m)])
+            for qi in range(len(qids))
+        ]
+    )  # (Q, m, ks)
+    lut_sq = (CB**2).sum(axis=2)  # (m, ks)
+    idx = np.arange(m)
+
+    if _read_parquet_if_exists(spark, index_path + "_epochs") is not None:
+        enc = read_ivf_pq_index(spark, index_path, id_col)
+    else:
+        enc = spark.read.parquet(index_path)
+    scoped = enc.filter(F.col("cluster").isin(union))
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def _adc(batches):
+        best: dict[int, list] = {q: [] for q in qids}
+        for pdf in batches:
+            Cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            if not len(Cd):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cl = pdf["cluster"].to_numpy()
+            nsq = lut_sq[idx[None, :], Cd].sum(axis=1)  # query-independent
+            denom = np.sqrt(np.maximum(nsq, 1e-24))
+            for qi, qid in enumerate(qids):
+                ip = lut_ip[qi][idx[None, :], Cd].sum(axis=1)
+                sc = np.where(
+                    nsq <= 0, 0.0, ip / (denom * max(Qn[qi], 1e-12))
+                )
+                sc = np.where(allowed[cl, qi], sc, -np.inf)
+                cand = best[qid] + list(zip(sc.tolist(), (-ids).tolist()))
+                best[qid] = heapq.nlargest(refine, cand)
+        rows = {"query_id": [], id_col: [], "score": []}
+        for qid in qids:
+            for c, negid in best[qid]:
+                if c == -np.inf:
+                    continue
+                rows["query_id"].append(qid)
+                rows[id_col].append(-negid)
+                rows["score"].append(c)
+        yield pd.DataFrame(rows).astype(
+            {"query_id": "int64", id_col: "int64", "score": "float64"}
+        )
+
+    local = scoped.select(id_col, "cluster", "codes").mapInPandas(
+        _adc, adc_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    cands = (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= refine)
+        .select("query_id", id_col)
+    )
+    # exact refine: Q*refine candidate rows join their full vectors, each
+    # row re-scores against ITS query vector — bounded work, true cosines
+    rer = source_df.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).join(F.broadcast(cands), id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    qpos = {qid: i for i, qid in enumerate(qids)}
+
+    def _exact(batches):
+        for pdf in batches:
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            if not len(V):
+                yield pd.DataFrame(
+                    {"query_id": [], id_col: [], "cosine": []}
+                ).astype(
+                    {"query_id": "int64", id_col: "int64", "cosine": "float64"}
+                )
+                continue
+            qi = pdf["query_id"].map(qpos).to_numpy()
+            Qsel = Q[qi]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(
+                    np.einsum("ij,ij->i", V, Qsel)
+                    / (np.linalg.norm(V, axis=1) * Qn[qi]),
+                    4,
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    id_col: pdf[id_col],
+                    "cosine": np.nan_to_num(cos, nan=-2.0),
+                }
+            ).astype(
+                {"query_id": "int64", id_col: "int64", "cosine": "float64"}
+            )
+
+    exact = rer.select("query_id", id_col, "v").mapInPandas(_exact, out_schema)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        exact.filter(F.col("cosine") > -2.0)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), id_col)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH (frozen by seed)."""
     rng = np.random.RandomState(seed)

@@ -1388,6 +1388,45 @@ def test_multi_query_ivf_indexed_equals_per_query(spark, sf_dir, tmp_path):
         assert got.get(qid, []) == want, qid
 
 
+def test_multi_query_pq_indexed_equals_per_query(spark, sf_dir, tmp_path):
+    """r10: batched ADC over the persisted PQ index (one pruned codes
+    scan for Q queries, per-query LUTs gathered from the same code rows,
+    exact refine per query) must equal per-query ivf_pq_topk_indexed —
+    same ids, same TRUE cosines."""
+    from demo_bigdata_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+        multi_query_pq_topk_indexed,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from demo_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    CB = train_pq_codebooks(emb, m=16, ks=16, iterations=2)
+    path = str(tmp_path / "mqpq_idx")
+    build_ivf_pq_index(emb, C, CB, path)
+    qrows = emb.filter(F.col("vec_id").isin(0, 5, 9)).collect()
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows
+    }
+    batched = multi_query_pq_topk_indexed(
+        spark, path, emb, C, CB, qvecs, k=10, n_probe=3, refine=30
+    )
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, qv in qvecs.items():
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_pq_topk_indexed(
+                spark, path, emb, C, CB, qv, k=10, n_probe=3, refine=30
+            ).collect()
+        ]
+        assert got.get(qid, []) == want, qid
+
+
 def test_lsh_pairs_gemm_equals_expr(spark, sf_dir):
     """r10: lsh_pairs_above's bucket-scoped blocked-GEMM scorer (default)
     must equal the pure-Catalyst expression path exactly — pairs AND
