@@ -123,6 +123,14 @@ HEADLINE = [
     "ivf_pq_topk_indexed",
     # r10: batched exact ANN - Q queries, one corpus scan
     "multi_query_topk",
+    # r10: shuffle-free class-balanced sampling + JL embedding compression
+    "stratified_sample",
+    "random_projection",
+    # r10: kNN graph (exact block-GEMM; the IVF variant is the scale path)
+    "knn_graph",
+    # r10: per-source quality percentile + greedy k-center coreset
+    "quality_percentile",
+    "kcenter_select",
 ]
 
 

@@ -148,6 +148,78 @@ def per_group_quota(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    n_buckets: int = 10_000,
+    portable: bool = True,
+) -> DataFrame:
+    """[EXT] per-stratum fractional sampling with explicit keep rates —
+    the class-balancing step of a corpus build (e.g. downsample English to
+    20%, keep every low-resource-language doc). Complements
+    :func:`mixture_sample` (which derives rates from a row target) and
+    :func:`per_group_quota` (exact n per group, needs a shuffle).
+
+    Shape: ONE content-addressed hash-bucket filter — the per-stratum
+    cutoff folds into a CASE on ``strata_col``, so there is no join, no
+    window, and no shuffle; at 100 TB this is a map-only pass that
+    Catalyst keeps inside the scan's WholeStageCodegen. Strata missing
+    from ``fractions`` keep ``default_fraction`` of their rows. Which
+    rows survive is a pure function of (stratum, key): reruns, engines,
+    and partitionings agree row-for-row, and shrinking a fraction only
+    ever drops a deterministic suffix of buckets (sample nesting)."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"stratified_sample: fraction {v} for {k!r} not in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"stratified_sample: default_fraction {default_fraction} not in [0, 1]")
+    cut = None
+    for name in sorted(fractions):
+        c = F.lit(int(round(fractions[name] * n_buckets)))
+        cond = F.col(strata_col) == name
+        cut = F.when(cond, c) if cut is None else cut.when(cond, c)
+    default_cut = F.lit(int(round(default_fraction * n_buckets)))
+    cut = default_cut if cut is None else cut.otherwise(default_cut)
+    return df.filter(hash_bucket(key_col, n_buckets, portable=portable) < cut)
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_frac: float,
+    key_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """[EXT] per-group quality-percentile filter: keep the best
+    ``keep_frac`` of each group by ``score_col`` (the FineWeb/CCNet move —
+    rank within each crawl dump/source and keep the top slice, so a strong
+    source can't crowd out a weak one globally).
+
+    Deterministic total order: (score, key hash) — equal scores are
+    admitted in content-addressed hash order, never by partition layout.
+    One shuffle on the group key; ``percent_rank`` needs no second pass
+    (Spark computes the window in one sort per partition group). Skewed
+    group sizes are the usual window caveat — groups here are sources
+    (bounded cardinality), and a per-group sort at 100 TB is the same
+    cost class as the salted-aggregate tier's documented shapes."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"top_fraction_per_group: keep_frac {keep_frac} not in (0, 1]")
+    score = F.col(score_col) if ascending else F.col(score_col).desc()
+    tie = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(score, tie)
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= keep_frac)
+        .drop("_pr")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,

@@ -1335,6 +1335,339 @@ def quantized_topk(
     )
 
 
+def _emit_row_topk(ids_a, ids_b, cos, k, exclude_self):
+    """Per-row candidate cut for kNN blocks: keep every column whose cosine
+    ties-or-beats the row's k-th best (ties INCLUDED, so the deterministic
+    global (desc cosine, dst) window never loses a tied candidate to an
+    arbitrary in-block cut). Returns (src, dst, cosine) arrays."""
+    c = cos.copy()
+    if exclude_self:
+        c[ids_a[:, None] == ids_b[None, :]] = -np.inf
+    nb = c.shape[1]
+    if nb > k:
+        kth = -np.partition(-c, k - 1, axis=1)[:, k - 1 : k]
+        mask = c >= kth
+    else:
+        mask = np.isfinite(c)
+    mask &= c > -np.inf
+    xi, yi = np.nonzero(mask)
+    return ids_a[xi], ids_b[yi], c[xi, yi]
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """[EXT] exact cosine k-nearest-neighbor graph: (src, dst, cosine, rank)
+    with each vector's k closest others (self excluded; ties broken by dst
+    asc — fully deterministic). The building block for graph-based curation:
+    kNN-graph dedup, semantic cluster discovery, diversity scoring.
+
+    Shape: the all_pairs_above block strategy (hash ids into ``n_blocks``
+    nested blocks, cross-join the O(n_blocks²/2) block pairs, one GEMM per
+    pair) but with a per-row ties-inclusive top-k cut INSIDE each block
+    task, so the shuffle to the final per-src window carries
+    O(n · k · n_blocks) candidate rows instead of O(n²) scores. Exact and
+    O(n²) compute — the correctness baseline; :func:`knn_graph_ivf` is the
+    sub-quadratic scale path (probes only nearby clusters, measured-recall
+    invariant).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    blocks = (
+        df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .withColumn("blk", F.pmod(F.hash("vid"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("items"))
+    )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def _score(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ia = np.array([it["vid"] for it in row["items_a"]], dtype=np.int64)
+                ib = np.array([it["vid"] for it in row["items_b"]], dtype=np.int64)
+                A = np.array([it["v"] for it in row["items_a"]], dtype=np.float64)
+                B = np.array([it["v"] for it in row["items_b"]], dtype=np.float64)
+                An = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
+                Bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+                cos = np.round((A @ B.T) / np.outer(An, Bn), 4)
+                same = row["blk_a"] == row["blk_b"]
+                s, d, c = _emit_row_topk(ia, ib, cos, k, exclude_self=same)
+                if len(s):
+                    outs.append(pd.DataFrame({"src": s, "dst": d, "cosine": c}))
+                if not same:  # b-side rows need their A candidates too
+                    s2, d2, c2 = _emit_row_topk(ib, ia, cos.T, k, exclude_self=False)
+                    if len(s2):
+                        outs.append(pd.DataFrame({"src": s2, "dst": d2, "cosine": c2}))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"src": [], "dst": [], "cosine": []}
+            )
+
+    cands = block_pairs.mapInPandas(_score, out_schema)
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("src", "rank")
+    )
+
+
+def knn_graph_ivf(
+    df: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate kNN graph via IVF probing — the 100 TB path for
+    :func:`knn_graph`: each vector scores only the members of its
+    ``n_probe`` nearest centroids, so per-row work is bounded by probed
+    cluster sizes instead of the corpus. Returned cosines are TRUE cosines
+    (same arithmetic as the exact graph) — only the candidate set is
+    approximate; recall is tuned by (n_centroids, n_probe) and pinned by a
+    measured invariant in the suite.
+
+    Plan: one scan assigns members to clusters, a second explodes each
+    vector onto its probe clusters (n·n_probe rows); the two sides meet in
+    a ``cogroup().applyInPandas`` on the cluster key — each task receives
+    (probes-of-cluster, members-of-cluster) ONCE, so member vectors are
+    never replicated per probe row (a plain join would ship the member
+    list once per probe), and scoring is one GEMM per cluster.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(C))
+
+    assigned = assign_clusters(df, C, vec_col, id_col)  # (id, v, cluster)
+
+    probe_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def _probes(batches):
+        for pdf in batches:
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(Vn @ Cn.T), axis=1)[:, :n_probe].astype(np.int32)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_probe),
+                    "v": [v for v in pdf["v"] for _ in range(n_probe)],
+                    "cluster": order.reshape(n * n_probe),
+                }
+            )
+
+    probes = df.select(F.col(id_col), _as_double(vec_col).alias("v")).mapInPandas(
+        _probes, probe_schema
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _score(_key, probes_pdf, members_pdf):
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        ia = probes_pdf[id_col].to_numpy(dtype=np.int64)
+        A = np.array(list(probes_pdf["v"]), dtype=np.float64)
+        ib = members_pdf[id_col].to_numpy(dtype=np.int64)
+        B = np.array(list(members_pdf["v"]), dtype=np.float64)
+        An = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
+        Bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+        cos = np.round((A @ B.T) / np.outer(An, Bn), 4)
+        s, d, c = _emit_row_topk(ia, ib, cos, k, exclude_self=True)
+        return pd.DataFrame({"src": s, "dst": d, "cosine": c})
+
+    cands = (
+        probes.groupBy("cluster")
+        .cogroup(assigned.groupBy("cluster"))
+        .applyInPandas(_score, out_schema)
+    )
+    # (src, dst) is unique by construction: dst lives in exactly one cluster
+    # and src's probe clusters are distinct — no dedup shuffle needed.
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("src", "rank")
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """[EXT] greedy farthest-point k-center selection (Gonzalez 2-approx)
+    over cosine distance — the diversity-coreset move of data curation:
+    pick the k mutually-farthest exemplars so a fine-tuning/eval subset
+    spans the embedding space instead of oversampling its dense core.
+
+    Deterministic: the seed center is the max-norm vector (norm rounded
+    4dp, ties by id asc); each round adds the point with the LARGEST
+    min-cosine-distance to the chosen set (distance = 1 - round(cos, 4),
+    ties by id asc). Returns (id, ord 1..k, min_dist) where min_dist is
+    the point's distance to the previously-chosen set at selection time
+    (the running coverage radius; 0.0 for the seed).
+
+    Scale shape: k driver rounds, each ONE scan ending in a global top-1
+    (TakeOrderedAndProject — no full sort, no shuffle of the data), with
+    only the k chosen vectors ever held on the driver. Work is O(k·n)
+    cosine folds; k is small by the operator's nature (a coreset, not a
+    clustering), so this is k cheap passes — the standard distributed
+    Gonzalez shape. If cos evaluation dominates, pre-project with
+    :func:`random_projection` and select in the compressed space.
+    """
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
+    src = df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    seed_row = src.orderBy(norm.desc(), F.col(id_col)).head()
+    if seed_row is None:
+        raise ValueError("kcenter_select: empty input")
+    chosen = [(seed_row[id_col], seed_row["_v"], 0.0)]
+    for _ in range(k - 1):
+        dists = [
+            F.lit(1.0) - F.round(cosine_similarity(F.col("_v"), F.lit(list(cv)).cast("array<double>")), 4)
+            for _, cv, _ in chosen
+        ]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        nxt = (
+            src.filter(~F.col(id_col).isin([cid for cid, _, _ in chosen]))
+            .select(id_col, "_v", F.round(dmin, 4).alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col(id_col))
+            .head()
+        )
+        if nxt is None:  # k exceeds the table size: return what exists
+            break
+        chosen.append((nxt[id_col], nxt["_v"], float(nxt["_d"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(cid), i + 1, float(d)) for i, (cid, _, d) in enumerate(chosen)],
+        f"{id_col} long, ord int, min_dist double",
+    )
+
+
+def rp_signs(out_dim: int, in_dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 Rademacher projection matrix, content-addressed by
+    md5 so ANY engine can regenerate it cell-for-cell (the property the
+    DuckDB oracle needs; numpy RNG streams are not portable):
+    sign(i, j) = +1 iff int(md5(f"rp:{seed}:{i}:{j}")[:7], 16) is even.
+    Achlioptas (2003): ±1 entries satisfy the JL lemma like Gaussians do."""
+    import hashlib
+
+    m = np.empty((out_dim, in_dim), dtype=np.int64)
+    for i in range(out_dim):
+        for j in range(in_dim):
+            h = int(hashlib.md5(f"rp:{seed}:{i}:{j}".encode()).hexdigest()[:7], 16)
+            m[i, j] = 1 if h % 2 == 0 else -1
+    return m
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+    method: str = "gemm",
+) -> DataFrame:
+    """[EXT] Johnson-Lindenstrauss embedding compression: int8-quantize the
+    vector (quantize_embeddings), then project with a deterministic ±1 sign
+    matrix — rvec[i] = Σ_j sign(i,j) · q[j], an exact BIGINT. Integer
+    arithmetic makes the result independent of summation order, so the GEMM
+    path, the expression path, and the DuckDB oracle agree bit-for-bit.
+
+    Cosine in the projected space approximates original cosine (JL lemma);
+    the per-vector ``scale`` is carried but cancels out of cosine, so
+    downstream candidate generation can work on the integer rvecs alone.
+    The 100 TB story: 64 doubles (512 B) shrink to out_dim bigints that
+    fit the shuffle 4x tighter (further if re-quantized), cutting the wire
+    cost of every pair stage that only needs approximate geometry.
+
+    method="gemm": one mapInPandas, a (batch × in_dim) @ (in_dim × out_dim)
+    int64 BLAS call per Arrow batch — map-only, zero shuffle.
+    method="expr": pure Catalyst fold (parity/verification path).
+
+    Output: (id_col, rvec array<bigint>, scale float).
+    """
+    signs = rp_signs(out_dim, dim, seed)
+    q = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
+    if method == "expr":
+        parts = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec").cast("array<long>"),
+                    F.lit([int(x) for x in signs[i]]).cast("array<long>"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for i in range(out_dim)
+        ]
+        return q.select(id_col, F.array(*parts).alias("rvec"), "scale")
+    if method != "gemm":
+        raise ValueError(f"random_projection: unknown method {method!r}")
+    out_schema = f"{id_col} long, rvec array<long>, scale float"
+    signs_t = signs.T.copy()  # (in_dim, out_dim)
+
+    def _proj(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            Q = np.stack(b["qvec"].to_numpy()).astype(np.int64)
+            if Q.shape[1] != dim:
+                raise ValueError(
+                    f"random_projection: dim mismatch — declared {dim}, got {Q.shape[1]}"
+                )
+            R = Q @ signs_t
+            yield pd.DataFrame(
+                {id_col: b[id_col], "rvec": list(R), "scale": b["scale"]}
+            )
+
+    return q.mapInPandas(_proj, schema=out_schema)
+
+
 def _split_oversized_clusters(
     keyed: DataFrame,
     max_cluster: int,

@@ -1852,6 +1852,76 @@ ORDER BY lang
 """
 
 
+def q_quality_percentile(spark, sf_dir):
+    """Per-source quality-percentile filter (operator:
+    sampling.top_fraction_per_group — the FineWeb keep-top-slice-per-dump
+    move): best 30% of each language by n_chars, ties admitted in md5(key)
+    order. Survivor counts + checksum per language pin WHICH rows pass."""
+    from demo_bigdata_spark.operators import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    kept = SP.top_fraction_per_group(docs, "lang", "n_chars", 0.30, "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(F.col("doc_id").cast("bigint")).alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_QUALITY_PERCENTILE = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+       sum(doc_id::BIGINT)::BIGINT AS id_checksum
+FROM (
+  SELECT lang, n_chars, doc_id,
+         percent_rank() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, md5(doc_id::VARCHAR)
+         ) AS pr
+  FROM documents
+)
+WHERE pr <= 0.30
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Class-balanced corpus subsample with explicit per-stratum keep rates
+    (downsample the high-resource languages, keep the rest): one shuffle-free
+    CASE-cutoff hash filter (operators.sampling.stratified_sample), verified
+    by per-language survivor counts AND a doc_id checksum so the oracle pins
+    WHICH rows survive, not just how many."""
+    from demo_bigdata_spark.operators import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    kept = SP.stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.20, "zh": 0.50}, default_fraction=1.0
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(F.col("doc_id").cast("bigint")).alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+       sum(doc_id::BIGINT)::BIGINT AS id_checksum
+FROM documents
+WHERE {_sql_bucket('doc_id::VARCHAR', 10000)} <
+      CASE WHEN lang = 'en' THEN 2000 WHEN lang = 'zh' THEN 5000 ELSE 10000 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment (75/12.5/12.5 by key hash):
     volume per split x language. The same doc lands in the same split on
@@ -3479,6 +3549,139 @@ LIMIT 10
 """
 
 
+# --- Greedy k-center coreset selection ----------------------------------------
+
+def q_kcenter_select(spark, sf_dir):
+    """Diversity coreset: 4 mutually-farthest exemplars by greedy
+    farthest-point traversal (operator: similarity.kcenter_select).
+    Fully deterministic (max-norm seed, 4dp-rounded cosine distances,
+    id tiebreaks), so the oracle replays the ENTIRE iterative selection
+    as 4 unrolled CTE levels — an iterative algorithm with an exact SQL
+    twin, not a rows-only check."""
+    return S.kcenter_select(_emb(spark, sf_dir), k=4)
+
+
+def _sql_kcenter(k: int) -> str:
+    parts = [
+        """c1 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+  ORDER BY round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) DESC, vec_id
+  LIMIT 1
+)""",
+        """d1 AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         round(1 - round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM c1)), 4), 4) AS dmin
+  FROM embeddings e
+)""",
+    ]
+    for i in range(2, k + 1):
+        excl = " AND ".join(
+            f"vec_id <> (SELECT vec_id FROM c{j})" for j in range(1, i)
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT vec_id, v, dmin FROM d{i - 1} WHERE {excl} ORDER BY dmin DESC, vec_id LIMIT 1
+)"""
+        )
+        if i < k:
+            parts.append(
+                f"""d{i} AS MATERIALIZED (
+  SELECT d.vec_id, d.v,
+         round(least(d.dmin, 1 - round(list_cosine_similarity(d.v, (SELECT v FROM c{i})), 4)), 4) AS dmin
+  FROM d{i - 1} d
+)"""
+            )
+    selects = ["SELECT (SELECT vec_id FROM c1) AS vec_id, 1 AS ord, 0.0 AS min_dist"]
+    for i in range(2, k + 1):
+        selects.append(
+            f"SELECT vec_id, {i} AS ord, round(dmin, 4) AS min_dist FROM c{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY ord"
+
+
+SQL_KCENTER_SELECT = _sql_kcenter(4)
+
+
+# --- kNN graph (exact + IVF-probed) -------------------------------------------
+
+def q_knn_graph(spark, sf_dir):
+    """Exact cosine k-nearest-neighbor graph (operator: similarity.knn_graph):
+    every vector's top-5 others, ties by dst asc. Block-GEMM candidate
+    generation with ties-inclusive per-block cuts, so the per-src window is
+    exact — the oracle replays the full O(n²) rank in SQL."""
+    return S.knn_graph(_emb(spark, sf_dir), k=5)
+
+
+SQL_KNN_GRAPH = """
+WITH pairs AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM pairs
+)
+SELECT src, dst, cosine, rk::INT AS rank FROM ranked WHERE rk <= 5 ORDER BY src, rank
+"""
+
+
+def q_knn_graph_ivf(spark, sf_dir):
+    # IVF-probed kNN graph (operator: similarity.knn_graph_ivf — the
+    # sub-quadratic scale path for knn_graph): members meet probes in a
+    # cogroup on the cluster key, one GEMM per cluster. Data-dependent
+    # k-means -> rows-only; the twin invariant (tests/invariants.py)
+    # asserts graph recall@5 >= the per-sf floor vs the exact graph AND
+    # that every returned cosine is the true cosine (the candidate set is
+    # approximate, the scores never are). Measured recall@5:
+    # 0.678/0.712/0.695 at sf0.001/0.01/0.1 (16 centroids, n_probe=6).
+    emb = _emb(spark, sf_dir)
+    C = S.train_ivf_centroids(emb, n_centroids=16, iterations=2)
+    return S.knn_graph_ivf(emb, C, k=5, n_probe=6)
+
+
+# --- Johnson-Lindenstrauss random projection ----------------------------------
+
+def q_random_projection(spark, sf_dir):
+    """JL embedding compression (operator: similarity.random_projection):
+    int8-quantize, then project with the md5-derived ±1 Rademacher matrix —
+    every projected coordinate is an exact BIGINT, exploded so the oracle
+    pins all out_dim values of every vector (no array-hash ambiguity).
+    The oracle regenerates the sign matrix from the same md5 recipe."""
+    proj = S.random_projection(_emb(spark, sf_dir), out_dim=8)
+    return proj.select(
+        "vec_id", F.posexplode("rvec").alias("dim", "r")
+    ).orderBy("vec_id", "dim")
+
+
+SQL_RANDOM_PROJECTION = """
+WITH quant AS (
+  SELECT vec_id,
+         ((list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0)::FLOAT)::DOUBLE AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v, x -> round(x / scale)::BIGINT) END AS qv
+  FROM quant
+),
+pos AS (
+  SELECT vec_id, unnest(qv) AS qj, generate_subscripts(qv, 1) - 1 AS j FROM q
+),
+dims AS (SELECT unnest(range(8)) AS i)
+SELECT vec_id, i::INT AS dim,
+       sum(qj * (CASE WHEN ('0x' || substr(md5('rp:42:' || i || ':' || j), 1, 7))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END))::BIGINT AS r
+FROM pos, dims
+GROUP BY 1, 2
+ORDER BY vec_id, dim
+"""
+
+
 # --- Ranking: TF-IDF salient terms + BM25 retrieval (operators/ranking.py) ----
 
 BM25_TERMS = ["join", "spark", "stream", "vector"]
@@ -4444,6 +4647,8 @@ QUERIES = {
     "snapshot_cow": (q_snapshot_cow, SQL_SNAPSHOT_COW),
     "snapshot_point_lookup": (q_snapshot_point_lookup, SQL_SNAPSHOT_POINT_LOOKUP),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "quality_percentile": (q_quality_percentile, SQL_QUALITY_PERCENTILE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "lang_quota": (q_lang_quota, SQL_LANG_QUOTA),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
@@ -4484,6 +4689,10 @@ QUERIES = {
     "repeat_mixture": (q_repeat_mixture, SQL_REPEAT_MIXTURE),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
+    "knn_graph_ivf": (q_knn_graph_ivf, None),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),

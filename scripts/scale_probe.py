@@ -231,6 +231,25 @@ def main() -> None:
         ("brute_force_topk_8q_x30 (8 separate scans)", round(time.perf_counter() - t0, 2))
     )
 
+    # r10: kNN graph at x30 — the exact block-GEMM baseline is the
+    # documented O(n²) cost; the IVF-probed path bounds per-row work by
+    # its probed clusters (the 100 TB shape). Recall measured in-probe so
+    # the speedup row carries its quality beside it.
+    t0 = time.perf_counter()
+    exact_g = SIM.knn_graph(bemb, k=10, n_blocks=32).select("src", "dst").toPandas()
+    t_exact = round(time.perf_counter() - t0, 2)
+    Ck = SIM.train_ivf_centroids(emb, n_centroids=64, iterations=2)
+    t0 = time.perf_counter()
+    ivf_g = SIM.knn_graph_ivf(bemb, Ck, k=10, n_probe=2).select("src", "dst").toPandas()
+    t_ivf = round(time.perf_counter() - t0, 2)
+    e_set = set(zip(exact_g["src"], exact_g["dst"]))
+    i_set = set(zip(ivf_g["src"], ivf_g["dst"]))
+    knn_recall = round(len(e_set & i_set) / max(len(e_set), 1), 3)
+    doc_results.append((f"knn_graph_exact_x30 ({len(e_set):,} edges, 32 blocks)", t_exact))
+    doc_results.append(
+        (f"knn_graph_ivf_x30 (64 clusters, probe 2, recall@10={knn_recall})", t_ivf)
+    )
+
     # r10: PERSISTED IVF-PQ index (round-9 VERDICT item 5) — build the
     # cluster-partitioned codes index once over the x30 corpus, then
     # probe it. The codes-not-vectors claim is MEASURED from disk: index

@@ -3,12 +3,13 @@
 Queries whose values cannot hash-match a DuckDB twin previously got a
 vacuous ``len(out) >= 0`` twin check. Each entry here is a falsifiable
 assertion of the query's actual contract — recall floors against the exact
-operator and sketch error bounds. Only one query remains rows-only after
-r4's oracle graduations (media tier via ASCII byte arithmetic, UDTF packer
-via recursive CTE, LSH pairs via frozen-hyperplane literals, dup clusters
-via a 10-round unrolled propagation, count-min via a full murmur3 SQL
-reimplementation): ivf_topk — its k-means centroids are data-dependent, so
-no static SQL string can reproduce them.
+operator and sketch error bounds. After r4's oracle graduations (media tier
+via ASCII byte arithmetic, UDTF packer via recursive CTE, LSH pairs via
+frozen-hyperplane literals, dup clusters via a 10-round unrolled
+propagation, count-min via a full murmur3 SQL reimplementation), every
+remaining rows-only query is one whose k-means models are data-dependent —
+no static SQL string can reproduce them: ivf_topk, ivf_pq_topk,
+ivf_pq_topk_indexed, multi_query_ivf_topk, knn_graph_ivf.
 
 Every rows-only query MUST have an entry: the twin fails on a missing name,
 so a new ``(fn, None)`` suite row cannot ship without an invariant.
@@ -117,8 +118,55 @@ def inv_multi_query_ivf_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
             assert abs(c - true_cos[vid]) <= 1e-4 + 1e-9, (qid, vid, c)
 
 
+# graph recall@5 floors per sf, a notch under the measured 0.678/0.712/0.695
+# (16 centroids, 2 Lloyd iterations, n_probe=6) to absorb k-means jitter
+KNN_GRAPH_RECALL_FLOOR = {"sf0.001": 0.55, "sf0.01": 0.60, "sf0.1": 0.55}
+
+
+def inv_knn_graph_ivf(out: pd.DataFrame, spark, sf_dir, con) -> None:
+    """The IVF-probed kNN graph must (a) recover the exact graph's edges
+    above the per-sf recall floor (exact graph recomputed brute-force in
+    DuckDB), (b) return only TRUE cosines — approximate candidate
+    generation, exact scores — and (c) keep per-src ranks contiguous
+    from 1 with at most k rows per src."""
+    k = 5
+    exact = con.sql(
+        """
+        WITH pairs AS MATERIALIZED (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+          FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+        )
+        SELECT src, dst FROM (
+          SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+          FROM pairs
+        ) WHERE rk <= 5
+        """
+    ).df()
+    exact_edges = set(zip(exact["src"], exact["dst"]))
+    got_edges = set(zip(out["src"], out["dst"]))
+    recall = len(exact_edges & got_edges) / len(exact_edges)
+    floor = KNN_GRAPH_RECALL_FLOOR.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 0.5)
+    assert recall >= floor, f"kNN-graph recall@5 {recall:.3f} below {floor} for {sf_dir}"
+    for src, grp in out.groupby("src"):
+        assert len(grp) <= k and sorted(grp["rank"]) == list(range(1, len(grp) + 1)), src
+    con.register("knn_out", out)
+    diff = con.sql(
+        """
+        SELECT max(abs(o.cosine -
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4))) AS d
+        FROM knn_out o
+        JOIN embeddings a ON a.vec_id = o.src
+        JOIN embeddings b ON b.vec_id = o.dst
+        """
+    ).df()["d"].iloc[0]
+    con.unregister("knn_out")
+    assert diff <= 1e-4 + 1e-9, f"returned cosine deviates from true cosine by {diff}"
+
+
 INVARIANTS = {
     "ivf_topk": inv_ivf_topk,
+    "knn_graph_ivf": inv_knn_graph_ivf,
     "ivf_pq_topk": inv_ivf_pq_topk,
     "ivf_pq_topk_indexed": inv_ivf_pq_topk_indexed,
     "multi_query_ivf_topk": inv_multi_query_ivf_topk,

@@ -596,6 +596,230 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     assert first == again
 
 
+def test_kcenter_select_matches_python_reference(spark):
+    """Greedy farthest-point selection == a python replica of the same
+    deterministic rule (max-norm seed, 1 - round(cos,4) distance, id
+    ties) on planted clusters — and the first picks land in DISTINCT
+    clusters (the diversity property that motivates the operator)."""
+    import numpy as np
+
+    from demo_bigdata_spark.operators.similarity import kcenter_select
+
+    rng = np.random.RandomState(5)
+    dirs = [np.array([1, 0, 0, 0.0]), np.array([0, 1, 0, 0.0]), np.array([0, 0, 1, 0.0])]
+    rows = []
+    vid = 0
+    for d in dirs:
+        for _ in range(12):
+            v = d * 5 + rng.randn(4) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r["vec_id"], r["ord"], r["min_dist"]) for r in kcenter_select(df, k=3).collect()]
+
+    V = {i: np.array(v) for i, v in rows}
+    norms = {i: round(float(np.linalg.norm(v)), 4) for i, v in V.items()}
+    seed = min(V, key=lambda i: (-norms[i], i))
+    chosen = [(seed, 0.0)]
+    for _ in range(2):
+        best = None
+        for i in sorted(V):
+            if i in [c for c, _ in chosen]:
+                continue
+            dmin = round(
+                min(
+                    1 - round(float(V[i] @ V[c] / (np.linalg.norm(V[i]) * np.linalg.norm(V[c]))), 4)
+                    for c, _ in chosen
+                ),
+                4,
+            )
+            if best is None or dmin > best[1]:
+                best = (i, dmin)
+        chosen.append(best)
+    ref = [(c, i + 1, d) for i, (c, d) in enumerate(chosen)]
+    assert got == ref
+    # diversity: the 3 picks come from the 3 planted clusters
+    assert {c // 12 for c, _, _ in got} == {0, 1, 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=0)
+
+
+def test_top_fraction_per_group_semantics(spark, sf_dir):
+    """Per-group percentile filter: kept counts track keep_frac per group
+    (percent_rank <= f), ascending mode selects the other tail, results
+    are partition-layout invariant, and a bad fraction raises."""
+    import pytest
+
+    from demo_bigdata_spark.operators.sampling import top_fraction_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = top_fraction_per_group(docs, "lang", "n_chars", 0.30, "doc_id")
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        # percent_rank <= f keeps floor(f*(n-1))+1 rows
+        assert got[lang] == int(0.30 * (n - 1)) + 1, (lang, got[lang], n)
+    lo = top_fraction_per_group(docs, "lang", "n_chars", 0.30, "doc_id", ascending=True)
+    hi_min = kept.groupBy("lang").agg(F.min("n_chars").alias("m")).collect()
+    lo_max = {r["lang"]: r["m"] for r in lo.groupBy("lang").agg(F.max("n_chars").alias("m")).collect()}
+    for r in hi_min:
+        assert lo_max[r["lang"]] <= r["m"]  # tails don't cross
+    again = {
+        r["doc_id"]
+        for r in top_fraction_per_group(
+            docs.repartition(17), "lang", "n_chars", 0.30, "doc_id"
+        ).select("doc_id").collect()
+    }
+    assert again == {r["doc_id"] for r in kept.select("doc_id").collect()}
+    with pytest.raises(ValueError):
+        top_fraction_per_group(docs, "lang", "n_chars", 0.0, "doc_id")
+
+
+def test_knn_graph_exact_matches_reference_with_ties(spark):
+    """Exact kNN graph == a python brute-force reference on a corpus built
+    to stress the block cut: 10 IDENTICAL vectors (mass cosine ties that
+    straddle hash blocks) among 30 — the ties-inclusive per-block cut must
+    not lose a tied candidate the deterministic (desc cosine, dst asc)
+    global order would pick."""
+    import numpy as np
+
+    from demo_bigdata_spark.operators.similarity import knn_graph
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(8) for _ in range(20)] + [np.ones(8)] * 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = 3
+    V = np.array(vecs)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = np.round(Vn @ Vn.T, 4)
+    np.fill_diagonal(cos, -np.inf)
+    ref = {}
+    for i in range(len(vecs)):
+        order = sorted(range(len(vecs)), key=lambda j: (-cos[i, j], j))[:k]
+        ref[i] = [(j, cos[i, j], r + 1) for r, j in enumerate(order)]
+    got = {}
+    for r in knn_graph(df, k=k, n_blocks=4).collect():
+        got.setdefault(r["src"], []).append((r["dst"], r["cosine"], r["rank"]))
+    assert got == ref
+
+
+def test_knn_graph_ivf_planted_clusters(spark):
+    """On well-separated planted clusters, single-probe IVF recovers the
+    exact graph perfectly (neighbors live in the probed cluster by
+    construction) and returns only true cosines."""
+    import numpy as np
+
+    from demo_bigdata_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = [np.zeros(8), np.ones(8) * 10, -np.ones(8) * 10]
+    for c in centers:
+        c[0] += 30  # push away from the origin so cosine separates clusters
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(15):
+            rows.append((vid, [float(x) for x in c + rng.randn(8) * 0.05]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = train_ivf_centroids(df, n_centroids=3, iterations=4, seed=3, dim=8)
+    exact = {(r["src"], r["dst"]) for r in knn_graph(df, k=4).collect()}
+    approx = {(r["src"], r["dst"], r["cosine"]) for r in knn_graph_ivf(df, C, k=4, n_probe=1).collect()}
+    assert {(s, d) for s, d, _ in approx} == exact
+    V = {i: np.array(v) for i, v in rows}
+    for s, d, c in approx:
+        t = round(float(V[s] @ V[d] / (np.linalg.norm(V[s]) * np.linalg.norm(V[d]))), 4)
+        assert abs(c - t) < 1e-9, (s, d, c, t)
+
+
+def test_random_projection_parity_quality_and_plan(spark, sf_dir):
+    """GEMM and expression paths agree bit-for-bit (integer arithmetic, no
+    summation-order sensitivity); projected cosine tracks true cosine with
+    error shrinking as out_dim grows (JL); the GEMM plan is map-only (zero
+    Exchange); a wrong declared dim raises inside the task."""
+    import numpy as np
+    import pytest
+
+    from demo_bigdata_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gemm = {r["vec_id"]: list(r["rvec"]) for r in random_projection(emb, out_dim=8).collect()}
+    expr = {
+        r["vec_id"]: list(r["rvec"])
+        for r in random_projection(emb, out_dim=8, method="expr").collect()
+    }
+    assert gemm == expr and len(gemm) > 0
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.limit(40).collect()}
+    ids = sorted(vecs)[:20]
+
+    def _mean_err(out_dim):
+        proj = {
+            r["vec_id"]: np.array(r["rvec"], dtype=np.float64)
+            for r in random_projection(emb, out_dim=out_dim).collect()
+        }
+        errs = []
+        for a in ids:
+            for b in ids:
+                if a >= b:
+                    continue
+                va, vb, pa, pb = vecs[a], vecs[b], proj[a], proj[b]
+                t = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                p = pa @ pb / (np.linalg.norm(pa) * np.linalg.norm(pb) + 1e-12)
+                errs.append(abs(t - p))
+        return float(np.mean(errs))
+
+    e8, e32 = _mean_err(8), _mean_err(32)
+    assert e32 < e8, (e8, e32)  # more dims -> better geometry preservation
+    assert e32 < 0.15, e32  # JL at 32 dims is a usable candidate-gen signal
+
+    plan = random_projection(emb, out_dim=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    with pytest.raises(Exception, match="dim mismatch"):
+        random_projection(emb, out_dim=4, dim=32).collect()
+    with pytest.raises(ValueError, match="unknown method"):
+        random_projection(emb, out_dim=4, method="nope")
+
+
+def test_stratified_sample_rates_nesting_and_plan(spark, sf_dir):
+    """Per-stratum keep rates land near the requested fractions; unlisted
+    strata keep default_fraction; shrinking a fraction yields a strict
+    SUBSET (content-addressed nesting); the plan is a map-only filter —
+    zero Exchange, zero Join; bad fractions raise."""
+    import pytest
+
+    from demo_bigdata_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = stratified_sample(docs, "lang", "doc_id", {"en": 0.2, "zh": 0.5})
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in (("en", 0.2), ("zh", 0.5)):
+        expect = frac * sizes[lang]
+        assert abs(got[lang] - expect) <= max(3, 0.3 * expect), (lang, got[lang], expect)
+    for lang in set(sizes) - {"en", "zh"}:
+        assert got[lang] == sizes[lang]  # default keeps everything
+    smaller = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", "doc_id", {"en": 0.1, "zh": 0.5}).select("doc_id").collect()
+    }
+    first = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert smaller < first  # nested: a lower rate drops a suffix of buckets
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", "doc_id", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", "doc_id", {}, default_fraction=-0.1)
+
+
 def test_gopher_rules_on_crafted_docs(spark):
     """Gopher gate semantics: repetition, symbol spam, bullets, and
     stopword-free docs are dropped for the right named reason; clean prose

@@ -362,3 +362,46 @@ def test_versioned_table_model_based_fuzz(spark, tmp_path):
 
     for s, expected in history.items():
         assert read_now(s) == expected, f"time travel to {s} diverged"
+
+
+# --- kNN block cut (similarity._emit_row_topk) -------------------------------
+
+import numpy as np
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    na=hst.integers(min_value=1, max_value=6),
+    nb=hst.integers(min_value=1, max_value=8),
+    k=hst.integers(min_value=1, max_value=4),
+    seed=hst.integers(min_value=0, max_value=10_000),
+    quant=hst.booleans(),
+)
+def test_emit_row_topk_is_ties_inclusive_superset(na, nb, k, seed, quant):
+    """The per-block candidate cut must emit, for every row, a SUPERSET of
+    that row's true top-k by (desc cosine, dst asc) — including all ties at
+    the k-th value (``quant`` rounds scores to 1dp to force mass ties) and
+    never a self-pair. This is the property that makes the global window
+    reduce of knn_graph exact."""
+    from demo_bigdata_spark.operators.similarity import _emit_row_topk
+
+    rng = np.random.RandomState(seed)
+    ids_a = np.arange(na, dtype=np.int64)
+    ids_b = np.arange(nb, dtype=np.int64)  # overlapping ids -> self pairs exist
+    cos = rng.uniform(-1, 1, size=(na, nb))
+    if quant:
+        cos = np.round(cos, 1)
+    s, d, c = _emit_row_topk(ids_a, ids_b, cos, k, exclude_self=True)
+    emitted = {(int(x), int(y)) for x, y in zip(s, d)}
+    assert all(x != y for x, y in emitted)  # no self pairs
+    for i in range(na):
+        cand = sorted(
+            (j for j in range(nb) if ids_b[j] != ids_a[i]),
+            key=lambda j: (-cos[i, j], ids_b[j]),
+        )[:k]
+        for j in cand:
+            assert (int(ids_a[i]), int(ids_b[j])) in emitted, (i, j)
+    # emitted values must be the true scores
+    for x, y, cc in zip(s, d, c):
+        assert cos[np.where(ids_a == x)[0][0], np.where(ids_b == y)[0][0]] == cc
