@@ -131,6 +131,8 @@ HEADLINE = [
     # r10: per-source quality percentile + greedy k-center coreset
     "quality_percentile",
     "kcenter_select",
+    # r10: connected components over the thresholded kNN graph
+    "knn_clusters",
 ]
 
 

@@ -1336,22 +1336,31 @@ def quantized_topk(
 
 
 def _emit_row_topk(ids_a, ids_b, cos, k, exclude_self):
-    """Per-row candidate cut for kNN blocks: keep every column whose cosine
-    ties-or-beats the row's k-th best (ties INCLUDED, so the deterministic
-    global (desc cosine, dst) window never loses a tied candidate to an
-    arbitrary in-block cut). Returns (src, dst, cosine) arrays."""
+    """Per-row candidate cut for kNN blocks: the EXACT top-k by
+    (cosine desc, dst asc) within the block. The dst tie-break folds into
+    the score as a rank epsilon (rank_of_dst · 1e-9): cosines are rounded
+    to a 1e-4 grid, so any epsilon span below 5e-5 orders ties by dst
+    without ever crossing two distinct cosine values — asserted against
+    the block width. Emitting the top-k UNDER THE SAME TOTAL ORDER the
+    global window uses keeps the reduce exact; a ties-inclusive cut
+    (>= k-th value) would also be exact but explodes on duplicate farms,
+    where 4dp rounding ties hundreds of replicas at the cut (measured:
+    an x30 replica corpus emitted ~40x the candidates and made the IVF
+    path slower than the exact one). Returns (src, dst, cosine) arrays."""
     c = cos.copy()
     if exclude_self:
         c[ids_a[:, None] == ids_b[None, :]] = -np.inf
     nb = c.shape[1]
-    if nb > k:
-        kth = -np.partition(-c, k - 1, axis=1)[:, k - 1 : k]
-        mask = c >= kth
-    else:
-        mask = np.isfinite(c)
-    mask &= c > -np.inf
-    xi, yi = np.nonzero(mask)
-    return ids_a[xi], ids_b[yi], c[xi, yi]
+    assert nb * 1e-9 < 5e-5, f"_emit_row_topk: block too wide ({nb}) for the tie epsilon"
+    rank_b = np.empty(nb, dtype=np.int64)
+    rank_b[np.argsort(ids_b, kind="stable")] = np.arange(nb)
+    key = c - rank_b[None, :] * 1e-9
+    kk = min(k, nb)
+    idx = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+    rows = np.repeat(np.arange(c.shape[0]), kk)
+    cols = idx.reshape(-1)
+    keep = np.isfinite(c[rows, cols])
+    return ids_a[rows[keep]], ids_b[cols[keep]], c[rows[keep], cols[keep]]
 
 
 def knn_graph(
@@ -1519,6 +1528,53 @@ def knn_graph_ivf(
         .filter(F.col("rank") <= k)
         .orderBy("src", "rank")
     )
+
+
+def knn_clusters(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iterations: int = 30,
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """[EXT] semantic clusters = connected components over the thresholded
+    kNN graph (the standard kNN-graph clustering recipe: sparsify with
+    :func:`knn_graph`, keep edges with cosine >= threshold, take
+    components). Unlike SemDeDup's LSH-cluster partitioning this links
+    TRANSITIVELY across the graph, so chains of near-neighbors merge into
+    one cluster — the grouping you want for topic discovery or
+    one-per-cluster diversity pruning.
+
+    Reuses the dedup tier's convergent min-label propagation
+    (``_propagate_min_labels``: exact fixed point, raises on the backstop)
+    over a bipartite membership table — each undirected edge is a 2-member
+    bucket, each vector carries a self bucket so isolated points keep their
+    own label. Pass ``graph=`` to reuse an existing (src, dst, cosine)
+    edge frame (e.g. :func:`knn_graph_ivf` output at scale).
+
+    Output: (id_col, cluster_id) with cluster_id = min member id.
+    """
+    from demo_bigdata_spark.operators.dedup import _propagate_min_labels
+
+    edges = graph if graph is not None else knn_graph(df, k=k, vec_col=vec_col, id_col=id_col)
+    e = (
+        edges.filter(F.col("cosine") >= threshold)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    bucket = F.concat_ws(":", F.lit("e"), F.col("a"), F.col("b"))
+    mem = e.select(F.col("a").alias(id_col), bucket.alias("bucket")).unionByName(
+        e.select(F.col("b").alias(id_col), bucket.alias("bucket"))
+    )
+    selfb = df.select(
+        F.col(id_col),
+        F.concat_ws(":", F.lit("s"), F.col(id_col)).alias("bucket"),
+    )
+    return _propagate_min_labels(mem.unionByName(selfb), id_col, max_iterations)
 
 
 def kcenter_select(

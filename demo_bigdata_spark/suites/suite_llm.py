@@ -3549,6 +3549,65 @@ LIMIT 10
 """
 
 
+# --- kNN-graph semantic clusters ----------------------------------------------
+
+def q_knn_clusters(spark, sf_dir):
+    """Connected components over the thresholded exact kNN graph (operator:
+    similarity.knn_clusters — knn_graph edges >= 0.35 + the dedup tier's
+    convergent min-label propagation). The oracle replays the full O(n²)
+    kNN rank AND 24 unrolled propagation rounds (~2x the measured
+    convergence depth on the frozen testdata); the Spark side converges
+    to the exact fixed point (raises rather than truncating)."""
+    return S.knn_clusters(_emb(spark, sf_dir), k=3, threshold=0.35).orderBy("vec_id")
+
+
+def _sql_knn_clusters() -> str:
+    # 24 unrolled rounds: measured convergence depth on the frozen testdata
+    # is 14/10/12 at sf0.001/0.01/0.1 (labels hop one edge per round; kNN
+    # chains are longer than LSH dup-farm buckets, hence deeper than
+    # dup_clusters' 10) — 24 leaves ~2x headroom. The Spark side converges
+    # to the exact fixed point and would RAISE, not truncate, past 30.
+    n_rounds = 24
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(
+            f"bmin{r} AS (SELECT bucket, min(lbl) AS bm FROM db "
+            f"JOIN lbl{r - 1} USING (vec_id) GROUP BY bucket),\n"
+            f"lbl{r} AS MATERIALIZED (SELECT vec_id, min(bm) AS lbl FROM db "
+            f"JOIN bmin{r} USING (bucket) GROUP BY vec_id)"
+        )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src, dst, cosine FROM (
+    SELECT src, dst, cosine,
+           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+    FROM pairs
+  ) WHERE rk <= 3
+),
+ed AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM knn WHERE cosine >= 0.35
+),
+db AS MATERIALIZED (
+  SELECT a AS vec_id, 'e:' || a || ':' || b AS bucket FROM ed
+  UNION ALL SELECT b, 'e:' || a || ':' || b FROM ed
+  UNION ALL SELECT vec_id, 's:' || vec_id FROM embeddings
+),
+lbl0 AS (SELECT DISTINCT vec_id, vec_id AS lbl FROM db),
+{",".join(rounds)}
+SELECT vec_id, lbl AS cluster_id FROM lbl{n_rounds} ORDER BY vec_id
+"""
+
+
+SQL_KNN_CLUSTERS = _sql_knn_clusters()
+
+
 # --- Greedy k-center coreset selection ----------------------------------------
 
 def q_kcenter_select(spark, sf_dir):
@@ -3608,8 +3667,9 @@ SQL_KCENTER_SELECT = _sql_kcenter(4)
 def q_knn_graph(spark, sf_dir):
     """Exact cosine k-nearest-neighbor graph (operator: similarity.knn_graph):
     every vector's top-5 others, ties by dst asc. Block-GEMM candidate
-    generation with ties-inclusive per-block cuts, so the per-src window is
-    exact — the oracle replays the full O(n²) rank in SQL."""
+    generation with exact per-row top-k cuts under the same total order the
+    global window uses, so the reduce is exact without tie inflation — the
+    oracle replays the full O(n²) rank in SQL."""
     return S.knn_graph(_emb(spark, sf_dir), k=5)
 
 
@@ -4692,6 +4752,7 @@ QUERIES = {
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
+    "knn_clusters": (q_knn_clusters, SQL_KNN_CLUSTERS),
     "knn_graph_ivf": (q_knn_graph_ivf, None),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),

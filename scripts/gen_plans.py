@@ -93,15 +93,16 @@ SHOWCASE = {
     "knn_graph": (
         "Exact kNN graph: nested block rows meet in a blk_a <= blk_b "
         "equi-range join, ONE MapInPandas GEMM-scores each block pair and "
-        "emits only ties-inclusive per-row top-k candidates, and the final "
-        "per-src window runs over O(n*k*n_blocks) candidate rows — the "
-        "O(n^2) score matrix never materializes, never shuffles."
+        "emits exactly k candidates per row under the global total order, "
+        "and the final per-src window runs over O(n*k*n_blocks) candidate "
+        "rows — the O(n^2) score matrix never materializes, never shuffles."
     ),
     "stratified_sample": (
         "Per-stratum sampling as a pure filter: the CASE-folded hash-bucket "
-        "cutoff evaluates inside the scan's WholeStageCodegen — no join, no "
-        "window, no Exchange anywhere in the plan. At 100 TB this is a "
-        "map-only pass whose cost is the scan itself."
+        "cutoff is Filter(2) directly on the scan — no join, no window, no "
+        "Exchange in the SAMPLING stage itself (the exchanges above it "
+        "belong to the suite query's per-language verification aggregate). "
+        "At 100 TB the sample is a map-only pass whose cost is the scan."
     ),
     "zorder_keys": (
         "The Z-order key is a statically-unrolled shift/mask/or tree over "

@@ -233,17 +233,21 @@ def main() -> None:
 
     # r10: kNN graph at x30 — the exact block-GEMM baseline is the
     # documented O(n²) cost; the IVF-probed path bounds per-row work by
-    # its probed clusters (the 100 TB shape). Recall measured in-probe so
-    # the speedup row carries its quality beside it.
+    # its probed clusters (the 100 TB shape). Timed through the noop sink
+    # like every other row (a timed 600k-row toPandas once measured 65 s
+    # for a 20 s plan — driver collect is not the operator); the recall
+    # collects run OUTSIDE the timed windows.
+    exact_df = SIM.knn_graph(bemb, k=10, n_blocks=32)
     t0 = time.perf_counter()
-    exact_g = SIM.knn_graph(bemb, k=10, n_blocks=32).select("src", "dst").toPandas()
+    exact_df.write.format("noop").mode("overwrite").save()
     t_exact = round(time.perf_counter() - t0, 2)
     Ck = SIM.train_ivf_centroids(emb, n_centroids=64, iterations=2)
+    ivf_df = SIM.knn_graph_ivf(bemb, Ck, k=10, n_probe=2)
     t0 = time.perf_counter()
-    ivf_g = SIM.knn_graph_ivf(bemb, Ck, k=10, n_probe=2).select("src", "dst").toPandas()
+    ivf_df.write.format("noop").mode("overwrite").save()
     t_ivf = round(time.perf_counter() - t0, 2)
-    e_set = set(zip(exact_g["src"], exact_g["dst"]))
-    i_set = set(zip(ivf_g["src"], ivf_g["dst"]))
+    e_set = set(map(tuple, exact_df.select("src", "dst").toPandas().to_numpy()))
+    i_set = set(map(tuple, ivf_df.select("src", "dst").toPandas().to_numpy()))
     knn_recall = round(len(e_set & i_set) / max(len(e_set), 1), 3)
     doc_results.append((f"knn_graph_exact_x30 ({len(e_set):,} edges, 32 blocks)", t_exact))
     doc_results.append(

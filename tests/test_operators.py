@@ -596,6 +596,37 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     assert first == again
 
 
+def test_knn_clusters_chain_and_singletons(spark):
+    """A planted chain of pairwise-near vectors collapses TRANSITIVELY into
+    one cluster labeled by its min id (the property SemDeDup's partition-
+    scoped grouping doesn't have), isolated vectors keep their own label,
+    and passing graph= reuses a prebuilt edge frame with equal results."""
+    import numpy as np
+
+    from demo_bigdata_spark.operators.similarity import knn_clusters, knn_graph
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(16)
+    rows = []
+    v = base.copy()
+    for i in range(6):  # chain: each link ~cos 0.99 to the next, ends far apart
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        v = v + rng.randn(16) * 0.08
+    for i in range(6, 10):  # isolated satellites
+        u = rng.randn(16) * 5
+        rows.append((i, [float(x) for x in u / np.linalg.norm(u)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster_id"] for r in knn_clusters(df, k=2, threshold=0.9).collect()}
+    assert set(got) == set(range(10))
+    assert all(got[i] == 0 for i in range(6)), got  # whole chain -> min id 0
+    g = knn_graph(df, k=2)
+    again = {
+        r["vec_id"]: r["cluster_id"]
+        for r in knn_clusters(df, k=2, threshold=0.9, graph=g).collect()
+    }
+    assert again == got
+
+
 def test_kcenter_select_matches_python_reference(spark):
     """Greedy farthest-point selection == a python replica of the same
     deterministic rule (max-norm seed, 1 - round(cos,4) distance, id
@@ -680,9 +711,9 @@ def test_top_fraction_per_group_semantics(spark, sf_dir):
 def test_knn_graph_exact_matches_reference_with_ties(spark):
     """Exact kNN graph == a python brute-force reference on a corpus built
     to stress the block cut: 10 IDENTICAL vectors (mass cosine ties that
-    straddle hash blocks) among 30 — the ties-inclusive per-block cut must
-    not lose a tied candidate the deterministic (desc cosine, dst asc)
-    global order would pick."""
+    straddle hash blocks) among 30 — the exact per-block top-k cut must
+    resolve mass ties by dst asc (the rank epsilon) and never lose a
+    candidate the deterministic (desc cosine, dst asc) global order picks."""
     import numpy as np
 
     from demo_bigdata_spark.operators.similarity import knn_graph
