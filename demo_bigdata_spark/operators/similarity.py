@@ -1459,14 +1459,32 @@ def knn_graph_ivf(
     never replicated per probe row (a plain join would ship the member
     list once per probe), and scoring is one GEMM per cluster.
     """
-    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     n_probe = min(n_probe, len(C))
-
     assigned = assign_clusters(df, C, vec_col, id_col)  # (id, v, cluster)
+    probes = _explode_probes(df, C, n_probe, vec_col, id_col)
+    cands = _cogroup_knn_candidates(probes, assigned, k, id_col)
+    # (src, dst) is unique by construction: dst lives in exactly one cluster
+    # and src's probe clusters are distinct — no dedup shuffle needed.
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("src", "rank")
+    )
+
+
+def _explode_probes(df, centroids, n_probe, vec_col, id_col):
+    """(id, v, cluster) — each vector repeated onto its n_probe nearest
+    centroids (probe 0 is the assignment cluster: argsort of the same
+    scores argmax reads). One GEMM per Arrow batch against the broadcast
+    centroid matrix."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     probe_schema = T.StructType(
         [
@@ -1478,6 +1496,8 @@ def knn_graph_ivf(
 
     def _probes(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             V = np.array(list(pdf["v"]), dtype=np.float64)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             order = np.argsort(-(Vn @ Cn.T), axis=1)[:, :n_probe].astype(np.int32)
@@ -1490,9 +1510,17 @@ def knn_graph_ivf(
                 }
             )
 
-    probes = df.select(F.col(id_col), _as_double(vec_col).alias("v")).mapInPandas(
+    return df.select(F.col(id_col), _as_double(vec_col).alias("v")).mapInPandas(
         _probes, probe_schema
     )
+
+
+def _cogroup_knn_candidates(probes, members, k, id_col):
+    """(src, dst, cosine) candidates: probes meet members in a cogroup on
+    the cluster key (members shipped once per cluster, never per probe
+    row), one GEMM per cluster, exact per-row top-k cut (_emit_row_topk).
+    Self-pairs excluded. Both inputs: (id_col, v, cluster)."""
+    from pyspark.sql import types as T
 
     out_schema = T.StructType(
         [
@@ -1515,17 +1543,131 @@ def knn_graph_ivf(
         s, d, c = _emit_row_topk(ia, ib, cos, k, exclude_self=True)
         return pd.DataFrame({"src": s, "dst": d, "cosine": c})
 
-    cands = (
+    return (
         probes.groupBy("cluster")
-        .cogroup(assigned.groupBy("cluster"))
+        .cogroup(members.select(id_col, "v", "cluster").groupBy("cluster"))
         .applyInPandas(_score, out_schema)
     )
-    # (src, dst) is unique by construction: dst lives in exactly one cluster
-    # and src's probe clusters are distinct — no dedup shuffle needed.
+
+
+def append_knn_graph_batch(
+    spark,
+    batch_df: DataFrame,
+    index_path: str,
+    graph_path: str,
+    centroids: np.ndarray,
+    epoch_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Exactly-once incremental kNN-graph maintenance over the persisted
+    IVF index (FAISS add-after-train: centroids FROZEN between rebuilds).
+    Per epoch the work is O(batch x probed-cluster slices), never a graph
+    rebuild, and the maintained graph is EXACTLY ``knn_graph_ivf`` of the
+    full corpus under the same (centroids, k, n_probe) — pinned by test.
+
+    Two updates per batch, both cogroup-GEMM candidate generations:
+      1. NEW srcs: each batch vector scores the committed members of its
+         n_probe clusters (the member index already includes this batch —
+         ``append_vectors`` runs first under its own ledger — so
+         batch-internal pairs come for free).
+      2. AFFECTED old srcs: a committed src must see a new vector dst iff
+         dst's ASSIGNMENT cluster is among src's probe clusters. The probe
+         table (src, v, probe cluster — vector denormalized n_probe ways,
+         the storage price of O(batch) updates) joins the batch's
+         assignment rows by cluster, and each affected src scores ONLY the
+         new vectors there. A dst in src's final top-k ranks top-k within
+         any candidate subset, so per-batch top-k cuts lose nothing.
+
+    Edges and probe rows append with ``epoch_id``; one ledger commit at
+    ``graph_path + "_epochs"`` makes both visible atomically-enough (crash
+    before commit leaves only uncommitted rows; replay regenerates
+    identical rows — assignment and scoring are pure functions of
+    batch + frozen centroids + committed state). Reads go through
+    :func:`read_knn_graph` (committed view + per-src window). Edge rows
+    accumulate ~k + k·(arrival fan-in) per vector; compact by periodic
+    rebuild, like every index family here.
+    """
+    from demo_bigdata_spark.streaming.pipeline import (
+        commit_epoch,
+        epoch_already_applied,
+    )
+
+    epochs_path = graph_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    C = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(C))
+
+    # member index first (idempotent under its own ledger)
+    append_vectors(spark, batch_df, index_path, C, epoch_id, vec_col, id_col)
+    members = read_ivf_index(spark, index_path, id_col)  # committed: pre + batch
+
+    batch_probes = _explode_probes(batch_df, C, n_probe, vec_col, id_col)
+    new_src_edges = _cogroup_knn_candidates(batch_probes, members, k, id_col)
+
+    # affected committed srcs vs the batch's ASSIGNMENT rows only
+    probes_path = graph_path + "_probes"
+    stored_probes = _read_knn_probes(spark, probes_path, epochs_path, id_col)
+    batch_assigned = assign_clusters(batch_df, C, vec_col, id_col)
+    affected_edges = _cogroup_knn_candidates(
+        stored_probes.withColumnRenamed("probe_cluster", "cluster"),
+        batch_assigned,
+        k,
+        id_col,
+    )
+
+    edges = new_src_edges.unionByName(affected_edges).withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    )
+    edges.write.mode("append").parquet(graph_path)
+    (
+        batch_probes.select(
+            F.col(id_col), F.col("v"), F.col("cluster").alias("probe_cluster")
+        )
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .partitionBy("probe_cluster")
+        .parquet(probes_path)
+    )
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def _read_knn_probes(spark, probes_path: str, epochs_path: str, id_col: str):
+    """Committed view of the probe table (empty frame before the first
+    commit). probe_cluster joins the dedup keys so the cogroup's cluster
+    grouping stays partition-prunable."""
+    from demo_bigdata_spark.streaming.pipeline import committed_view
+
+    schema = f"{id_col} long, v array<double>, probe_cluster int, epoch_id long"
+    return committed_view(
+        spark, probes_path, epochs_path, [id_col, "probe_cluster", "epoch_id"], schema
+    )
+
+
+def read_knn_graph(spark, graph_path: str, k: int, id_col: str = "vec_id") -> DataFrame:
+    """Current kNN graph from the incrementally-maintained edge set:
+    committed view (ledger semi-join + replay dedup) then the same
+    deterministic per-src (cosine desc, dst asc) window knn_graph_ivf
+    ends with. ``k`` must match the maintenance calls."""
+    from pyspark.sql.window import Window
+
+    from demo_bigdata_spark.streaming.pipeline import committed_view
+
+    edges = committed_view(
+        spark,
+        graph_path,
+        graph_path + "_epochs",
+        ["src", "dst", "epoch_id"],
+        "src long, dst long, cosine double, epoch_id long",
+    )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        edges.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
         .orderBy("src", "rank")
     )
 

@@ -1473,6 +1473,53 @@ def incremental_vector_index(
     )
 
 
+def incremental_knn_graph(
+    df: DataFrame,
+    index_path: str,
+    graph_path: str,
+    centroids,
+    checkpoint: str,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous kNN-graph maintenance over the live IVF index:
+    each micro-batch of new vectors (a) joins the member index exactly
+    once (incremental_vector_index's discipline) and (b) updates the edge
+    set — its own neighbors plus the bounded re-rank of committed vectors
+    whose probe clusters it landed in
+    (operators.similarity.append_knn_graph_batch). read_knn_graph on the
+    live path equals knn_graph_ivf of the full corpus under the same
+    frozen (centroids, k, n_probe)."""
+    from demo_bigdata_spark.operators.similarity import append_knn_graph_batch
+
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_knn_graph_batch(
+            spark,
+            batch_df,
+            index_path,
+            graph_path,
+            centroids,
+            epoch_id,
+            k=k,
+            n_probe=n_probe,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def incremental_positional_index_maintenance(
     df: DataFrame,
     path: str,

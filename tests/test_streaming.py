@@ -1050,6 +1050,95 @@ def test_incremental_vector_index_matches_batch(spark, sf_dir, tmp_path):
     assert read_ivf_index(spark, live_p).count() == committed_after
 
 
+def test_incremental_knn_graph_matches_batch(spark, sf_dir, tmp_path):
+    """The continuously-maintained kNN graph (streamed vector arrivals,
+    frozen centroids) must equal knn_graph_ivf over the full corpus with
+    the same (centroids, k, n_probe) — EXACT (src, dst, cosine, rank)
+    equality, which only holds if affected committed srcs re-rank against
+    late-arriving vectors in their probe clusters. Epoch replay is a
+    no-op; crash-window edge rows stay invisible until the replay
+    commits."""
+    import shutil
+
+    from demo_bigdata_spark.operators.similarity import (
+        append_knn_graph_batch,
+        knn_graph_ivf,
+        read_knn_graph,
+        train_ivf_centroids,
+    )
+    from demo_bigdata_spark.streaming.pipeline import incremental_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    k, n_probe = 5, 2
+
+    src = str(tmp_path / "gsrc")
+    cut1 = emb.agg(F.expr("percentile(vec_id, 0.34)")).first()[0]
+    cut2 = emb.agg(F.expr("percentile(vec_id, 0.67)")).first()[0]
+    emb.filter(F.col("vec_id") <= cut1).repartition(1).write.mode("overwrite").parquet(src)
+    emb.filter((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)).repartition(1).write.mode("append").parquet(src)
+    emb.filter(F.col("vec_id") > cut2).repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    idx_p, gr_p, ckpt = (
+        str(tmp_path / "gidx"),
+        str(tmp_path / "gedges"),
+        str(tmp_path / "gckpt"),
+    )
+    q = incremental_knn_graph(stream, idx_p, gr_p, C, ckpt, k=k, n_probe=n_probe, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        (r["src"], r["dst"], r["cosine"], r["rank"])
+        for r in read_knn_graph(spark, gr_p, k=k).collect()
+    }
+    batch = {
+        (r["src"], r["dst"], r["cosine"], r["rank"])
+        for r in knn_graph_ivf(emb, C, k=k, n_probe=n_probe).collect()
+    }
+    assert live == batch and live
+
+    # replaying an applied epoch is a no-op
+    first_batch = emb.filter(F.col("vec_id") <= cut1)
+    append_knn_graph_batch(spark, first_batch, idx_p, gr_p, C, epoch_id=0, k=k, n_probe=n_probe)
+    assert {
+        (r["src"], r["dst"], r["cosine"], r["rank"])
+        for r in read_knn_graph(spark, gr_p, k=k).collect()
+    } == live
+
+    # crash window: edges + probes appended, graph ledger commit lost ->
+    # reads unchanged; replay commits identical rows, dedup keeps one copy
+    extra = spark.createDataFrame(
+        [(10_001, [float(x) for x in emb.first()["embedding"]])],
+        "vec_id long, embedding array<double>",
+    )
+    ledger_path = gr_p + "_epochs"
+    backup = str(tmp_path / "gback")
+    shutil.copytree(ledger_path, backup)
+    append_knn_graph_batch(spark, extra, idx_p, gr_p, C, epoch_id=77, k=k, n_probe=n_probe)
+    after = {
+        (r["src"], r["dst"], r["cosine"], r["rank"])
+        for r in read_knn_graph(spark, gr_p, k=k).collect()
+    }
+    assert any(s == 10_001 or d == 10_001 for s, d, _, _ in after)
+    shutil.rmtree(ledger_path)
+    shutil.copytree(backup, ledger_path)
+    assert {
+        (r["src"], r["dst"], r["cosine"], r["rank"])
+        for r in read_knn_graph(spark, gr_p, k=k).collect()
+    } == live
+    append_knn_graph_batch(spark, extra, idx_p, gr_p, C, epoch_id=77, k=k, n_probe=n_probe)
+    assert {
+        (r["src"], r["dst"], r["cosine"], r["rank"])
+        for r in read_knn_graph(spark, gr_p, k=k).collect()
+    } == after
+
+
 def test_incremental_pq_index_matches_batch(spark, sf_dir, tmp_path):
     """r10 (round-9 VERDICT item 5): IVF-PQ probes on a continuously-
     maintained CODES index (frozen centroids + codebooks, per-epoch
