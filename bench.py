@@ -133,6 +133,8 @@ HEADLINE = [
     "kcenter_select",
     # r10: connected components over the thresholded kNN graph
     "knn_clusters",
+    # r10: ANN through the JL-projected space (full SQL oracle)
+    "rp_topk",
 ]
 
 

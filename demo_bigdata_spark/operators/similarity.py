@@ -1564,9 +1564,18 @@ def append_knn_graph_batch(
 ) -> None:
     """Exactly-once incremental kNN-graph maintenance over the persisted
     IVF index (FAISS add-after-train: centroids FROZEN between rebuilds).
-    Per epoch the work is O(batch x probed-cluster slices), never a graph
-    rebuild, and the maintained graph is EXACTLY ``knn_graph_ivf`` of the
-    full corpus under the same (centroids, k, n_probe) — pinned by test.
+    Never a graph rebuild, and the maintained graph is EXACTLY
+    ``knn_graph_ivf`` of the full corpus under the same
+    (centroids, k, n_probe) — pinned by test.
+
+    Per-epoch cost, honestly: the new-src term is O(batch x probed
+    cluster occupancy); the affected-src term re-ranks every committed
+    src probing a cluster the batch landed in, i.e. O(committed probes
+    in touched clusters) — it GROWS with corpus/n_centroids (x30 probe:
+    per-epoch 6.1-7.1 s over 6 arrivals at 64 clusters; the growth term
+    is mild at this occupancy but asymptotically real). The knob is
+    the same as every IVF shape here: scale n_centroids with the corpus
+    so per-cluster occupancy stays bounded, and periodically rebuild.
 
     Two updates per batch, both cogroup-GEMM candidate generations:
       1. NEW srcs: each batch vector scores the committed members of its
@@ -1717,6 +1726,96 @@ def knn_clusters(
         F.concat_ws(":", F.lit("s"), F.col(id_col)).alias("bucket"),
     )
     return _propagate_min_labels(mem.unionByName(selfb), id_col, max_iterations)
+
+
+def _quantize_np(x: np.ndarray):
+    """Driver-side replica of quantize_embeddings' arithmetic: per-vector
+    scale = (max|x| / 127) through a float32 round-trip, q = x/scale
+    rounded HALF AWAY FROM ZERO (Spark F.round / SQL round semantics —
+    numpy's default is banker's and would diverge). Returns (q int64,
+    scale float)."""
+    scale = np.float64(np.float32(np.abs(x).max() / 127.0))
+    if scale == 0.0:
+        return np.zeros_like(x, dtype=np.int64), 0.0
+    r = x / scale
+    return np.trunc(r + np.copysign(0.5, r)).astype(np.int64), float(scale)
+
+
+def rp_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    out_dim: int = 16,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+    proj: DataFrame | None = None,
+) -> DataFrame:
+    """[EXT] ANN through the JL-projected space: rank candidates by cosine
+    between random projections (:func:`random_projection` — out_dim bigints
+    instead of dim floats, so the candidate scan reads/ships ~4x less),
+    keep the top ``refine``, then re-rank those against the FULL vectors
+    and return the top ``k`` with true cosines.
+
+    Everything is deterministic and engine-replayable — the projection is
+    integer-exact and the query's quantization replicates the corpus path
+    bit-for-bit (``_quantize_np``) — so unlike the IVF family this ANN
+    query has a full SQL oracle, not just a recall invariant. Recall is a
+    property of the JL distortion at ``out_dim`` (measured in tests), not
+    of a data-dependent model.
+
+    Plan: one mapInPandas over the projected corpus (a rows x 1 GEMM per
+    Arrow batch), TakeOrderedAndProject to ``refine`` rows, then the exact
+    re-rank touches only those rows (a broadcast-sized set).
+
+    Pass ``proj=`` (a materialized :func:`random_projection` output under
+    the SAME (out_dim, seed, dim)) to skip re-projecting the corpus —
+    projecting per query costs a full vector scan and erases the 4x byte
+    win (measured at x30: on-the-fly 4.7 s vs 1.8 s plain brute force;
+    against a stored rvec table the first pass reads 16 ints per row).
+    Project once, query many — the same discipline as the IVF indexes.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    if len(q) != dim:
+        raise ValueError(f"rp_topk: query dim {len(q)} != declared dim {dim}")
+    signs = rp_signs(out_dim, dim, seed)
+    qq, _qs = _quantize_np(q)
+    rq = signs @ qq  # int64 projected query
+    rqn = float(np.sqrt((rq.astype(np.float64) ** 2).sum()))
+
+    if proj is None:
+        proj = random_projection(
+            df, out_dim=out_dim, vec_col=vec_col, id_col=id_col, dim=dim, seed=seed
+        )
+
+    def _score(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            R = np.stack(b["rvec"].to_numpy()).astype(np.float64)
+            dots = R @ rq.astype(np.float64)
+            norms = np.sqrt((R * R).sum(axis=1))
+            denom = np.maximum(norms * rqn, 1e-12)
+            yield pd.DataFrame(
+                {id_col: b[id_col], "rp_cosine": np.round(dots / denom, 4)}
+            )
+
+    scored = proj.mapInPandas(_score, f"{id_col} long, rp_cosine double")
+    cand = scored.orderBy(F.desc("rp_cosine"), F.col(id_col)).limit(refine)
+    qlit = F.lit([float(x) for x in q]).cast("array<double>")
+    reranked = (
+        df.join(F.broadcast(cand), id_col)
+        .select(
+            id_col,
+            F.round(cosine_similarity(_as_double(vec_col), qlit), 4).alias("cosine"),
+            "rp_cosine",
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+    return reranked
 
 
 def kcenter_select(

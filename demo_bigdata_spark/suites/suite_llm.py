@@ -3549,6 +3549,71 @@ LIMIT 10
 """
 
 
+# --- ANN through the JL-projected space ---------------------------------------
+
+def q_rp_topk(spark, sf_dir):
+    """ANN via random projection (operator: similarity.rp_topk): rank by
+    cosine between integer JL projections (16 bigints stand in for 64
+    floats on the candidate scan), exact-rerank the top 50, return the
+    top 10 with true cosines. Integer-exact projection + replicated query
+    quantization mean this ANN query has a FULL SQL oracle — recall is a
+    JL-distortion property, not a data-dependent model, so nothing is
+    rows-only here."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.rp_topk(emb, qvec, k=10, out_dim=16, refine=50)
+
+
+SQL_RP_TOPK = """
+WITH quant AS (
+  SELECT vec_id,
+         ((list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0)::FLOAT)::DOUBLE AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v, x -> round(x / scale)::BIGINT) END AS qv
+  FROM quant
+),
+pos AS (
+  SELECT vec_id, unnest(qv) AS qj, generate_subscripts(qv, 1) - 1 AS j FROM q8
+),
+dims AS (SELECT unnest(range(16)) AS i),
+proj AS (
+  SELECT vec_id, i,
+         sum(qj * (CASE WHEN ('0x' || substr(md5('rp:42:' || i || ':' || j), 1, 7))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END))::BIGINT AS r
+  FROM pos, dims
+  GROUP BY 1, 2
+),
+rvecs AS MATERIALIZED (
+  SELECT vec_id, list(r::DOUBLE ORDER BY i) AS rv FROM proj GROUP BY vec_id
+),
+qr AS MATERIALIZED (SELECT rv FROM rvecs WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id,
+         round(CASE WHEN list_inner_product(v.rv, v.rv) = 0 THEN 0.0
+               ELSE list_inner_product(v.rv, (SELECT rv FROM qr))
+                    / (sqrt(list_inner_product(v.rv, v.rv))
+                       * sqrt(list_inner_product((SELECT rv FROM qr), (SELECT rv FROM qr)))) END,
+               4) AS rp_cosine
+  FROM rvecs v
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, rp_cosine FROM scored ORDER BY rp_cosine DESC, vec_id LIMIT 50
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine,
+       c.rp_cosine
+FROM cand c JOIN embeddings e USING (vec_id)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 # --- kNN-graph semantic clusters ----------------------------------------------
 
 def q_knn_clusters(spark, sf_dir):
@@ -4753,6 +4818,7 @@ QUERIES = {
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
     "knn_clusters": (q_knn_clusters, SQL_KNN_CLUSTERS),
+    "rp_topk": (q_rp_topk, SQL_RP_TOPK),
     "knn_graph_ivf": (q_knn_graph_ivf, None),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),

@@ -627,6 +627,50 @@ def test_knn_clusters_chain_and_singletons(spark):
     assert again == got
 
 
+def test_rp_topk_refine_semantics(spark, sf_dir):
+    """rp_topk contract: refine=corpus degenerates to EXACT brute force
+    (the rerank sees everything), recall grows with refine depth, every
+    returned cosine is the true cosine, and a wrong query dim raises.
+    On isotropic random vectors JL recall at small refine is modest BY
+    NATURE (true top-10 cosines bunch inside the distortion) — refine is
+    the recall knob, and that is asserted, not assumed."""
+    import pytest
+
+    from demo_bigdata_spark.operators.similarity import brute_force_topk, rp_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qv, k=10).collect()]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in rp_topk(emb, qv, k=10, out_dim=16, refine=n).collect()
+    ]
+    assert full == exact  # refine = corpus -> exact search
+    exact_ids = {i for i, _ in exact}
+    r50 = {r["vec_id"] for r in rp_topk(emb, qv, k=10, out_dim=16, refine=50).collect()}
+    r200 = {r["vec_id"] for r in rp_topk(emb, qv, k=10, out_dim=16, refine=200).collect()}
+    assert len(r200 & exact_ids) >= len(r50 & exact_ids)
+    true_cos = dict(exact)
+    for r in rp_topk(emb, qv, k=10, out_dim=16, refine=50).collect():
+        if r["vec_id"] in true_cos:
+            assert r["cosine"] == true_cos[r["vec_id"]]
+    with pytest.raises(ValueError, match="query dim"):
+        rp_topk(emb, [1.0, 2.0], k=5)
+    # project-once-query-many: a stored projection gives identical results
+    from demo_bigdata_spark.operators.similarity import random_projection
+
+    stored = random_projection(emb, out_dim=16).localCheckpoint()
+    via_proj = [
+        tuple(r)
+        for r in rp_topk(emb, qv, k=10, out_dim=16, refine=50, proj=stored).collect()
+    ]
+    direct = [
+        tuple(r) for r in rp_topk(emb, qv, k=10, out_dim=16, refine=50).collect()
+    ]
+    assert via_proj == direct
+
+
 def test_kcenter_select_matches_python_reference(spark):
     """Greedy farthest-point selection == a python replica of the same
     deterministic rule (max-norm seed, 1 - round(cos,4) distance, id
