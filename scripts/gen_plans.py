@@ -104,6 +104,13 @@ SHOWCASE = {
         "belong to the suite query's per-language verification aggregate). "
         "At 100 TB the sample is a map-only pass whose cost is the scan."
     ),
+    "rp_topk": (
+        "Projected-space ANN: the candidate stage is one MapInPandas over "
+        "the integer projections feeding TakeOrderedAndProject (refine "
+        "rows cross the driver boundary, never the corpus); the exact "
+        "re-rank is a BroadcastHashJoin of the refine set back onto the "
+        "vector table — the full-width vectors are only read for ~50 rows."
+    ),
     "zorder_keys": (
         "The Z-order key is a statically-unrolled shift/mask/or tree over "
         "both columns — pure whole-stage-codegen projection feeding one "
