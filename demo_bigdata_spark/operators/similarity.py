@@ -1656,6 +1656,38 @@ def _read_knn_probes(spark, probes_path: str, epochs_path: str, id_col: str):
     )
 
 
+def read_knn_clusters(
+    spark,
+    index_path: str,
+    graph_path: str,
+    k: int,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Semantic clusters over the incrementally-maintained kNN graph:
+    :func:`knn_clusters` on the committed edge view, with the vector
+    universe taken from the live member index (so isolated vectors keep
+    their own label). Connected components' min-label fixed point is
+    ARRIVAL-ORDER INVARIANT — a component's label is its min member id
+    regardless of which epochs delivered the edges — so this equals the
+    batch clusters of the full corpus with no cluster-specific state:
+    the graph ledger is the only state, and labels are recomputed to the
+    exact fixed point at read (CC is a read-side view here, like top-k).
+    """
+    universe = read_ivf_index(spark, index_path, id_col).select(
+        F.col(id_col), F.col("v").alias("embedding")
+    )
+    graph = read_knn_graph(spark, graph_path, k=k, id_col=id_col)
+    return knn_clusters(
+        universe,
+        threshold=threshold,
+        id_col=id_col,
+        max_iterations=max_iterations,
+        graph=graph,
+    )
+
+
 def read_knn_graph(spark, graph_path: str, k: int, id_col: str = "vec_id") -> DataFrame:
     """Current kNN graph from the incrementally-maintained edge set:
     committed view (ledger semi-join + replay dedup) then the same

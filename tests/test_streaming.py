@@ -1138,6 +1138,25 @@ def test_incremental_knn_graph_matches_batch(spark, sf_dir, tmp_path):
         for r in read_knn_graph(spark, gr_p, k=k).collect()
     } == after
 
+    # clusters over the live graph == batch clusters of the full corpus
+    # (CC's min-label fixed point is arrival-order invariant)
+    from demo_bigdata_spark.operators.similarity import knn_clusters, read_knn_clusters
+
+    live_cl = {
+        (r["vec_id"], r["cluster_id"])
+        for r in read_knn_clusters(spark, idx_p, gr_p, k=k, threshold=0.35).collect()
+    }
+    full = emb.unionByName(
+        extra.withColumnRenamed("embedding", "embedding")
+    )
+    batch_cl = {
+        (r["vec_id"], r["cluster_id"])
+        for r in knn_clusters(
+            full, threshold=0.35, graph=knn_graph_ivf(full, C, k=k, n_probe=n_probe)
+        ).collect()
+    }
+    assert live_cl == batch_cl and live_cl
+
 
 def test_incremental_pq_index_matches_batch(spark, sf_dir, tmp_path):
     """r10 (round-9 VERDICT item 5): IVF-PQ probes on a continuously-
