@@ -1615,14 +1615,30 @@ def append_knn_graph_batch(
     members = read_ivf_index(spark, index_path, id_col)  # committed: pre + batch
 
     batch_probes = _explode_probes(batch_df, C, n_probe, vec_col, id_col)
-    new_src_edges = _cogroup_knn_candidates(batch_probes, members, k, id_col)
+    # Scope BOTH cogroups to the clusters this batch actually touches —
+    # a bounded driver-side set (<= n_probe x batch, capped by
+    # n_centroids). Without the filter the cogroup shuffles the ENTIRE
+    # member index every epoch (unprobed clusters ride along just to
+    # produce empty groups); with it the cluster predicate pushes through
+    # the committed view's Aggregate into parquet partition pruning, so
+    # per-epoch IO is the probed slice, as the docstring promises.
+    touched = sorted(
+        r["cluster"] for r in batch_probes.select("cluster").distinct().collect()
+    )
+    new_src_edges = _cogroup_knn_candidates(
+        batch_probes, members.filter(F.col("cluster").isin(touched)), k, id_col
+    )
 
     # affected committed srcs vs the batch's ASSIGNMENT rows only
     probes_path = graph_path + "_probes"
     stored_probes = _read_knn_probes(spark, probes_path, epochs_path, id_col)
     batch_assigned = assign_clusters(batch_df, C, vec_col, id_col)
+    assigned_clusters = sorted(
+        r["cluster"] for r in batch_assigned.select("cluster").distinct().collect()
+    )
     affected_edges = _cogroup_knn_candidates(
-        stored_probes.withColumnRenamed("probe_cluster", "cluster"),
+        stored_probes.filter(F.col("probe_cluster").isin(assigned_clusters))
+        .withColumnRenamed("probe_cluster", "cluster"),
         batch_assigned,
         k,
         id_col,
