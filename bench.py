@@ -163,6 +163,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    sf = float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label
     print(
         json.dumps(
             {
@@ -170,7 +171,24 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+                "sf": sf,
+            }
+        )
+    )
+    # The per-query map above outgrew the driver's fixed-size stdout tail
+    # capture in round 10 (82 entries pushed "metric"/"value" out of the
+    # window -> BENCH_r10.json recorded parsed:null and the 2x gate went
+    # unevaluated). Emit a second, compact line LAST so any tail window
+    # always contains one complete parseable JSON object; the full
+    # per-query line stays above for humans and round-over-round diffing.
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (noop-materialized, best-of-5)",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
             }
         )
     )

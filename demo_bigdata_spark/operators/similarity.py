@@ -1346,17 +1346,31 @@ def _emit_row_topk(ids_a, ids_b, cos, k, exclude_self):
     (>= k-th value) would also be exact but explodes on duplicate farms,
     where 4dp rounding ties hundreds of replicas at the cut (measured:
     an x30 replica corpus emitted ~40x the candidates and made the IVF
-    path slower than the exact one). Returns (src, dst, cosine) arrays."""
+    path slower than the exact one). Blocks too wide for the epsilon
+    (>= 50k columns — realistic for a fat IVF cluster at scale) degrade
+    to an O(nb log nb)-per-row lexsort cut under the SAME (cosine desc,
+    dst-rank asc) order instead of silently corrupting tie order (the
+    r10 ADVICE flag: the old bare assert vanished under python -O).
+    Returns (src, dst, cosine) arrays."""
     c = cos.copy()
     if exclude_self:
         c[ids_a[:, None] == ids_b[None, :]] = -np.inf
     nb = c.shape[1]
-    assert nb * 1e-9 < 5e-5, f"_emit_row_topk: block too wide ({nb}) for the tie epsilon"
     rank_b = np.empty(nb, dtype=np.int64)
     rank_b[np.argsort(ids_b, kind="stable")] = np.arange(nb)
-    key = c - rank_b[None, :] * 1e-9
     kk = min(k, nb)
-    idx = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+    if nb * 1e-9 < 5e-5:
+        # fast path: fold the dst tie-break into the score; argpartition
+        # is O(nb) per row and the epsilon provably cannot cross two
+        # distinct 1e-4-grid cosine values at this width.
+        key = c - rank_b[None, :] * 1e-9
+        idx = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+    else:
+        # exact wide-block fallback: per-row lexsort by (-cosine, dst
+        # rank) — last key is primary for np.lexsort. Slower but the
+        # identical total order, so the global reduce stays exact.
+        order = np.lexsort((np.broadcast_to(rank_b, c.shape), -c), axis=1)
+        idx = order[:, :kk]
     rows = np.repeat(np.arange(c.shape[0]), kk)
     cols = idx.reshape(-1)
     keep = np.isfinite(c[rows, cols])
@@ -1377,7 +1391,8 @@ def knn_graph(
 
     Shape: the all_pairs_above block strategy (hash ids into ``n_blocks``
     nested blocks, cross-join the O(n_blocks²/2) block pairs, one GEMM per
-    pair) but with a per-row ties-inclusive top-k cut INSIDE each block
+    pair) but with an EXACT (non-ties-inclusive) per-row top-k cut under
+    the global (cosine desc, dst asc) total order INSIDE each block
     task, so the shuffle to the final per-src window carries
     O(n · k · n_blocks) candidate rows instead of O(n²) scores. Exact and
     O(n²) compute — the correctness baseline; :func:`knn_graph_ivf` is the
@@ -1607,6 +1622,13 @@ def append_knn_graph_batch(
     epochs_path = graph_path + "_epochs"
     if epoch_already_applied(spark, epochs_path, epoch_id):
         return
+    if batch_df.isEmpty():
+        # r10 ADVICE: an empty micro-batch (idle stream trigger) used to
+        # run the full append/collect/cogroup/write path with isin([])
+        # always-false predicates feeding empty cogroups. Commit the epoch
+        # (so replay stays idempotent and the ledger has no gaps) and stop.
+        commit_epoch(spark, epochs_path, epoch_id)
+        return
     C = np.asarray(centroids, dtype=np.float64)
     n_probe = min(n_probe, len(C))
 
@@ -1824,10 +1846,31 @@ def rp_topk(
     win (measured at x30: on-the-fly 4.7 s vs 1.8 s plain brute force;
     against a stored rvec table the first pass reads 16 ints per row).
     Project once, query many — the same discipline as the IVF indexes.
+    A supplied ``proj`` is validated against this call's (seed, dim,
+    out_dim) via the rvec column's provenance metadata (stamped by
+    :func:`random_projection`); a mismatch raises instead of silently
+    returning degraded candidates (r10 ADVICE). A projection from
+    another source without metadata is accepted as-is — the caller owns
+    parameter agreement — but an rvec width != out_dim still raises.
     """
     q = np.asarray(query_vec, dtype=np.float64)
     if len(q) != dim:
         raise ValueError(f"rp_topk: query dim {len(q)} != declared dim {dim}")
+    if proj is not None:
+        if "rvec" not in proj.columns:
+            raise ValueError("rp_topk: proj= frame has no 'rvec' column")
+        meta = proj.schema["rvec"].metadata or {}
+        for key, want in (
+            ("rp_seed", seed),
+            ("rp_dim", dim),
+            ("rp_out_dim", out_dim),
+        ):
+            if key in meta and int(meta[key]) != int(want):
+                raise ValueError(
+                    f"rp_topk: proj= was built with {key}={meta[key]}, "
+                    f"this query uses {want} — rebuild the projection or "
+                    "pass matching parameters"
+                )
     signs = rp_signs(out_dim, dim, seed)
     qq, _qs = _quantize_np(q)
     rq = signs @ qq  # int64 projected query
@@ -1843,6 +1886,12 @@ def rp_topk(
             if len(b) == 0:
                 continue
             R = np.stack(b["rvec"].to_numpy()).astype(np.float64)
+            if R.shape[1] != len(rq):
+                raise ValueError(
+                    f"rp_topk: stored rvec width {R.shape[1]} != out_dim "
+                    f"{len(rq)} — the projection was built with different "
+                    "parameters"
+                )
             dots = R @ rq.astype(np.float64)
             norms = np.sqrt((R * R).sum(axis=1))
             denom = np.maximum(norms * rqn, 1e-12)
@@ -1884,13 +1933,22 @@ def kcenter_select(
     the point's distance to the previously-chosen set at selection time
     (the running coverage radius; 0.0 for the seed).
 
-    Scale shape: k driver rounds, each ONE scan ending in a global top-1
-    (TakeOrderedAndProject — no full sort, no shuffle of the data), with
-    only the k chosen vectors ever held on the driver. Work is O(k·n)
-    cosine folds; k is small by the operator's nature (a coreset, not a
-    clustering), so this is k cheap passes — the standard distributed
-    Gonzalez shape. If cos evaluation dominates, pre-project with
-    :func:`random_projection` and select in the compressed space.
+    Scale shape (the standard distributed Gonzalez): a RUNNING
+    min-distance column ``_d`` carries each point's exact distance to the
+    chosen set, so every round evaluates ONE new cosine fold per row
+    (distance to the just-picked center), takes ``least`` with the stored
+    column, and eagerly ``localCheckpoint``s — O(k·n) folds total and a
+    constant-size plan per round (round 10 shipped a rebuild-the-least
+    variant that re-scored ALL chosen centers per round: O(k²·n) folds
+    and a linearly growing expression tree — the r10 VERDICT flag).
+    Incremental ``least(D_prev, d_new)`` equals the full ``least`` over
+    all chosen centers EXACTLY (float min is associative), and rounding
+    happens at selection time as before, so the greedy argmax sequence —
+    and therefore the oracle — is unchanged. Each round is one scan
+    ending in a global top-1 (TakeOrderedAndProject — no full sort), with
+    only the k chosen vectors ever held on the driver. If cos evaluation
+    dominates, pre-project with :func:`random_projection` and select in
+    the compressed space.
     """
     if k < 1:
         raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
@@ -1908,25 +1966,36 @@ def kcenter_select(
     seed_row = src.orderBy(norm.desc(), F.col(id_col)).head()
     if seed_row is None:
         raise ValueError("kcenter_select: empty input")
-    chosen = [(seed_row[id_col], seed_row["_v"], 0.0)]
+
+    def _dist_to(center_vec):
+        return F.lit(1.0) - F.round(
+            cosine_similarity(
+                F.col("_v"), F.lit(list(center_vec)).cast("array<double>")
+            ),
+            4,
+        )
+
+    chosen = [(seed_row[id_col], 0.0)]
+    cur = src.withColumn("_d", _dist_to(seed_row["_v"])).localCheckpoint(
+        eager=True
+    )
     for _ in range(k - 1):
-        dists = [
-            F.lit(1.0) - F.round(cosine_similarity(F.col("_v"), F.lit(list(cv)).cast("array<double>")), 4)
-            for _, cv, _ in chosen
-        ]
-        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
         nxt = (
-            src.filter(~F.col(id_col).isin([cid for cid, _, _ in chosen]))
-            .select(id_col, "_v", F.round(dmin, 4).alias("_d"))
-            .orderBy(F.col("_d").desc(), F.col(id_col))
+            cur.filter(~F.col(id_col).isin([cid for cid, _ in chosen]))
+            .select(id_col, "_v", F.round("_d", 4).alias("_dr"))
+            .orderBy(F.col("_dr").desc(), F.col(id_col))
             .head()
         )
         if nxt is None:  # k exceeds the table size: return what exists
             break
-        chosen.append((nxt[id_col], nxt["_v"], float(nxt["_d"])))
+        chosen.append((nxt[id_col], float(nxt["_dr"])))
+        if len(chosen) < k:  # skip the update no later round will read
+            cur = cur.withColumn(
+                "_d", F.least(F.col("_d"), _dist_to(nxt["_v"]))
+            ).localCheckpoint(eager=True)
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(int(cid), i + 1, float(d)) for i, (cid, _, d) in enumerate(chosen)],
+        [(int(cid), i + 1, float(d)) for i, (cid, d) in enumerate(chosen)],
         f"{id_col} long, ord int, min_dist double",
     )
 
@@ -1973,9 +2042,15 @@ def random_projection(
     int64 BLAS call per Arrow batch — map-only, zero shuffle.
     method="expr": pure Catalyst fold (parity/verification path).
 
-    Output: (id_col, rvec array<bigint>, scale float).
+    Output: (id_col, rvec array<bigint>, scale float). The rvec column
+    carries (rp_seed, rp_dim, rp_out_dim) as COLUMN METADATA — provenance
+    that :func:`rp_topk` checks so a stored projection built under a
+    different seed/dim is rejected instead of silently degrading recall
+    (r10 ADVICE). Metadata rides the schema, not the data, so oracle
+    value/schema comparison is unaffected.
     """
     signs = rp_signs(out_dim, dim, seed)
+    meta = {"rp_seed": int(seed), "rp_dim": int(dim), "rp_out_dim": int(out_dim)}
     q = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
     if method == "expr":
         parts = [
@@ -1990,7 +2065,9 @@ def random_projection(
             )
             for i in range(out_dim)
         ]
-        return q.select(id_col, F.array(*parts).alias("rvec"), "scale")
+        return q.select(
+            id_col, F.array(*parts).alias("rvec"), "scale"
+        ).withMetadata("rvec", meta)
     if method != "gemm":
         raise ValueError(f"random_projection: unknown method {method!r}")
     out_schema = f"{id_col} long, rvec array<long>, scale float"
@@ -2010,7 +2087,7 @@ def random_projection(
                 {id_col: b[id_col], "rvec": list(R), "scale": b["scale"]}
             )
 
-    return q.mapInPandas(_proj, schema=out_schema)
+    return q.mapInPandas(_proj, schema=out_schema).withMetadata("rvec", meta)
 
 
 def _split_oversized_clusters(

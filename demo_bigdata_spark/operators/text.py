@@ -1152,3 +1152,84 @@ def bigram_nll_score(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_nll"), 4).alias("mean_nll"),
     )
+
+
+# --- URL canonicalization + URL-level dedup [EXT] ---------------------------
+#
+# The CCNet/FineWeb pre-content-dedup step: web corpora first dedup by
+# NORMALIZED url (the same page is crawled as http/https, with/without the
+# default port, with tracking params, with fragment anchors), then by
+# content. Pure regexp component extraction so the identical expressions run
+# in any ANSI engine (the DuckDB oracle reuses these regexes verbatim) — no
+# parse_url dependency, no UDF. At 100 TB this is a map-only scan (zero
+# shuffle) followed, for the dedup, by one shuffle on the canonical key —
+# the cheapest dedup the pipeline has, which is why it runs first.
+
+# Tracking params stripped during canonicalization (utm_* plus the common
+# click-id / referrer params). Matched against "name=" or a bare "name".
+_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=|$)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of an absolute URL, built from regexp components:
+
+    - scheme and host lowercased (path/query case is significant, kept);
+    - default port stripped (``:443`` for https, ``:80`` for http);
+    - empty path normalized to ``/``;
+    - fragment dropped;
+    - query: tracking params removed (``utm_*``, ``gclid``, ``fbclid``,
+      ``ref``), remaining ``k=v`` terms sorted bytewise and rejoined, the
+      ``?`` dropped entirely when nothing survives.
+
+    Everything is Catalyst built-ins (regexp_extract / filter / array_sort)
+    — codegen'd, map-only. Malformed input without a ``scheme://`` prefix
+    yields ``scheme=''``/``host=''`` and passes through as path-only; the
+    caller can filter on ``canonical LIKE '%://%'`` if strictness matters.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup: keep exactly one row per :func:`canonical_url`
+    (keep-first = lowest ``id_col``, the exact-dedup convention). Output is
+    the surviving rows plus the ``canonical_url`` column.
+
+    One shuffle on the canonical key (row_number window) — no join back to
+    the input because the window carries the full row. Canonical keys are
+    high-cardinality and near-unique by construction, so skew is not a
+    realistic concern (a single URL crawled billions of times is already a
+    corpus bug worth crashing on loudly).
+    """
+    from pyspark.sql.window import Window
+
+    keyed = df.withColumn("canonical_url", canonical_url(url_col))
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col))
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

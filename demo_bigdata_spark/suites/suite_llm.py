@@ -4740,7 +4740,110 @@ ORDER BY change, lang
 """
 
 
+
+# --- URL canonicalization + URL-level dedup (operators.text) -----------------
+#
+# The documents table has no url column, so both engines SYNTHESIZE the same
+# adversarial url per doc (4 variants per logical page, doc_id DIV 4 = page):
+# v0 carries a utm tracking param, v1 is UPPERCASED with the default :443
+# port, v2 carries a fragment anchor, v3 reorders the query keys and adds
+# ref= — all four canonicalize to the identical url, so url_dedup keeps
+# exactly the lowest doc_id per page. Canonicalization itself is the operator
+# under test (operators/text.py:canonical_url); the DuckDB twin re-runs the
+# same regex component math.
+
+
+def _url_variants():
+    g = F.expr("doc_id DIV 4")
+    gs = g.cast("string")
+    gms = (g % 25).cast("string")
+    v = F.col("doc_id") % 4
+    base = F.concat(F.lit("https://www.site"), gms, F.lit(".com/page/"), gs)
+    base_u = F.concat(F.lit("HTTPS://WWW.SITE"), gms, F.lit(".COM:443/page/"), gs)
+    return (
+        F.when(v == 0, F.concat(base, F.lit("?id="), gs, F.lit("&utm_source=feed")))
+        .when(v == 1, F.concat(base_u, F.lit("?id="), gs))
+        .when(v == 2, F.concat(base, F.lit("?id="), gs, F.lit("#section-3")))
+        .otherwise(F.concat(base, F.lit("?utm_campaign=x&ref=tw&id="), gs))
+    )
+
+
+_SQL_URL_VARIANTS = """CASE doc_id % 4
+      WHEN 0 THEN 'https://www.site' || ((doc_id // 4) % 25)::VARCHAR || '.com/page/' || (doc_id // 4)::VARCHAR || '?id=' || (doc_id // 4)::VARCHAR || '&utm_source=feed'
+      WHEN 1 THEN 'HTTPS://WWW.SITE' || ((doc_id // 4) % 25)::VARCHAR || '.COM:443/page/' || (doc_id // 4)::VARCHAR || '?id=' || (doc_id // 4)::VARCHAR
+      WHEN 2 THEN 'https://www.site' || ((doc_id // 4) % 25)::VARCHAR || '.com/page/' || (doc_id // 4)::VARCHAR || '?id=' || (doc_id // 4)::VARCHAR || '#section-3'
+      ELSE 'https://www.site' || ((doc_id // 4) % 25)::VARCHAR || '.com/page/' || (doc_id // 4)::VARCHAR || '?utm_campaign=x&ref=tw&id=' || (doc_id // 4)::VARCHAR
+    END"""
+
+# DuckDB replay of canonical_url's component math over a bound `url` column.
+_SQL_CANONICAL_URL = r"""
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+    || '://'
+    || CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         WHEN 'https' THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+         WHEN 'http' THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+         ELSE lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+       END
+    || CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+            THEN '/'
+            ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+       END
+    || CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=|$)'))), '&') = ''
+            THEN ''
+            ELSE '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=|$)'))), '&')
+       END
+"""
+
+
+def q_url_canonical(spark, sf_dir):
+    """Every synthesized url next to its canonical form — the driver hash
+    pins the full component math (case, default port, fragment, tracking
+    params, query-key sort) row by row."""
+    docs = _docs(spark, sf_dir).withColumn("url", _url_variants())
+    return docs.select(
+        "doc_id", "url", X.canonical_url("url").alias("canonical_url")
+    ).orderBy("doc_id")
+
+
+SQL_URL_CANONICAL = f"""
+SELECT doc_id, url, ({_SQL_CANONICAL_URL}) AS canonical_url
+FROM (SELECT doc_id, {_SQL_URL_VARIANTS} AS url FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup survivors (keep lowest doc_id per canonical url),
+    summarized per lang with an id checksum so the oracle pins WHICH rows
+    survive. Expected survivors: doc_id % 4 == 0 plus ragged tail groups."""
+    docs = _docs(spark, sf_dir).withColumn("url", _url_variants())
+    kept = X.url_dedup(docs, url_col="url", id_col="doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_URL_DEDUP = f"""
+SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_checksum
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY ({_SQL_CANONICAL_URL}) ORDER BY doc_id) AS rn
+  FROM (SELECT lang, doc_id, {_SQL_URL_VARIANTS} AS url FROM documents)
+)
+WHERE rn = 1
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_shingles": (q_minhash_shingles, SQL_MINHASH_SHINGLES),

@@ -2261,3 +2261,106 @@ def test_triangle_counts_hand_graph(spark):
         r["node"]: r["n_triangles"] for r in triangle_counts(edges2).collect()
     }
     assert got2 == want and want[0] == 7  # hub sits in 6 K4-edge + (4,5) tris
+
+
+def test_canonical_url_adversarial(spark):
+    """canonical_url component math on the shapes that break naive string
+    dedup: scheme/host case, default vs explicit ports, fragments,
+    tracking params, query-key order, pathless urls (r10 VERDICT item 5)."""
+    from demo_bigdata_spark.operators.text import canonical_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://www.Site.COM/page/1?id=1", "https://www.site.com/page/1?id=1"),
+        ("HTTPS://WWW.SITE.COM:443/page/1?id=1", "https://www.site.com/page/1?id=1"),
+        ("http://host.com:80/a", "http://host.com/a"),
+        # non-default port survives
+        ("http://host.com:8080/a", "http://host.com:8080/a"),
+        # :443 is only default for https
+        ("http://host.com:443/a", "http://host.com:443/a"),
+        # fragment-only diff
+        ("https://h.com/a?x=1#frag", "https://h.com/a?x=1"),
+        ("https://h.com/a?x=1", "https://h.com/a?x=1"),
+        # tracking params dropped, survivors sorted, '?' dropped when empty
+        ("https://h.com/a?utm_source=x&b=2&a=1", "https://h.com/a?a=1&b=2"),
+        ("https://h.com/a?utm_campaign=z&ref=tw&gclid=9", "https://h.com/a"),
+        ("https://h.com/a?b=2&a=1", "https://h.com/a?a=1&b=2"),
+        # pathless -> '/', path case preserved
+        ("https://H.com", "https://h.com/"),
+        ("https://h.com/CaseSensitive/Path", "https://h.com/CaseSensitive/Path"),
+        # bare 'ref' without '=' also dropped; empty params collapse
+        ("https://h.com/a?ref&x=1&&", "https://h.com/a?x=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_url_dedup_keeps_min_id(spark):
+    """url_dedup keeps exactly one row (lowest id) per canonical url and
+    carries the canonical_url column; distinct pages both survive."""
+    from demo_bigdata_spark.operators.text import url_dedup
+
+    rows = [
+        (3, "https://a.com/p?utm_source=x"),
+        (1, "HTTPS://A.COM:443/p"),
+        (2, "https://a.com/p#frag"),
+        (7, "https://b.com/q?x=1"),
+        (5, "https://b.com/q?x=1&utm_medium=m"),
+        (9, "https://c.com/solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = url_dedup(df).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 5, 9]
+    by_id = {r["doc_id"]: r["canonical_url"] for r in kept}
+    assert by_id[1] == "https://a.com/p"
+    assert by_id[5] == "https://b.com/q?x=1"
+
+
+def test_emit_row_topk_wide_block_lexsort_fallback():
+    """Blocks at/above the epsilon width bound (50k cols) take the exact
+    lexsort path; its output must equal a brute python replica of the
+    (cosine desc, dst-id-rank asc) total order (r10 ADVICE: the old bare
+    assert disappeared under python -O and silently corrupted tie order)."""
+    import numpy as np
+
+    from demo_bigdata_spark.operators.similarity import _emit_row_topk
+
+    rng = np.random.RandomState(11)
+    nb = 50_001
+    assert not nb * 1e-9 < 5e-5  # this width must take the fallback path
+    ids_a = np.array([1_000_000, 1_000_001, 1_000_002], dtype=np.int64)
+    ids_b = rng.permutation(nb).astype(np.int64)
+    # heavy 4dp ties: only 21 distinct grid values across 50k columns
+    cos = np.round(rng.randint(0, 21, size=(3, nb)) * 1e-4, 4)
+    k = 7
+    s, d, c = _emit_row_topk(ids_a, ids_b, cos, k, exclude_self=False)
+    got = {}
+    for si, di, ci in zip(s, d, c):
+        got.setdefault(si, []).append((di, ci))
+    for row_i, src in enumerate(ids_a):
+        order = sorted(range(nb), key=lambda j: (-cos[row_i, j], ids_b[j]))
+        want = [(ids_b[j], cos[row_i, j]) for j in order[:k]]
+        assert sorted(got[src]) == sorted(want), src
+
+
+def test_rp_topk_proj_provenance_mismatch_raises(spark, sf_dir):
+    """A stored projection built under a different seed/out_dim is rejected
+    up front via the rvec column metadata (r10 ADVICE: it used to return
+    silently degraded candidates)."""
+    import pytest
+
+    from demo_bigdata_spark.operators.similarity import random_projection, rp_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    other_seed = random_projection(emb, out_dim=16, seed=7)
+    with pytest.raises(ValueError, match="rp_seed"):
+        rp_topk(emb, qv, k=5, out_dim=16, refine=50, seed=42, proj=other_seed)
+    other_dim = random_projection(emb, out_dim=8)
+    with pytest.raises(ValueError, match="rp_out_dim"):
+        rp_topk(emb, qv, k=5, out_dim=16, refine=50, proj=other_dim)
+    # matching provenance still accepted
+    good = random_projection(emb, out_dim=16)
+    assert rp_topk(emb, qv, k=5, out_dim=16, refine=50, proj=good).count() == 5
