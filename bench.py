@@ -135,6 +135,10 @@ HEADLINE = [
     "knn_clusters",
     # r10: ANN through the JL-projected space (full SQL oracle)
     "rp_topk",
+    # r11: URL canonicalization + URL-level dedup (CCNet/FineWeb
+    # pre-content-dedup step)
+    "url_canonical",
+    "url_dedup",
 ]
 
 

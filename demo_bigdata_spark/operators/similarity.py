@@ -1730,7 +1730,14 @@ def read_knn_graph(spark, graph_path: str, k: int, id_col: str = "vec_id") -> Da
     """Current kNN graph from the incrementally-maintained edge set:
     committed view (ledger semi-join + replay dedup) then the same
     deterministic per-src (cosine desc, dst asc) window knn_graph_ivf
-    ends with. ``k`` must match the maintenance calls."""
+    ends with. ``k`` must match the maintenance calls.
+
+    The extra (src, dst) dedup collapses the one legitimate duplication
+    source: a :func:`compact_knn_graph` epoch rewrites edges that ALSO
+    still exist under their original epoch ids until the vacuum step
+    physically drops them. Cosine is a pure function of the pair, so any
+    surviving copy is identical in every selected column — the dedup is
+    deterministic."""
     from pyspark.sql.window import Window
 
     from demo_bigdata_spark.streaming.pipeline import committed_view
@@ -1744,11 +1751,99 @@ def read_knn_graph(spark, graph_path: str, k: int, id_col: str = "vec_id") -> Da
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
     return (
-        edges.withColumn("rank", F.row_number().over(w))
+        edges.dropDuplicates(["src", "dst"])
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
         .orderBy("src", "rank")
     )
+
+
+def compact_knn_graph(
+    spark,
+    graph_path: str,
+    k: int,
+    id_col: str = "vec_id",
+    vacuum: bool = True,
+) -> None:
+    """Compaction for the incrementally-maintained kNN graph (r10 VERDICT
+    item 4 — the ``maintenance.compact_parquet`` discipline applied to the
+    graph): accumulated per-batch edge rows (~k + k·arrival-fan-in per
+    vector) are rewritten into the EXACT current per-src top-k (~n·k rows)
+    and the probe table is rewritten deduplicated, both under one fresh
+    compaction epoch with a single ledger append as the commit point —
+    readers see old-or-new atomically (same guarantee as every streaming
+    epoch).
+
+    Correctness of pruning non-top-k edges: cosines never change, so an
+    edge outside the CURRENT per-src top-k can never re-enter a FUTURE
+    top-k (future candidates only add competitors); the read-side
+    union-of-per-batch-top-k ⊇ global-top-k argument is preserved, and
+    ``read_knn_graph`` == the batch graph before, during, and after.
+
+    Compaction epochs take ids from the NEGATIVE namespace
+    (``min(0, min(committed)) - 1``): streaming batch ids are >= 0, so a
+    compaction id can never collide with a future stream epoch, and —
+    critically — the old epoch ids STAY in the ledger, so a crash-replayed
+    already-applied batch is still recognized by ``epoch_already_applied``
+    and skipped instead of double-appending. The interim state (compacted
+    rows + originals both committed) is handled by ``read_knn_graph``'s
+    (src, dst) dedup.
+
+    ``vacuum=True`` then physically rewrites both directories keeping only
+    the compaction epoch's rows (localCheckpoint first — the frames must
+    be materialized OFF the files being overwritten). The overwrite is the
+    one non-atomic step: a concurrent reader that planned against the old
+    file listing can transiently fail, the standard plain-parquet caveat
+    (``sources/snapshots.py`` is the transactional answer). Run compaction
+    between micro-batches or from the maintenance schedule, like every
+    compactor here. Re-running is harmless (each run commits a fresh
+    epoch; reads are correct at every point).
+    """
+    from demo_bigdata_spark.streaming.pipeline import (
+        _read_parquet_if_exists,
+        commit_epoch,
+    )
+
+    epochs_path = graph_path + "_epochs"
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    if ledger is None:
+        return  # nothing committed yet
+    committed = [r["epoch_id"] for r in ledger.select("epoch_id").distinct().collect()]
+    if not committed:
+        return
+    ce = min(0, min(committed)) - 1
+
+    compacted = (
+        read_knn_graph(spark, graph_path, k=k, id_col=id_col)
+        .select("src", "dst", "cosine")
+        .withColumn("epoch_id", F.lit(int(ce)))
+        .localCheckpoint(eager=True)
+    )
+    probes_path = graph_path + "_probes"
+    probes = _read_knn_probes(spark, probes_path, epochs_path, id_col)
+    probes_c = (
+        probes.dropDuplicates([id_col, "probe_cluster"])
+        .withColumn("epoch_id", F.lit(int(ce)))
+        .localCheckpoint(eager=True)
+    )
+    compacted.write.mode("append").parquet(graph_path)
+    probes_c.write.mode("append").partitionBy("probe_cluster").parquet(probes_path)
+    commit_epoch(spark, epochs_path, ce)  # the commit point
+
+    if vacuum:
+        live_e = (
+            spark.read.parquet(graph_path)
+            .filter(F.col("epoch_id") == ce)
+            .localCheckpoint(eager=True)
+        )
+        live_e.write.mode("overwrite").parquet(graph_path)
+        live_p = (
+            spark.read.parquet(probes_path)
+            .filter(F.col("epoch_id") == ce)
+            .localCheckpoint(eager=True)
+        )
+        live_p.write.mode("overwrite").partitionBy("probe_cluster").parquet(probes_path)
 
 
 def knn_clusters(

@@ -14,23 +14,27 @@ from demo_bigdata_spark.suites import (
     suite_analytics,
     suite_ingest,
     suite_llm,
+    suite_maintenance,
     suite_relational,
     suite_streaming,
 )
 
-# Round-10 rotation, requested by the round-9 VERDICT (item 2): the
-# external driver's fixed 50-query window had hash-checked the analytics/
-# ingest/relational head 9 rounds running while the 84-query LLM tier was
-# only ever judge-replayed. suite_llm now leads so its queries get driver
-# CORRECTNESS rows. Still a plain module-order concatenation — no
-# per-query priority list, and tests/test_suite_order.py keeps pinning
-# all_queries() == the natural concatenation of this tuple.
+# Round-11 rotation, requested by the round-10 VERDICT (item 1): 61 of the
+# registry's queries had never appeared in any driver CORRECTNESS window
+# (the fixed window samples the registry head). Modules whose dicts lead
+# with their never-checked queries now come first (streaming's 2, the new
+# maintenance module's 3, then suite_llm's 40 + the 2 new r11 url queries),
+# so the window finally hash-checks the llm/relational/streaming tails.
+# Still a plain module-order concatenation — no per-query priority list,
+# and tests/test_suite_order.py keeps pinning all_queries() == the natural
+# concatenation of this tuple.
 _ALL_SUITES = (
+    suite_streaming,
+    suite_maintenance,
     suite_llm,
+    suite_relational,
     suite_analytics,
     suite_ingest,
-    suite_relational,
-    suite_streaming,
 )
 
 

@@ -3760,11 +3760,14 @@ def q_knn_graph_ivf(spark, sf_dir):
     # k-means -> rows-only; the twin invariant (tests/invariants.py)
     # asserts graph recall@5 >= the per-sf floor vs the exact graph AND
     # that every returned cosine is the true cosine (the candidate set is
-    # approximate, the scores never are). Measured recall@5:
-    # 0.678/0.712/0.695 at sf0.001/0.01/0.1 (16 centroids, n_probe=6).
+    # approximate, the scores never are). n_probe=10 is the documented
+    # >=0.8-recall operating point from the r11 measured curve
+    # (16 centroids, recall@5 by n_probe at sf0.001/0.01/0.1:
+    # p6 0.678/0.712/0.695, p8 0.799/0.817/0.798, p10 0.876/0.891/0.878,
+    # p12 0.938/0.948/0.936, p16 exact; full curve in SCALE_NOTES).
     emb = _emb(spark, sf_dir)
     C = S.train_ivf_centroids(emb, n_centroids=16, iterations=2)
-    return S.knn_graph_ivf(emb, C, k=5, n_probe=6)
+    return S.knn_graph_ivf(emb, C, k=5, n_probe=10)
 
 
 # --- Johnson-Lindenstrauss random projection ----------------------------------
@@ -4844,6 +4847,46 @@ ORDER BY lang
 QUERIES = {
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "semantic_dedup_capped": (q_semantic_dedup_capped, SQL_SEMANTIC_DEDUP_CAPPED),
+    "soft_dedup": (q_soft_dedup, SQL_SOFT_DEDUP),
+    "lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
+    "ivf_topk": (q_ivf_topk, None),
+    "ivf_pq_topk": (q_ivf_pq_topk, None),
+    "ivf_pq_topk_indexed": (q_ivf_pq_topk_indexed, None),
+    "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
+    "multi_query_ivf_topk": (q_multi_query_ivf_topk, None),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "wav_decode_roundtrip": (q_wav_decode_roundtrip, SQL_WAV_DECODE_ROUNDTRIP),
+    "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
+    "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
+    "token_mixture": (q_token_mixture, SQL_TOKEN_MIXTURE),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "repeat_mixture": (q_repeat_mixture, SQL_REPEAT_MIXTURE),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
+    "knn_clusters": (q_knn_clusters, SQL_KNN_CLUSTERS),
+    "rp_topk": (q_rp_topk, SQL_RP_TOPK),
+    "knn_graph_ivf": (q_knn_graph_ivf, None),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
+    "snapshot_cdf": (q_snapshot_cdf, SQL_SNAPSHOT_CDF),
+    "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
+    "index_search": (q_index_search, SQL_INDEX_SEARCH),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_segmentation": (q_bpe_segmentation, SQL_BPE_SEGMENTATION),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "bm25_indexed": (q_bm25_indexed, SQL_BM25_RANK),
+    "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
+    "pmi_scores": (q_pmi_scores, SQL_PMI_SCORES),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_shingles": (q_minhash_shingles, SQL_MINHASH_SHINGLES),
@@ -4894,49 +4937,9 @@ QUERIES = {
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "semantic_dedup_capped": (q_semantic_dedup_capped, SQL_SEMANTIC_DEDUP_CAPPED),
-    "soft_dedup": (q_soft_dedup, SQL_SOFT_DEDUP),
-    "lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
-    "ivf_topk": (q_ivf_topk, None),
-    "ivf_pq_topk": (q_ivf_pq_topk, None),
-    "ivf_pq_topk_indexed": (q_ivf_pq_topk_indexed, None),
-    "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
-    "multi_query_ivf_topk": (q_multi_query_ivf_topk, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
-    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
-    "wav_decode_roundtrip": (q_wav_decode_roundtrip, SQL_WAV_DECODE_ROUNDTRIP),
-    "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
-    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
-    "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "approx_top_tokens": (q_approx_top_tokens, SQL_APPROX_TOP_TOKENS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    "token_mixture": (q_token_mixture, SQL_TOKEN_MIXTURE),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "repeat_mixture": (q_repeat_mixture, SQL_REPEAT_MIXTURE),
-    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
-    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
-    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
-    "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
-    "knn_clusters": (q_knn_clusters, SQL_KNN_CLUSTERS),
-    "rp_topk": (q_rp_topk, SQL_RP_TOPK),
-    "knn_graph_ivf": (q_knn_graph_ivf, None),
-    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
-    "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
-    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
-    "snapshot_changes": (q_snapshot_changes, SQL_SNAPSHOT_CHANGES),
-    "snapshot_cdf": (q_snapshot_cdf, SQL_SNAPSHOT_CDF),
-    "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
-    "index_search": (q_index_search, SQL_INDEX_SEARCH),
-    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
-    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
-    "bpe_segmentation": (q_bpe_segmentation, SQL_BPE_SEGMENTATION),
-    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
-    "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
-    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
-    "bm25_indexed": (q_bm25_indexed, SQL_BM25_RANK),
-    "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
-    "pmi_scores": (q_pmi_scores, SQL_PMI_SCORES),
 }

@@ -2059,6 +2059,22 @@ ORDER BY n_triangles DESC, nation_key
 
 
 QUERIES = {
+    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
+    "set_except": (q_set_except, SQL_SET_EXCEPT),
+    "set_intersect_all": (q_set_intersect_all, SQL_SET_INTERSECT_ALL),
+    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
+    "full_outer_nations": (q_full_outer_nations, SQL_FULL_OUTER_NATIONS),
+    "order_count_histogram": (q_order_count_histogram, SQL_ORDER_COUNT_HISTOGRAM),
+    "cheapest_supplier_per_part": (q_cheapest_supplier_per_part, SQL_CHEAPEST_SUPPLIER_PER_PART),
+    "correlations": (q_correlations, SQL_CORRELATIONS),
+    "rolling_weekly_revenue": (q_rolling_weekly_revenue, SQL_ROLLING_WEEKLY_REVENUE),
+    "order_value_extremes": (q_order_value_extremes, SQL_ORDER_VALUE_EXTREMES),
+    "order_gaps": (q_order_gaps, SQL_ORDER_GAPS),
+    "rollup_flags": (q_rollup_flags, SQL_ROLLUP_FLAGS),
+    "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
+    "min_price_supplier": (q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
+    "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
+    "waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "nation_pagerank": (q_nation_pagerank, SQL_NATION_PAGERANK),
     "nation_ppr": (q_nation_ppr, SQL_NATION_PPR),
@@ -2085,34 +2101,15 @@ QUERIES = {
     "segments_with_big_orders": (q_segments_with_big_orders, SQL_SEGMENTS_WITH_BIG_ORDERS),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "set_union": (q_set_union, SQL_SET_UNION),
-    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
-    "set_except": (q_set_except, SQL_SET_EXCEPT),
-    "set_intersect_all": (q_set_intersect_all, SQL_SET_INTERSECT_ALL),
     "set_except_all": (q_set_except_all, SQL_SET_EXCEPT_ALL),
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "salted_aggregate": (q_salted_aggregate, SQL_SALTED_AGGREGATE),
-    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
     "left_join_order_counts": (q_left_join_order_counts, SQL_LEFT_JOIN_ORDER_COUNTS),
-    "full_outer_nations": (q_full_outer_nations, SQL_FULL_OUTER_NATIONS),
-    "order_count_histogram": (q_order_count_histogram, SQL_ORDER_COUNT_HISTOGRAM),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
-    "cheapest_supplier_per_part": (q_cheapest_supplier_per_part, SQL_CHEAPEST_SUPPLIER_PER_PART),
-    "correlations": (q_correlations, SQL_CORRELATIONS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
-    "rolling_weekly_revenue": (q_rolling_weekly_revenue, SQL_ROLLING_WEEKLY_REVENUE),
-    "order_value_extremes": (q_order_value_extremes, SQL_ORDER_VALUE_EXTREMES),
-    "order_gaps": (q_order_gaps, SQL_ORDER_GAPS),
-    "rollup_flags": (q_rollup_flags, SQL_ROLLUP_FLAGS),
-    "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "pivot_linestatus": (q_pivot_linestatus, SQL_PIVOT_LINESTATUS),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "events_in_windows": (q_events_in_windows, SQL_EVENTS_IN_WINDOWS),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
-    "min_price_supplier": (q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
-    "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
-    "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
-    "scd2_point_lookup": (q_scd2_point_lookup, SQL_SCD2_POINT_LOOKUP),
-    "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
-    "waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
 }

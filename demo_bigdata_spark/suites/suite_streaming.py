@@ -142,9 +142,9 @@ ORDER BY event_id, r_ts_s
 
 
 QUERIES = {
-    "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
 }

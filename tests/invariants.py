@@ -118,9 +118,12 @@ def inv_multi_query_ivf_topk(out: pd.DataFrame, spark, sf_dir, con) -> None:
             assert abs(c - true_cos[vid]) <= 1e-4 + 1e-9, (qid, vid, c)
 
 
-# graph recall@5 floors per sf, a notch under the measured 0.678/0.712/0.695
-# (16 centroids, 2 Lloyd iterations, n_probe=6) to absorb k-means jitter
-KNN_GRAPH_RECALL_FLOOR = {"sf0.001": 0.55, "sf0.01": 0.60, "sf0.1": 0.55}
+# graph recall@5 floors per sf at the n_probe=10 operating point (r11,
+# r10 VERDICT item 6): measured 0.876/0.891/0.878 (16 centroids, 2 Lloyd
+# iterations); 0.8 floors leave ~0.08 headroom for k-means jitter while
+# meeting the documented >=0.8 contract. Full recall-vs-n_probe curve
+# (p6 ~0.70 -> p16 exact) recorded in docs/SCALE_NOTES.md.
+KNN_GRAPH_RECALL_FLOOR = {"sf0.001": 0.80, "sf0.01": 0.80, "sf0.1": 0.80}
 
 
 def inv_knn_graph_ivf(out: pd.DataFrame, spark, sf_dir, con) -> None:

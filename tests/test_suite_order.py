@@ -3,10 +3,11 @@
 Round-2 VERDICT flagged a driver-aware CHECK_PRIORITY reordering as gaming;
 round 3 removed it. This regression test keeps it out: the order of
 ``all_queries()`` must be exactly the concatenation of the suite modules'
-dict orders (the ``_ALL_SUITES`` tuple; since round 10 suite_llm leads, a
-rotation the round-9 VERDICT itself requested so the driver's fixed window
-finally samples the LLM tier) — no verification-aware shuffling, no
-priority lists.
+dict orders (the ``_ALL_SUITES`` tuple). Round 10 led with suite_llm and
+round 11 leads with streaming/maintenance/llm-tail (both rotations
+requested by the preceding round's VERDICT so the driver's fixed window
+cycles through never-checked queries) — no verification-aware shuffling,
+no priority lists.
 """
 
 from __future__ import annotations
