@@ -73,6 +73,37 @@ def dedup_stream(df: DataFrame, id_col: str = "event_id", ts_col: str = "ts", wa
     return wm.dropDuplicates([id_col])
 
 
+def url_dedup_stream(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """[EXT] streaming URL-level dedup — the incremental-crawl twin of
+    ``text.url_dedup``: canonicalize (``text.canonical_url``: case, default
+    ports, fragments, tracking params, query-key sort) then keep the first
+    arrival per canonical url, with state evicted at the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — the same bounded-state reasoning
+    as :func:`dedup_stream`; a crawl frontier re-emitting a url within the
+    replay window is exactly the duplicate this collapses).
+
+    Semantics difference vs the batch operator, stated: batch url_dedup
+    keeps the LOWEST id per canonical url (a deterministic total order);
+    a stream keeps the FIRST ARRIVAL — order is the arrival order, and
+    re-crawls separated by more than the watermark delay pass through (a
+    re-crawl policy, not a bug: content may have changed). Batch inputs
+    keep the exact arrival-independent dropDuplicates for oracle parity.
+    """
+    from demo_bigdata_spark.operators.text import canonical_url
+
+    keyed = df.withColumn("canonical_url", canonical_url(url_col)).withWatermark(
+        ts_col, watermark
+    )
+    if df.isStreaming:
+        return keyed.dropDuplicatesWithinWatermark(["canonical_url"])
+    return keyed.dropDuplicates(["canonical_url"])
+
+
 def windowed_counts(
     df: DataFrame,
     ts_col: str = "ts",

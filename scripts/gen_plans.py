@@ -117,6 +117,13 @@ SHOWCASE = {
         "aggregate; the clustering write itself is a single range exchange "
         "on the key."
     ),
+    "url_dedup": (
+        "URL-level dedup (r11): canonicalization is regexp/array built-ins "
+        "inside the scan's WholeStageCodegen span (no UDF, no extra pass); "
+        "the keep-first cut is ONE hash exchange on the canonical key "
+        "feeding a WindowGroupLimit — at 100 TB the cheapest dedup in the "
+        "pipeline, which is why web corpora run it before content dedup."
+    ),
 }
 
 

@@ -2408,3 +2408,62 @@ def test_compact_knn_graph_mid_stream(spark, sf_dir, tmp_path):
     compact_knn_graph(spark, gr_p, k=k)
     assert snap() == batch
     assert spark.read.parquet(gr_p).count() == len(batch)
+
+
+def test_url_dedup_stream_collapses_variants(spark, tmp_path):
+    """Streaming URL dedup: all canonical variants of a page (case, default
+    port, fragment, tracking params, query order) collapse to ONE surviving
+    row — the first arrival — across micro-batches; distinct pages all
+    survive; the batch path equals text.url_dedup's survivor count."""
+    from demo_bigdata_spark.operators.text import url_dedup
+    from demo_bigdata_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        url_dedup_stream,
+    )
+
+    rows = []
+    t0 = 1_700_000_000
+    # 10 logical pages x 4 variants, arrival-ordered by seq
+    for page in range(10):
+        for v, tmpl in enumerate(
+            [
+                "https://www.site{h}.com/p/{g}?id={g}&utm_source=feed",
+                "HTTPS://WWW.SITE{h}.COM:443/p/{g}?id={g}",
+                "https://www.site{h}.com/p/{g}?id={g}#frag",
+                "https://www.site{h}.com/p/{g}?utm_campaign=x&id={g}",
+            ]
+        ):
+            seq = page * 4 + v
+            rows.append((seq, tmpl.format(h=page % 3, g=page), t0 + seq))
+    df = spark.createDataFrame(rows, "seq long, url string, epoch long").withColumn(
+        "ts", F.col("epoch").cast("timestamp")
+    ).drop("epoch")
+
+    src = str(tmp_path / "urlsrc")
+    # 4 files -> 4 micro-batches, variants of one page straddle batches
+    df.filter(F.col("seq") % 4 == 0).write.mode("overwrite").parquet(src)
+    for m in (1, 2, 3):
+        df.filter(F.col("seq") % 4 == m).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = run_stream_to_memory(
+        url_dedup_stream(stream, watermark="100 days"), "url_dedup_out"
+    )
+    try:
+        got = spark.sql("SELECT seq, canonical_url FROM url_dedup_out").collect()
+    finally:
+        q.stop()
+    assert len(got) == 10  # one survivor per logical page
+    canon = sorted(r["canonical_url"] for r in got)
+    assert len(set(canon)) == 10
+    for c in canon:
+        assert "utm" not in c and "#" not in c and ":443" not in c
+        assert c.startswith("https://www.site")
+    # first arrival wins: each page's survivor is its seq % 4 == 0 variant
+    assert sorted(r["seq"] % 4 for r in got) == [0] * 10
+
+    # batch path: same survivor count as the exact batch operator
+    batch = url_dedup_stream(df).count()
+    assert batch == url_dedup(df, id_col="seq").count() == 10
