@@ -139,6 +139,10 @@ HEADLINE = [
     # pre-content-dedup step)
     "url_canonical",
     "url_dedup",
+    # r11: A-ES weighted sampling + Bloom-filter decontamination
+    # (broadcast-bits membership instead of the exact join's shuffle)
+    "weighted_sample",
+    "bloom_decontamination",
 ]
 
 

@@ -634,3 +634,49 @@ def temperature_weights(
         "n",
         F.round(F.col("_p") / F.col("_t"), scale).alias("weight"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """[EXT] deterministic weighted sampling without replacement — the
+    A-ES reservoir scheme (Efraimidis & Spirakis 2006): each row gets
+    u(key) in (0, 1] from a content-addressed md5 hash and the key
+    score = u ** (1/weight); the k LARGEST scores are the sample, which
+    is distributionally equivalent to sequential draws proportional to
+    weight. The curation use: sample documents proportional to a quality
+    or importance weight instead of uniformly.
+
+    Content-addressed u (not an RNG) keeps the sample reproducible across
+    runs, engines, and partitionings — and DuckDB-replayable, so this is
+    a fully value-checked sampler like the rest of the tier. Scores are
+    rounded to ``score_decimals`` BEFORE ranking with a key tiebreak:
+    libm pow can differ by 1 ulp between engines, and rounding plus a
+    deterministic tiebreak makes the cross-engine order identical (ties
+    at the grid admit by key asc — the kcenter/percentile convention).
+
+    Rows with null or non-positive weight are excluded (a zero weight
+    means "never sample"; A-ES needs w > 0).
+
+    Plan: one scan -> TakeOrderedAndProject (per-partition partial top-k,
+    then a k-row merge on the driver side of the exchange) — no shuffle
+    of the data, no window over the corpus. At 100 TB the cost is the
+    scan; k rows cross the wire.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("double")
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, _HEX_CHARS), 16, 10)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2 ** (4 * _HEX_CHARS)))
+    score = F.round(F.pow(u, F.lit(1.0) / w), score_decimals)
+    return (
+        df.filter(w > 0)
+        .withColumn("sample_score", score)
+        .orderBy(F.col("sample_score").desc(), key)
+        .limit(k)
+    )

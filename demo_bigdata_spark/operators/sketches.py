@@ -243,3 +243,99 @@ def count_min_blob(
             ).alias("sk")
         ).head()["sk"]
     )
+
+
+# --- Bloom-filter decontamination [EXT] --------------------------------------
+#
+# The sketch-based scale path next to dedup.decontaminate's exact join: the
+# eval corpus's n-gram set folds into an m-bit Bloom filter (built once,
+# ~m/8 bytes), which then rides along as a BROADCAST bit array — the corpus
+# scan tests membership map-side and only a tiny per-doc aggregate shuffles.
+# The exact operator shuffles the corpus's exploded shingles on the hash key
+# to meet the eval side; at 100 TB that join's probe side is the corpus, so
+# replacing it with a 128 KB broadcast is the difference between a shuffle
+# stage and a scan. The price is Bloom's one-sided error: flagged docs are a
+# SUPERSET of the truly contaminated (no false negatives — every true
+# shingle hit has all its bits set), so the filter is safe for "drop
+# flagged" decontamination and the FP rate is the (m, k, n) textbook bound.
+#
+# Positions are md5-derived from the shingle hash ("{i}:{shingle_hash}"),
+# so the identical math replays in the DuckDB oracle (bit-array membership
+# == position-set membership, relationally expressed).
+
+_BLOOM_HEX = 7  # 28 hash bits per position draw; m_bits must be <= 2^28
+
+
+def bloom_position(col, i: int, m_bits: int):
+    """Position of hash function ``i`` for a shingle-hash column — exact
+    BIGINT, engine-portable (md5 + base-16 conv + mod)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, _BLOOM_HEX),
+        16,
+        10,
+    )
+    return F.pmod(h.cast("long"), F.lit(m_bits))
+
+
+def build_ngram_bloom(
+    eval_shingles: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    hash_col: str = "shingle_hash",
+):
+    """Fold the eval corpus's distinct shingle hashes into an m-bit Bloom
+    filter; returns the bit array as int64 words (m_bits/64 of them — the
+    broadcastable artifact). The position set is collected to the driver
+    (bounded by m_bits bits, i.e. <= m/8 bytes of information, regardless
+    of eval size) — the one intentionally driver-sized model object, like
+    centroids and codebooks."""
+    import numpy as np
+
+    if m_bits % 64 or m_bits > 1 << (4 * _BLOOM_HEX):
+        raise ValueError(f"m_bits must be a multiple of 64 and <= 2^28, got {m_bits}")
+    pos_cols = [
+        bloom_position(F.col(hash_col), i, m_bits).alias("p") for i in range(k_hashes)
+    ]
+    dedup = eval_shingles.select(hash_col).distinct()
+    positions = (
+        dedup.select(F.explode(F.array(*pos_cols)).alias("p")).distinct().collect()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in positions:
+        p = r["p"]
+        words[p // 64] |= np.uint64(1) << np.uint64(p % 64)
+    return words.view(np.int64)
+
+
+def bloom_decontaminate(
+    train_shingles: DataFrame,
+    bloom_words,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "shingle_hash",
+) -> DataFrame:
+    """Flag training docs whose shingles POSSIBLY appear in the eval Bloom
+    filter: a shingle is flagged iff all ``k_hashes`` bit positions are
+    set. Map-only membership against the broadcast word array (element_at
+    + shift/mask inside codegen — no join, no corpus-keyed shuffle), then
+    one per-doc count aggregate. Returns (id, n_flagged_shingles) for docs
+    with at least one flagged shingle — a guaranteed SUPERSET of
+    dedup.decontaminate's rows under the same n."""
+    # explicit long cast: a lit array whose values happen to fit 32 bits
+    # infers array<int>, and getbit on an INT word rejects positions >= 32
+    words_lit = F.lit([int(w) for w in bloom_words]).cast("array<long>")
+
+    def bit_set(pos):
+        word = F.element_at(words_lit, (pos / 64).cast("int") + 1)
+        return F.getbit(word, (pos % 64).cast("long")) == 1
+
+    hit = None
+    for i in range(k_hashes):
+        b = bit_set(bloom_position(F.col(hash_col), i, m_bits))
+        hit = b if hit is None else (hit & b)
+    return (
+        train_shingles.filter(hit)
+        .groupBy(id_col)
+        .agg(F.count_distinct(hash_col).alias("n_flagged_shingles"))
+    )

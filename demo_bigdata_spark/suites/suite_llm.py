@@ -4844,6 +4844,89 @@ ORDER BY lang
 """
 
 
+# --- Weighted sampling + Bloom decontamination (r11 widening) ----------------
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (operators.sampling.weighted_sample,
+    Efraimidis-Spirakis A-ES): 50 docs drawn proportional to n_chars via
+    content-addressed u(doc_id) and score = u**(1/w). Fully value-checked —
+    the oracle recomputes the identical md5/pow/round math, and the rounded
+    score + doc_id tiebreak makes the top-50 cut engine-identical."""
+    from demo_bigdata_spark.operators import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    return SP.weighted_sample(docs, k=50, weight_col="n_chars").select(
+        "doc_id", "lang", "n_chars", "sample_score"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars,
+       round(pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT + 1) / 268435456.0,
+                 1.0 / n_chars), 6) AS sample_score
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_score DESC, doc_id
+LIMIT 50
+"""
+
+
+def q_bloom_decontamination(spark, sf_dir):
+    """Sketch-based decontamination (operators.sketches.build_ngram_bloom +
+    bloom_decontaminate): the eval slice's 8-gram set folds into a 2^20-bit
+    Bloom filter that rides as a broadcast word array; the train corpus
+    tests membership MAP-SIDE (no corpus-keyed shuffle — the exact join's
+    scale bottleneck). Flagged docs are a superset of q_decontamination's
+    (no false negatives); the oracle replays the identical position math
+    relationally (bit-array membership == position-set membership)."""
+    from demo_bigdata_spark.operators import sketches as SK
+
+    sh = _sh8(spark, sf_dir)
+    is_eval = F.col("source").isin("src0", "src1")
+    bloom = SK.build_ngram_bloom(sh.filter(is_eval), m_bits=1 << 20, k_hashes=4)
+    return SK.bloom_decontaminate(
+        sh.filter(~is_eval).select("doc_id", "shingle_hash"), bloom,
+        m_bits=1 << 20, k_hashes=4,
+    ).orderBy("doc_id")
+
+
+SQL_BLOOM_DECONTAMINATION = rf"""
+WITH raw AS (SELECT doc_id, source, {SQL_TOKS_RAW} AS tkr FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(tkr) >= 8
+              THEN list_distinct(list_transform(range(0, len(tkr) - 7),
+                                                i -> array_to_string(tkr[i+1:i+8], ' ')))
+              ELSE [array_to_string(tkr, ' ')] END) AS s
+  FROM raw
+),
+hashed AS MATERIALIZED (SELECT DISTINCT doc_id, source, md5(s) AS shingle_hash FROM sh),
+epos AS MATERIALIZED (
+  SELECT DISTINCT ('0x' || substr(md5(i::VARCHAR || ':' || shingle_hash), 1, 7))::BIGINT % 1048576 AS p
+  FROM (SELECT DISTINCT shingle_hash FROM hashed WHERE source IN ('src0', 'src1'))
+  CROSS JOIN (SELECT unnest(range(4)) AS i)
+),
+tpos AS (
+  SELECT doc_id, shingle_hash, i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || shingle_hash), 1, 7))::BIGINT % 1048576 AS p
+  FROM (SELECT DISTINCT doc_id, shingle_hash FROM hashed WHERE source NOT IN ('src0', 'src1'))
+  CROSS JOIN (SELECT unnest(range(4)) AS i)
+),
+flagged AS (
+  SELECT doc_id, shingle_hash
+  FROM tpos JOIN epos USING (p)
+  GROUP BY doc_id, shingle_hash
+  HAVING count(*) = 4
+)
+SELECT doc_id, count(*)::BIGINT AS n_flagged_shingles
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+
 QUERIES = {
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
@@ -4942,4 +5025,6 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "bloom_decontamination": (q_bloom_decontamination, SQL_BLOOM_DECONTAMINATION),
 }

@@ -2364,3 +2364,95 @@ def test_rp_topk_proj_provenance_mismatch_raises(spark, sf_dir):
     # matching provenance still accepted
     good = random_projection(emb, out_dim=16)
     assert rp_topk(emb, qv, k=5, out_dim=16, refine=50, proj=good).count() == 5
+
+
+def test_weighted_sample_semantics(spark):
+    """A-ES weighted sampling: the score is monotone in the weight for a
+    fixed key (raising a doc's weight can only improve its rank), an
+    overwhelming weight guarantees selection, null/non-positive weights are
+    excluded, the sample is partition-layout invariant, and k validates."""
+    import pytest
+
+    from demo_bigdata_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(10 + (i * 7) % 90)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    # monotone in weight: same keys, one doc's weight scaled 100x -> its
+    # score must strictly increase (u in (0,1) fixed, exponent shrinks)
+    s1 = {r["doc_id"]: r["sample_score"] for r in weighted_sample(df, 200, "w").collect()}
+    boosted = df.withColumn("w", F.when(F.col("doc_id") == 7, F.col("w") * 100).otherwise(F.col("w")))
+    s2 = {r["doc_id"]: r["sample_score"] for r in weighted_sample(boosted, 200, "w").collect()}
+    assert s2[7] > s1[7]
+    assert all(s2[i] == s1[i] for i in s1 if i != 7)
+
+    # overwhelming weight -> always in the sample
+    giant = df.withColumn("w", F.when(F.col("doc_id") == 123, F.lit(1e12)).otherwise(F.col("w")))
+    top10 = {r["doc_id"] for r in weighted_sample(giant, 10, "w").collect()}
+    assert 123 in top10
+
+    # null / zero / negative weights never sampled
+    dirty = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 0.0), (4, -2.0)], "doc_id long, w double"
+    )
+    assert {r["doc_id"] for r in weighted_sample(dirty, 10, "w").collect()} == {1}
+
+    # content-addressed: identical sample under any partitioning
+    a = [tuple(r) for r in weighted_sample(df, 25, "w").collect()]
+    b = [tuple(r) for r in weighted_sample(df.repartition(13), 25, "w").collect()]
+    assert a == b and len(a) == 25
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, 0, "w")
+
+
+def test_bloom_decontaminate_superset_and_fp(spark, sf_dir):
+    """Bloom decontamination: flagged docs are a SUPERSET of the exact
+    join's contaminated docs (no false negatives — the property that makes
+    drop-flagged safe), flagged-shingle counts are >= the exact shared
+    counts per doc, and a deliberately tiny filter (m=64 bits) produces
+    false positives while STILL missing nothing."""
+    from demo_bigdata_spark.operators.dedup import decontaminate, shingle_hashes
+    from demo_bigdata_spark.operators.sketches import (
+        bloom_decontaminate,
+        build_ngram_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, n=8, extra_cols=("source",)).localCheckpoint()
+    is_eval = F.col("source").isin("src0", "src1")
+    ev, tr = sh.filter(is_eval), sh.filter(~is_eval)
+
+    exact = {
+        r["train_id"]: r["n_shared_shingles"]
+        for r in decontaminate(
+            train_shingles=tr.select("doc_id", "shingle_hash"),
+            eval_shingles=ev.select("doc_id", "shingle_hash"),
+        ).collect()
+    }
+    bloom = build_ngram_bloom(ev, m_bits=1 << 20, k_hashes=4)
+    got = {
+        r["doc_id"]: r["n_flagged_shingles"]
+        for r in bloom_decontaminate(
+            tr.select("doc_id", "shingle_hash"), bloom, m_bits=1 << 20, k_hashes=4
+        ).collect()
+    }
+    assert set(exact) <= set(got)
+    for d, n in exact.items():
+        assert got[d] >= n, (d, got[d], n)
+
+    # 64-bit filter: saturated -> false positives appear, negatives never
+    tiny = build_ngram_bloom(ev, m_bits=64, k_hashes=2)
+    noisy = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            tr.select("doc_id", "shingle_hash"), tiny, m_bits=64, k_hashes=2
+        ).collect()
+    }
+    assert set(exact) <= noisy
+    assert len(noisy) > len(exact)  # saturation must produce FPs
+
+    import pytest
+
+    with pytest.raises(ValueError, match="m_bits"):
+        build_ngram_bloom(ev, m_bits=100)
