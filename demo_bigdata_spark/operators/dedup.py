@@ -1335,3 +1335,204 @@ def soft_dedup_weights(
         "sum_df",
         F.round(F.col("n_shingles") / F.col("sum_df"), scale).alias("weight"),
     )
+
+
+# --- Exactly-once incremental near-dup index (r11) ---------------------------
+#
+# build_dedup_index/incremental_near_duplicates above are the build-once +
+# probe flow; this tier makes the index APPENDABLE under the shared epoch
+# ledger (the inverted/positional/IVF/IVF-PQ/kNN-graph discipline), so an
+# arriving crawl batch is (a) checked against all committed history, (b)
+# checked against itself, and (c) added to the index — exactly once per
+# epoch under foreachBatch's at-least-once replay. The accumulated pair set
+# equals the batch near-dup pipeline over the full corpus: a pair lands in
+# exactly the epoch of its LATER member (cross-probe if the members arrived
+# apart, batch-internal candidates if together), and band-signature equality
+# plus token-set Jaccard are pure functions of content, so per-epoch
+# discovery loses nothing.
+#
+# The batch pipeline's dup-farm bucket cap (minhash_candidates max_bucket)
+# is NOT applied here: the cap is bucket-size-dependent and committed
+# buckets grow over time, which would make discovery arrival-order
+# dependent. Per-epoch work stays bounded anyway — the probe join's build
+# side is the (small) batch, and the index side prunes to the batch's
+# band partitions.
+
+
+def _jaccard_from_toks(cands: DataFrame, toks: DataFrame) -> DataFrame:
+    """jaccard_pairs' exact formula over a prebuilt (id, toks, n) table —
+    identical hashed-token math, so incremental values equal batch values
+    bit-for-bit."""
+    from demo_bigdata_spark.functions.scalar import pin
+
+    a = toks.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
+    )
+    step = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            pin(F.size(F.array_intersect("toks_a", "toks_b"))).alias("inter"),
+        )
+    )
+    return step.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+def _batch_band_tok_tables(
+    batch_df: DataFrame, text_col: str, id_col: str, bands: int, rows: int
+):
+    sigs = minhash_signature(batch_df, text_col)
+    nb = lsh_bands(sigs, id_col, bands, rows).select(
+        F.col(id_col).alias("doc_id"), "band_idx", "band_sig"
+    )
+    nt = batch_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.transform(distinct_tokens(text_col), token_hash)).alias(
+            "toks"
+        ),
+    ).withColumn("n", F.size("toks"))
+    return nb, nt
+
+
+def append_dedup_batch(
+    spark,
+    batch_df: DataFrame,
+    index_path: str,
+    epoch_id: int,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+) -> None:
+    """Fold one arrival batch into the live near-dup index exactly once:
+    probe committed bands for cross-history candidates, add the batch's
+    internal candidates, Jaccard-verify against committed + batch token
+    sets, then append (pairs, bands, toks) rows under ``epoch_id`` with
+    ONE ledger commit making all three visible atomically-enough (crash
+    before the commit leaves invisible rows; deterministic replay appends
+    identical rows and the committed views' dedup collapses them).
+
+    Cost contract (measured, SCALE_NOTES): per-epoch work = the batch's
+    hashing + one scan of the committed band table (3 narrow columns; the
+    probe join hash-builds on the BROADCAST batch side) + verification of
+    the epoch's candidate pairs. Pair EMISSION is inherently quadratic in
+    any group of near-identical documents — no algorithm that must output
+    all pairs >= threshold avoids that — so run :func:`exact_dedup` (and
+    URL dedup) upstream, the standard pipeline order; on a replica-farm
+    corpus the honest tools are the capped batch candidates + connected-
+    component labeling, not pair emission (a probed x5 replica farm
+    emitted 113M pairs with per-epoch cost growing in farm size — the
+    measurement that pinned this contract)."""
+    from demo_bigdata_spark.streaming.pipeline import (
+        commit_epoch,
+        epoch_already_applied,
+    )
+
+    epochs_path = index_path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    if batch_df.isEmpty():
+        commit_epoch(spark, epochs_path, epoch_id)
+        return
+
+    nb, nt = _batch_band_tok_tables(batch_df, text_col, id_col, bands, rows)
+    nb = nb.localCheckpoint(eager=True)
+    nt = nt.localCheckpoint(eager=True)
+
+    ib = read_dedup_bands(spark, index_path)
+    cross = (
+        ib.join(F.broadcast(nb.withColumnRenamed("doc_id", "new_id")),
+                ["band_idx", "band_sig"])
+        .filter(F.col("doc_id") != F.col("new_id"))
+        .select(
+            F.least("doc_id", "new_id").alias("id_a"),
+            F.greatest("doc_id", "new_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = nb.alias("a")
+    b = nb.alias("b")
+    internal = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    cands = cross.unionByName(internal).distinct()
+    toks_all = read_dedup_toks(spark, index_path).unionByName(nt)
+    pairs = (
+        _jaccard_from_toks(cands, toks_all)
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .localCheckpoint(eager=True)
+    )
+
+    pairs.write.mode("append").parquet(index_path + "/pairs")
+    nb.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode("append").partitionBy(
+        "band_idx"
+    ).parquet(index_path + "/bands")
+    nt.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode("append").parquet(
+        index_path + "/toks"
+    )
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_dedup_bands(spark, index_path: str) -> DataFrame:
+    from demo_bigdata_spark.streaming.pipeline import committed_view
+
+    # band_idx in the dedup keys: it is the partition column probes filter
+    # on, and committed_view's Aggregate only lets such filters push to
+    # parquet pruning when they reference grouping columns
+    return committed_view(
+        spark,
+        index_path + "/bands",
+        index_path + "_epochs",
+        ["doc_id", "band_idx", "epoch_id"],
+        "doc_id long, band_sig string, band_idx int, epoch_id long",
+    ).select("doc_id", "band_idx", "band_sig")
+
+
+def read_dedup_toks(spark, index_path: str) -> DataFrame:
+    from demo_bigdata_spark.streaming.pipeline import committed_view
+
+    return committed_view(
+        spark,
+        index_path + "/toks",
+        index_path + "_epochs",
+        ["doc_id", "epoch_id"],
+        "doc_id long, toks array<bigint>, n int, epoch_id long",
+    ).select("doc_id", "toks", "n")
+
+
+def read_near_dup_pairs(spark, index_path: str) -> DataFrame:
+    """Committed (id_a, id_b, jaccard) pairs accumulated by
+    append_dedup_batch — equals the batch near-dup pipeline (uncapped
+    candidates) over everything ingested so far."""
+    from demo_bigdata_spark.streaming.pipeline import committed_view
+
+    return committed_view(
+        spark,
+        index_path + "/pairs",
+        index_path + "_epochs",
+        ["id_a", "id_b", "epoch_id"],
+        "id_a long, id_b long, jaccard double, epoch_id long",
+    ).select("id_a", "id_b", "jaccard").dropDuplicates(["id_a", "id_b"])

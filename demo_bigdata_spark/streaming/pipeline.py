@@ -1746,3 +1746,46 @@ def incremental_edge_counts(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def incremental_dedup(
+    df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous near-duplicate detection at ingest: each micro-batch
+    of documents probes the committed MinHash-LSH index for cross-history
+    duplicates, checks itself, and joins the index — exactly once per epoch
+    (operators.dedup.append_dedup_batch). read_near_dup_pairs on the live
+    path equals the batch near-dup pipeline (uncapped candidates) over the
+    full ingested corpus."""
+    from demo_bigdata_spark.operators.dedup import append_dedup_batch
+
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_dedup_batch(
+            spark,
+            batch_df,
+            index_path,
+            epoch_id,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            bands=bands,
+            rows=rows,
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

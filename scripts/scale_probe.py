@@ -328,6 +328,69 @@ def main() -> None:
         )
     )
 
+    # r11: exactly-once incremental near-dup index — fold 150k documents in
+    # 6 arrival epochs (cross-history probe + internal candidates + verify +
+    # append per epoch). The corpus is GENERATED at honest near-dup density
+    # (40 tokens per doc from a 10k-word vocab; every 20th doc is a planted
+    # ~0.9-jaccard near-copy of its predecessor, which lands in a DIFFERENT
+    # epoch — exercising the cross-history path): the x30 replicated
+    # testdata corpus is a deliberate worst case (its ~40-word vocabulary
+    # makes EVERYTHING a candidate of everything — 6.4M uncapped candidates
+    # in 5k docs, buckets of 2,343) where uncapped pair emission is
+    # quadratic BY DEFINITION; append_dedup_batch's docstring records that
+    # contract (run exact/URL dedup upstream; farms go to capped
+    # candidates + CC labeling, pinned by a measured x5 farm probe that
+    # emitted 113M pairs). Expected shape here: per-epoch = batch hashing +
+    # one narrow committed-band scan + honest-density verification.
+    from demo_bigdata_spark.operators.dedup import (
+        append_dedup_batch as _adb,
+        read_near_dup_pairs as _rnp,
+    )
+
+    for p in ("/tmp/scale_probe/ndidx", "/tmp/scale_probe/ndidx_epochs"):
+        _sh.rmtree(p, ignore_errors=True)
+    _NDOCS = 150_000
+    _sid = F.when(F.col("id") % 20 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    _toks = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.hash((_sid * 40 + j).cast("string")), F.lit(10_000)).cast("string"),
+        )
+        for j in range(38)
+    ] + [
+        # 2 doc-own tokens: planted copies differ from their source here,
+        # so the pair's jaccard is ~38/42 ~= 0.9 (above threshold), while
+        # unrelated docs share ~nothing out of the 10k vocab
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.hash((F.col("id") * 40 + j).cast("string")), F.lit(10_000)).cast("string"),
+        )
+        for j in (38, 39)
+    ]
+    nd_docs = (
+        spark.range(_NDOCS)
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", *_toks).alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    nd_arr = nd_docs.withColumn("_b", F.pmod(F.col("doc_id"), F.lit(6)))
+    t0 = time.perf_counter()
+    nd_times = []
+    for ep in range(6):
+        te = time.perf_counter()
+        _adb(spark, nd_arr.filter(F.col("_b") == ep).drop("_b"),
+             "/tmp/scale_probe/ndidx", epoch_id=ep, threshold=0.7)
+        nd_times.append(round(time.perf_counter() - te, 2))
+    t_nd = round(time.perf_counter() - t0, 2)
+    n_pairs = _rnp(spark, "/tmp/scale_probe/ndidx").count()
+    doc_results.append(
+        (
+            f"incremental_near_dup_150k (6 epochs of ~{_NDOCS // 6 // 1000}k docs, "
+            f"10k-vocab honest density; per-epoch {min(nd_times)}-{max(nd_times)} s; "
+            f"{n_pairs:,} pairs)",
+            t_nd,
+        )
+    )
+
     # r11 (r10 VERDICT item 3): kcenter_select flat per-round cost — with
     # the running min-distance column each round is ONE new-center fold +
     # least + checkpoint, so total time must scale ~linearly in k (the
@@ -1291,6 +1354,16 @@ def main() -> None:
         "per-round cost must stay ~flat as k grows 8x (the r10 variant",
         "re-scored every chosen center each round: O(k^2*n) folds and a",
         "linearly growing Catalyst plan).",
+        "r11: incremental_near_dup_150k folds a generated 10k-vocab corpus",
+        "(honest candidate density, planted ~0.9-jaccard pairs straddling",
+        "epochs) through append_dedup_batch — per-epoch must stay flat.",
+        "It is NOT run on the x30 replicated testdata: that corpus's",
+        "~40-word vocabulary makes every doc a candidate of every doc",
+        "(6.4M uncapped candidates in 5k docs, buckets of 2,343), and a",
+        "probed x5 replica farm emitted 113M pairs — pair emission is",
+        "quadratic in near-identical groups BY DEFINITION, which is the",
+        "operator's documented cost contract (exact/URL dedup upstream;",
+        "farms go to capped candidates + CC labeling, not pair emission).",
         "r11 recall-vs-n_probe curve for knn_graph_ivf (16 centroids,",
         "2 Lloyd iterations, recall@5 vs the exact graph, measured at",
         "sf0.001/0.01/0.1): p2 0.331/0.366/0.353, p4 0.532/0.576/0.550,",

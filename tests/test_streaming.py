@@ -2467,3 +2467,86 @@ def test_url_dedup_stream_collapses_variants(spark, tmp_path):
     # batch path: same survivor count as the exact batch operator
     batch = url_dedup_stream(df).count()
     assert batch == url_dedup(df, id_col="seq").count() == 10
+
+
+def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The exactly-once incremental near-dup index: folding the corpus in
+    streamed micro-batches accumulates EXACTLY the batch pipeline's
+    verified pairs (uncapped candidates — the bucket cap is arrival-order
+    dependent and deliberately absent here), with identical jaccard
+    values; epoch replay is a no-op; crash-window rows stay invisible
+    until the replay commits."""
+    import shutil
+
+    from demo_bigdata_spark.operators.dedup import (
+        append_dedup_batch,
+        jaccard_pairs,
+        minhash_candidates,
+        read_near_dup_pairs,
+    )
+    from demo_bigdata_spark.streaming.pipeline import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    thr = 0.7
+
+    batch_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs(
+            docs, minhash_candidates(docs, max_bucket=None), size_prune_threshold=thr
+        )
+        .filter(F.col("jaccard") >= thr)
+        .collect()
+    }
+
+    src = str(tmp_path / "dsrc")
+    cut1 = docs.agg(F.expr("percentile(doc_id, 0.34)")).first()[0]
+    cut2 = docs.agg(F.expr("percentile(doc_id, 0.67)")).first()[0]
+    docs.filter(F.col("doc_id") <= cut1).repartition(1).write.mode("overwrite").parquet(src)
+    docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)).repartition(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > cut2).repartition(1).write.mode("append").parquet(src)
+
+    idx_p, ckpt = str(tmp_path / "didx"), str(tmp_path / "dckpt")
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = incremental_dedup(stream, idx_p, ckpt, threshold=thr, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def live():
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in read_near_dup_pairs(spark, idx_p).collect()
+        }
+
+    got = live()
+    assert got == batch_pairs and got
+
+    # replaying an applied epoch is a no-op
+    first = docs.filter(F.col("doc_id") <= cut1)
+    append_dedup_batch(spark, first, idx_p, epoch_id=0, threshold=thr)
+    assert live() == batch_pairs
+
+    # crash window: rows appended, ledger commit lost -> reads unchanged;
+    # replay commits identical rows, committed-view dedup keeps one copy
+    dup_doc = docs.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [(990_001, dup_doc["text"])], "doc_id long, text string"
+    )
+    ledger = idx_p + "_epochs"
+    backup = str(tmp_path / "dback")
+    shutil.copytree(ledger, backup)
+    append_dedup_batch(spark, extra, idx_p, epoch_id=77, threshold=thr)
+    after = live()
+    assert any(990_001 in (a, b) for a, b, _ in after)  # exact dup of doc -> pair
+    shutil.rmtree(ledger)
+    shutil.copytree(backup, ledger)
+    assert live() == batch_pairs
+    append_dedup_batch(spark, extra, idx_p, epoch_id=77, threshold=thr)
+    assert live() == after
+
+    # empty batch: commits the epoch, changes nothing
+    append_dedup_batch(spark, docs.filter(F.lit(False)), idx_p, epoch_id=78)
+    assert live() == after
