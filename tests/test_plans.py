@@ -603,3 +603,64 @@ def test_hybrid_rrf_windows_bounded_by_candidate_lists(spark, sf_dir):
     assert (
         plan.count("TakeOrderedAndProject") + plan.count("GlobalLimit") >= 2
     ), plan
+
+
+def test_url_dedup_single_exchange_with_partial_group_limit(spark, sf_dir):
+    """url_dedup's plan contract (r11): canonicalization is codegen'd
+    expression work inside the scan stage (no UDF, no join), the keep-first
+    cut is ONE hash exchange on the canonical key, and a map-side partial
+    WindowGroupLimit runs BEFORE that exchange so each task ships at most
+    one row per canonical key it sees — the property that keeps the dedup
+    shuffle ~survivor-sized at 100 TB."""
+    from demo_bigdata_spark.operators.text import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".com/p?id="), F.col("doc_id").cast("string")),
+    )
+    out = url_dedup(docs)
+    plan = executed_plan(out)
+    assert plan.count("Exchange") == 1, plan
+    # partial + final group-limit pair around the single exchange
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_weighted_sample_take_ordered_no_shuffle(spark, sf_dir):
+    """weighted_sample compiles to scan -> TakeOrderedAndProject: no
+    Exchange of the data, no window over the corpus — k rows cross the
+    wire, the A-ES scale claim."""
+    from demo_bigdata_spark.operators.sampling import weighted_sample
+
+    out = weighted_sample(load_table(spark, sf_dir, "documents"), 50, "n_chars")
+    plan = executed_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_decontaminate_no_join_before_aggregate(spark, sf_dir):
+    """bloom_decontaminate's membership test is map-side expression work
+    against the broadcast word array: NO join anywhere, and no exchange
+    keyed on the shingle hash alone — the exact decontaminate meets the
+    eval side in a shuffle join keyed by shingle_hash, which is exactly
+    what the sketch removes. The exchanges that remain are the per-doc
+    aggregate's (doc_id-keyed two-phase count-distinct) plus the shingle
+    table's own input repartition."""
+    from demo_bigdata_spark.operators.dedup import shingle_hashes
+    from demo_bigdata_spark.operators.sketches import (
+        bloom_decontaminate,
+        build_ngram_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, n=8, extra_cols=("source",))
+    is_eval = F.col("source").isin("src0", "src1")
+    bloom = build_ngram_bloom(sh.filter(is_eval), m_bits=1 << 20, k_hashes=4)
+    out = bloom_decontaminate(
+        sh.filter(~is_eval).select("doc_id", "shingle_hash"), bloom,
+        m_bits=1 << 20, k_hashes=4,
+    )
+    plan = executed_plan(out)
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(shingle_hash" not in plan, plan
