@@ -277,6 +277,9 @@ def bloom_position(col, i: int, m_bits: int):
     return F.pmod(h.cast("long"), F.lit(m_bits))
 
 
+_BLOOM_MAX_BITS = 1 << 24  # 2 MB of words: the honest plan-literal ceiling
+
+
 def build_ngram_bloom(
     eval_shingles: DataFrame,
     m_bits: int = 1 << 20,
@@ -285,26 +288,43 @@ def build_ngram_bloom(
 ):
     """Fold the eval corpus's distinct shingle hashes into an m-bit Bloom
     filter; returns the bit array as int64 words (m_bits/64 of them — the
-    broadcastable artifact). The position set is collected to the driver
-    (bounded by m_bits bits, i.e. <= m/8 bytes of information, regardless
-    of eval size) — the one intentionally driver-sized model object, like
-    centroids and codebooks."""
+    broadcastable artifact). Positions are OR-folded into words
+    DISTRIBUTEDLY (shiftleft per position, one bit_or aggregate keyed on
+    word index — r11 ADVICE: the old version collected up to m_bits
+    distinct position ROWS, tens of GB at the ceiling); the driver collect
+    is at most m_bits/64 non-zero (index, word) pairs, i.e. truly <= m/8
+    bytes of payload — the one intentionally driver-sized model object,
+    like centroids and codebooks. The ceiling is 2^24 bits (2 MB of
+    words), because :func:`bloom_decontaminate` embeds the word array as a
+    plan literal — beyond that the filter should become a broadcast-join
+    table instead, which is the exact operator's territory anyway."""
     import numpy as np
 
-    if m_bits % 64 or m_bits > 1 << (4 * _BLOOM_HEX):
-        raise ValueError(f"m_bits must be a multiple of 64 and <= 2^28, got {m_bits}")
+    if m_bits % 64 or m_bits > _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"m_bits must be a multiple of 64 and <= 2^24, got {m_bits}"
+        )
     pos_cols = [
         bloom_position(F.col(hash_col), i, m_bits).alias("p") for i in range(k_hashes)
     ]
-    dedup = eval_shingles.select(hash_col).distinct()
-    positions = (
-        dedup.select(F.explode(F.array(*pos_cols)).alias("p")).distinct().collect()
+    word_rows = (
+        eval_shingles.select(hash_col)
+        .distinct()
+        .select(F.explode(F.array(*pos_cols)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # DataFrame-API shiftleft needs a literal shift; the SQL form
+            # takes a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
     )
-    words = np.zeros(m_bits // 64, dtype=np.uint64)
-    for r in positions:
-        p = r["p"]
-        words[p // 64] |= np.uint64(1) << np.uint64(p % 64)
-    return words.view(np.int64)
+    words = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in word_rows:
+        words[r["w"]] = r["word"]
+    return words
 
 
 def bloom_decontaminate(

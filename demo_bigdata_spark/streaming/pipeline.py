@@ -78,6 +78,7 @@ def url_dedup_stream(
     url_col: str = "url",
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    id_col: str | None = None,
 ) -> DataFrame:
     """[EXT] streaming URL-level dedup — the incremental-crawl twin of
     ``text.url_dedup``: canonicalize (``text.canonical_url``: case, default
@@ -87,21 +88,37 @@ def url_dedup_stream(
     as :func:`dedup_stream`; a crawl frontier re-emitting a url within the
     replay window is exactly the duplicate this collapses).
 
-    Semantics difference vs the batch operator, stated: batch url_dedup
-    keeps the LOWEST id per canonical url (a deterministic total order);
-    a stream keeps the FIRST ARRIVAL — order is the arrival order, and
-    re-crawls separated by more than the watermark delay pass through (a
-    re-crawl policy, not a bug: content may have changed). Batch inputs
-    keep the exact arrival-independent dropDuplicates for oracle parity.
+    Semantics difference vs the batch operator, stated: a stream keeps the
+    FIRST ARRIVAL — order is the arrival order, and re-crawls separated by
+    more than the watermark delay pass through (a re-crawl policy, not a
+    bug: content may have changed). Batch inputs get a DETERMINISTIC
+    survivor (r11 ADVICE — the old dropDuplicates fallback kept a
+    plan/partition-dependent arbitrary row): lowest ``id_col`` when given
+    (delegates to ``text.url_dedup``, the exact-dedup convention), else
+    earliest ``ts_col`` via a row_number window — the batch reading of
+    "first arrival"; ties on (canonical_url, ts) then resolve by raw url
+    bytes, so the result is arrival- and partitioning-independent.
     """
-    from demo_bigdata_spark.operators.text import canonical_url
+    from demo_bigdata_spark.operators.text import canonical_url, url_dedup
 
+    if not df.isStreaming:
+        if id_col is not None:
+            return url_dedup(df, url_col=url_col, id_col=id_col)
+        from pyspark.sql.window import Window
+
+        keyed = df.withColumn("canonical_url", canonical_url(url_col))
+        w = Window.partitionBy("canonical_url").orderBy(
+            F.col(ts_col), F.col(url_col)
+        )
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     keyed = df.withColumn("canonical_url", canonical_url(url_col)).withWatermark(
         ts_col, watermark
     )
-    if df.isStreaming:
-        return keyed.dropDuplicatesWithinWatermark(["canonical_url"])
-    return keyed.dropDuplicates(["canonical_url"])
+    return keyed.dropDuplicatesWithinWatermark(["canonical_url"])
 
 
 def windowed_counts(

@@ -2410,6 +2410,135 @@ def test_compact_knn_graph_mid_stream(spark, sf_dir, tmp_path):
     assert spark.read.parquet(gr_p).count() == len(batch)
 
 
+def test_compact_knn_graph_vacuum_concurrent_writer_safety(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r11 ADVICE (medium): vacuum must never delete rows a concurrent
+    writer produced after compaction's ledger snapshot. Two guards: (a)
+    rows written but NOT yet committed (epoch outside the snapshot) survive
+    the overwrite and become visible once their epoch commits; (b) if a
+    concurrent epoch COMMITS between the compaction commit and the vacuum's
+    ledger re-read, vacuum is skipped entirely — old rows stay on disk and
+    every read stays correct."""
+    import demo_bigdata_spark.streaming.pipeline as SPL
+    from demo_bigdata_spark.operators.similarity import (
+        append_knn_graph_batch,
+        compact_knn_graph,
+        read_knn_graph,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    k, n_probe = 5, 2
+    idx_p, gr_p = str(tmp_path / "vidx"), str(tmp_path / "vedges")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    append_knn_graph_batch(
+        spark, emb.filter(F.col("vec_id") <= cut), idx_p, gr_p, C,
+        epoch_id=0, k=k, n_probe=n_probe,
+    )
+    append_knn_graph_batch(
+        spark, emb.filter(F.col("vec_id") > cut), idx_p, gr_p, C,
+        epoch_id=1, k=k, n_probe=n_probe,
+    )
+
+    def snap():
+        return {
+            (r["src"], r["dst"]) for r in read_knn_graph(spark, gr_p, k=k).collect()
+        }
+
+    before = snap()
+
+    # (a) in-flight rows: epoch 99 wrote data but has not committed yet
+    spark.createDataFrame(
+        [(-1, -2, 0.5, 99)], "src long, dst long, cosine double, epoch_id int"
+    ).write.mode("append").parquet(gr_p)
+    compact_knn_graph(spark, gr_p, k=k, vacuum=True)
+    on_disk = spark.read.parquet(gr_p)
+    assert on_disk.filter(F.col("epoch_id") == 99).count() == 1  # survived vacuum
+    assert snap() == before  # still invisible: epoch 99 uncommitted
+    SPL.commit_epoch(spark, gr_p + "_epochs", 99)
+    assert snap() == before | {(-1, -2)}  # visible exactly at its commit
+
+    # (b) an epoch that commits mid-compaction (after the snapshot, before
+    # the vacuum re-read) forces vacuum to SKIP — nothing is deleted
+    real_commit = SPL.commit_epoch
+
+    def racy_commit(spark_, path, eid):
+        real_commit(spark_, path, eid)
+        if eid < 0:  # the compaction commit: a concurrent batch lands now
+            spark.createDataFrame(
+                [(-3, -4, 0.25, 100)],
+                "src long, dst long, cosine double, epoch_id int",
+            ).write.mode("append").parquet(gr_p)
+            real_commit(spark_, path, 100)
+
+    monkeypatch.setattr(SPL, "commit_epoch", racy_commit)
+    rows_pre = spark.read.parquet(gr_p).count()
+    epochs_pre = {r["epoch_id"] for r in spark.read.parquet(gr_p).select("epoch_id").distinct().collect()}
+    compact_knn_graph(spark, gr_p, k=k, vacuum=True)
+    monkeypatch.setattr(SPL, "commit_epoch", real_commit)
+    disk = spark.read.parquet(gr_p)
+    assert disk.count() > rows_pre  # compacted rows appended, NOTHING vacuumed
+    epochs_post = {r["epoch_id"] for r in disk.select("epoch_id").distinct().collect()}
+    assert epochs_pre <= epochs_post  # every pre-compaction epoch's rows intact
+    assert snap() == before | {(-1, -2), (-3, -4)}  # concurrent row readable
+
+    # a later quiet compaction reclaims the duplicated interim state
+    compact_knn_graph(spark, gr_p, k=k, vacuum=True)
+    assert snap() == before | {(-1, -2), (-3, -4)}
+    assert spark.read.parquet(gr_p).count() == len(snap())
+
+
+def test_knn_graph_compaction_trigger(spark, sf_dir, tmp_path):
+    """knn_graph_compaction_due (r11 VERDICT item 5): the trigger decides
+    from footers + ledger only, never fires on a freshly-compacted graph,
+    fires once accumulated epoch rows exceed ratio x the last compaction's
+    baseline, and uses the epoch-count proxy before any compaction."""
+    from demo_bigdata_spark.operators.similarity import (
+        append_knn_graph_batch,
+        compact_knn_graph,
+        knn_graph_compaction_due,
+        read_knn_graph,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    k, n_probe = 5, 2
+    idx_p, gr_p = str(tmp_path / "tidx"), str(tmp_path / "tedges")
+
+    assert knn_graph_compaction_due(gr_p)["due"] is False  # nothing committed
+
+    splits = [emb.filter(F.col("vec_id") % 4 == m) for m in range(4)]
+    append_knn_graph_batch(spark, splits[0], idx_p, gr_p, C, epoch_id=0, k=k, n_probe=n_probe)
+    append_knn_graph_batch(spark, splits[1], idx_p, gr_p, C, epoch_id=1, k=k, n_probe=n_probe)
+    # no compaction yet: epoch-count proxy (2 epochs <= default ratio 3)
+    pre = knn_graph_compaction_due(gr_p)
+    assert pre["baseline_rows"] is None and pre["n_epochs"] == 2
+    assert pre["due"] is False
+    assert knn_graph_compaction_due(gr_p, ratio=1.5)["due"] is True  # 2 > 1.5
+
+    compact_knn_graph(spark, gr_p, k=k, vacuum=True)
+    post = knn_graph_compaction_due(gr_p)
+    # freshly compacted: baseline == live (ratio ~1), never due
+    assert post["row_ratio"] == 1.0 and post["due"] is False
+    baseline = post["baseline_rows"]
+    assert baseline == read_knn_graph(spark, gr_p, k=k).count()  # exact n·k
+
+    append_knn_graph_batch(spark, splits[2], idx_p, gr_p, C, epoch_id=2, k=k, n_probe=n_probe)
+    append_knn_graph_batch(spark, splits[3], idx_p, gr_p, C, epoch_id=3, k=k, n_probe=n_probe)
+    grown = knn_graph_compaction_due(gr_p, ratio=1.3)
+    assert grown["baseline_rows"] == baseline and grown["live_rows"] > baseline
+    assert grown["row_ratio"] > 1.0
+    assert grown["due"] is (grown["row_ratio"] >= 1.3)
+
+    # after re-compaction the ratio collapses back to 1
+    compact_knn_graph(spark, gr_p, k=k, vacuum=True)
+    again = knn_graph_compaction_due(gr_p)
+    assert again["row_ratio"] == 1.0 and again["due"] is False
+
+
 def test_url_dedup_stream_collapses_variants(spark, tmp_path):
     """Streaming URL dedup: all canonical variants of a page (case, default
     port, fragment, tracking params, query order) collapse to ONE surviving
@@ -2464,9 +2593,16 @@ def test_url_dedup_stream_collapses_variants(spark, tmp_path):
     # first arrival wins: each page's survivor is its seq % 4 == 0 variant
     assert sorted(r["seq"] % 4 for r in got) == [0] * 10
 
-    # batch path: same survivor count as the exact batch operator
-    batch = url_dedup_stream(df).count()
-    assert batch == url_dedup(df, id_col="seq").count() == 10
+    # batch path is now DETERMINISTIC (r11 ADVICE): default keeps the
+    # earliest-ts row per canonical url — here the seq % 4 == 0 variant —
+    # not an arbitrary dropDuplicates survivor
+    batch_rows = url_dedup_stream(df).collect()
+    assert len(batch_rows) == 10
+    assert sorted(r["seq"] % 4 for r in batch_rows) == [0] * 10
+    # and with id_col it delegates to text.url_dedup (lowest-id survivor)
+    delegated = {r["seq"] for r in url_dedup_stream(df, id_col="seq").collect()}
+    exact = {r["seq"] for r in url_dedup(df, id_col="seq").collect()}
+    assert delegated == exact and len(exact) == 10
 
 
 def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
@@ -2550,3 +2686,87 @@ def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     # empty batch: commits the epoch, changes nothing
     append_dedup_batch(spark, docs.filter(F.lit(False)), idx_p, epoch_id=78)
     assert live() == after
+
+
+def _unionfind_survivors(pairs, universe):
+    """Independent reference: pure-Python union-find over (id_a, id_b)
+    pairs; returns {doc_id: min id of its component} over the universe."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in universe}
+
+
+def test_read_dedup_survivors_and_clusters_match_batch(spark, sf_dir, tmp_path):
+    """Keep/drop decisions over the incremental index (r11 VERDICT item 3):
+    read_dedup_survivors' component labels equal an INDEPENDENT union-find
+    over the batch pipeline's uncapped verified pairs — at the final epoch
+    AND at an intermediate epoch boundary (decisions are correct for the
+    prefix corpus, not just the final one); keep is exactly doc_id ==
+    cluster_id. read_dedup_clusters (the farm-resilient, no-pair-emission
+    variant) equals batch duplicate_clusters over everything ingested."""
+    from demo_bigdata_spark.operators.dedup import (
+        append_dedup_batch,
+        duplicate_clusters,
+        jaccard_pairs,
+        minhash_candidates,
+        read_dedup_clusters,
+        read_dedup_survivors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    thr = 0.7
+
+    def batch_pairs(d):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs(
+                d, minhash_candidates(d, max_bucket=None), size_prune_threshold=thr
+            )
+            .filter(F.col("jaccard") >= thr)
+            .collect()
+        }
+
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    first, second = docs.filter(F.col("doc_id") <= cut), docs.filter(F.col("doc_id") > cut)
+    idx_p = str(tmp_path / "sidx")
+
+    append_dedup_batch(spark, first, idx_p, epoch_id=0, threshold=thr)
+    # intermediate boundary: decisions correct for the prefix corpus
+    got1 = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in read_dedup_survivors(spark, idx_p).collect()
+    }
+    uni1 = {r["doc_id"] for r in first.select("doc_id").collect()}
+    ref1 = _unionfind_survivors(batch_pairs(first), uni1)
+    assert got1 == {(d, c, d == c) for d, c in ref1.items()} and got1
+
+    append_dedup_batch(spark, second, idx_p, epoch_id=1, threshold=thr)
+    got2 = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in read_dedup_survivors(spark, idx_p).collect()
+    }
+    uni2 = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    ref2 = _unionfind_survivors(batch_pairs(docs), uni2)
+    assert got2 == {(d, c, d == c) for d, c in ref2.items()}
+    assert any(not k for _, _, k in got2)  # the corpus does contain drops
+
+    # farm-resilient variant == batch duplicate_clusters on the full corpus
+    inc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in read_dedup_clusters(spark, idx_p).collect()
+    }
+    bat = {
+        (r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(docs).collect()
+    }
+    assert inc == bat and inc
