@@ -143,7 +143,19 @@ HEADLINE = [
     # (broadcast-bits membership instead of the exact join's shuffle)
     "weighted_sample",
     "bloom_decontamination",
+    # r12: incremental keep/drop dedup decisions (CC over the committed
+    # pair set / band table), the dedup-ordered composed pipeline, and the
+    # hash-checked frozen-model IVF
+    "dedup_survivors",
+    "dedup_clusters_incremental",
+    "corpus_pipeline_v5",
+    "ivf_topk_frozen",
 ]
+# With the r12 scrutiny rotation complete (every declared query has a driver
+# CORRECTNESS row), this list is PINNED: future rounds append new queries at
+# the end but never reorder or remove entries, so cross-round bench diffs
+# stay apples-to-apples. tpch_q1 is the designated control row for
+# environment-drift calibration (ROUND_NOTES records its spread per round).
 
 
 def main() -> None:

@@ -19,20 +19,22 @@ from demo_bigdata_spark.suites import (
     suite_streaming,
 )
 
-# Round-11 rotation, requested by the round-10 VERDICT (item 1): 61 of the
-# registry's queries had never appeared in any driver CORRECTNESS window
-# (the fixed window samples the registry head). Modules whose dicts lead
-# with their never-checked queries now come first (streaming's 2, the new
-# maintenance module's 3, then suite_llm's 40 + the 2 new r11 url queries),
-# so the window finally hash-checks the llm/relational/streaming tails.
-# Still a plain module-order concatenation — no per-query priority list,
-# and tests/test_suite_order.py keeps pinning all_queries() == the natural
+# Round-12 FINAL rotation, requested by the round-11 VERDICT (item 1): the
+# last 18 never-driver-checked queries are the 16 relational-tail entries
+# (which lead suite_relational since r11) plus weighted_sample and
+# bloom_decontamination (moved into suite_maintenance's registry this round,
+# code unchanged in suite_llm — the scd2-split precedent). With relational
+# ahead of llm, the driver's 50-query head window becomes 5 streaming +
+# 5 maintenance + 40 relational ⊇ all 18, after which every declared query
+# has had at least one driver CORRECTNESS row and rotation stops. Still a
+# plain module-order concatenation — no per-query priority list, and
+# tests/test_suite_order.py keeps pinning all_queries() == the natural
 # concatenation of this tuple.
 _ALL_SUITES = (
     suite_streaming,
     suite_maintenance,
-    suite_llm,
     suite_relational,
+    suite_llm,
     suite_analytics,
     suite_ingest,
 )

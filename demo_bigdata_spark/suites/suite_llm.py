@@ -4927,6 +4927,343 @@ ORDER BY doc_id
 
 
 
+# --- Incremental dedup decisions (r11 VERDICT item 3) -------------------------
+
+
+def _incremental_dedup_index(spark, sf_dir):
+    """Build-once scratch index: fold documents into the exactly-once
+    incremental near-dup index in 3 epochs (doc_id % 3 — deterministic,
+    and by the live==batch contract the accumulated state is arrival-order
+    independent). The epoch ledger makes re-folding a no-op, so the two
+    queries below share one build per process."""
+    import os
+
+    path = (
+        "/tmp/spark_graft_dedupidx_"
+        + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        + f"_{os.getpid()}"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    for e in range(3):
+        D.append_dedup_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == e), path, epoch_id=e,
+            threshold=NEAR_DUP_THRESHOLD,
+        )
+    return path
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Per-doc keep/drop decisions over the incrementally-folded near-dup
+    index (operator: dedup.read_dedup_survivors): connected components over
+    the committed verified pairs, survivor = min id per component. The
+    oracle rebuilds the UNCAPPED batch pair set and unrolls the exact
+    min-label fixed point — so the fold's exactly-once accumulation AND the
+    component labeling are both value-checked."""
+    return D.read_dedup_survivors(spark, _incremental_dedup_index(spark, sf_dir))
+
+
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """Farm-resilient incremental labeling (operator:
+    dedup.read_dedup_clusters — CC over the committed BAND table, no pair
+    emission): equals batch duplicate_clusters over everything ingested,
+    so the oracle is the identical band-bucket propagation unroll."""
+    return D.read_dedup_clusters(spark, _incremental_dedup_index(spark, sf_dir))
+
+
+def _sql_dedup_survivors() -> str:
+    rounds = []
+    for k in range(1, 11):
+        rounds.append(
+            f"bmin{k} AS (SELECT bucket, min(lbl) AS bm FROM db "
+            f"JOIN lbl{k - 1} USING (doc_id) GROUP BY bucket),\n"
+            f"lbl{k} AS MATERIALIZED (SELECT doc_id, min(bm) AS lbl FROM db "
+            f"JOIN bmin{k} USING (bucket) GROUP BY doc_id)"
+        )
+    # UNCAPPED candidates (all_bands, not the capped `bands` view): the
+    # incremental index deliberately applies no bucket cap — see
+    # append_dedup_batch's cost contract. Jaccard rounds to 4dp before the
+    # threshold, matching _jaccard_from_toks.
+    return f"""
+WITH {_SQL_SIGS_CTE},
+toksh AS (SELECT doc_id, list_distinct(list_transform(tk, t -> {SQL_H7})) AS hk FROM toks),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM all_bands a
+  JOIN all_bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(ta.hk, tb.hk)) /
+                 (len(ta.hk) + len(tb.hk) - len(list_intersect(ta.hk, tb.hk)))::DOUBLE, 4) AS j
+    FROM cands c
+    JOIN toksh ta ON ta.doc_id = c.id_a
+    JOIN toksh tb ON tb.doc_id = c.id_b
+  ) WHERE j >= {NEAR_DUP_THRESHOLD}
+),
+db AS MATERIALIZED (
+  SELECT id_a AS doc_id, 'e:' || id_a || ':' || id_b AS bucket FROM pairs
+  UNION ALL
+  SELECT id_b AS doc_id, 'e:' || id_a || ':' || id_b AS bucket FROM pairs
+  UNION ALL
+  SELECT doc_id, 's:' || doc_id AS bucket FROM documents
+),
+lbl0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM db),
+{",".join(rounds)}
+SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS keep FROM lbl10 ORDER BY doc_id
+"""
+
+
+SQL_DEDUP_SURVIVORS = _sql_dedup_survivors()
+
+# the accumulated band table IS the batch band table (signatures are pure
+# per-doc functions), so the incremental labels share batch
+# duplicate_clusters' oracle verbatim
+SQL_DEDUP_CLUSTERS_INCREMENTAL = SQL_DUP_CLUSTERS
+
+
+# --- corpus_pipeline_v5: the dedup-ordered crawl pipeline (r11 item 4) --------
+
+V5_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+V5_MIX_TARGET_TOKENS = 15_000
+
+
+def q_corpus_pipeline_v5(spark, sf_dir):
+    """[EXT] the documented crawl-pipeline ORDER (append_dedup_batch's cost
+    contract) made executable as one composed plan: **URL canonicalize +
+    dedup** (cheapest key first — collapses re-crawls before any content
+    hashing) -> **exact dedup** (digest groupBy) -> **near-dup survivors**
+    (MinHash pairs -> connected components -> min-id keep; the new
+    dedup.near_dup_survivors) -> **Gopher gate** -> **per-language
+    token-budget mixture**. Each stage only ever sees the previous stage's
+    survivors, which is the whole point of the ordering: the expensive
+    near-dup stage runs on the post-exact corpus, and the quality gate on
+    the post-dedup corpus. Report: per-lang kept volume + id checksum so
+    the oracle pins the exact surviving doc set.
+
+    Composition discipline (v2-v4 lesson): every multi-consumer seam is
+    pinned once (s1 feeds the digest agg + the survivor join, s2 feeds the
+    minhash subtree + the CC self-buckets + the survivor join, ...), since
+    Spark has no cross-DAG CSE."""
+    from demo_bigdata_spark.operators.sampling import mixture_sample_weighted
+
+    docs = _docs(spark, sf_dir).withColumn("url", _url_variants())
+    # stage 1: URL canonicalize + dedup (keep lowest doc_id per canonical)
+    s1 = (
+        X.url_dedup(docs, url_col="url", id_col="doc_id")
+        .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(eager=False)
+    )
+    # stage 2: exact dedup over the URL survivors
+    s2 = s1.join(
+        D.exact_dedup(s1).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    ).localCheckpoint(eager=False)
+    # stage 3: near-dup keep/drop decisions (CC min-id survivors)
+    s3 = s2.join(
+        D.near_dup_survivors(s2, threshold=NEAR_DUP_THRESHOLD)
+        .filter(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=False)
+    # stage 4: Gopher gate (corpus-plausible stopword list)
+    s4 = (
+        s3.join(
+            X.gopher_filter(s3, stopwords=PIPELINE_STOPWORDS)
+            .filter(F.col("keep"))
+            .select("doc_id"),
+            "doc_id",
+        )
+        .withColumn("_nt", X.token_count(F.col("text")).cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    # stage 5: deterministic per-language token-budget mixture
+    mixed = mixture_sample_weighted(
+        s4, "lang", "doc_id", V5_MIX_WEIGHTS, V5_MIX_TARGET_TOKENS, "_nt"
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_corpus_pipeline_v5() -> str:
+    rounds = []
+    for k in range(1, 11):
+        rounds.append(
+            f"vbmin{k} AS (SELECT bucket, min(lbl) AS bm FROM vdb "
+            f"JOIN vlbl{k - 1} USING (doc_id) GROUP BY bucket),\n"
+            f"vlbl{k} AS MATERIALIZED (SELECT doc_id, min(bm) AS lbl FROM vdb "
+            f"JOIN vbmin{k} USING (bucket) GROUP BY doc_id)"
+        )
+    gopher_base_s3 = _SQL_GOPHER_BASE.replace("FROM documents", "FROM s3")
+    wmap = "MAP " + str({k: float(v) for k, v in sorted(V5_MIX_WEIGHTS.items())})
+    return rf"""
+WITH
+s1 AS MATERIALIZED (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+           row_number() OVER (PARTITION BY ({_SQL_CANONICAL_URL}) ORDER BY doc_id) AS rn
+    FROM (SELECT *, {_SQL_URL_VARIANTS} AS url FROM documents) u
+  ) r WHERE rn = 1
+),
+s2 AS MATERIALIZED (
+  SELECT s1.* FROM s1 JOIN (
+    SELECT min(doc_id) AS doc_id
+    FROM (SELECT doc_id, md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp FROM s1) f
+    GROUP BY fp
+  ) k USING (doc_id)
+),
+mtoks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM s2),
+mhashes AS (SELECT doc_id, list_transform(tk, t -> {SQL_H7}) AS hs FROM mtoks),
+msigs AS (SELECT doc_id, [{_SIG_LIST}] AS sig FROM mhashes),
+mbands AS ({_bands_sql().replace("FROM sigs", "FROM msigs")}),
+mbsz AS (SELECT band_idx, band_sig, count(*) AS bn FROM mbands GROUP BY 1, 2),
+mcap AS (
+  SELECT b.doc_id, b.band_idx, b.band_sig
+  FROM mbands b JOIN mbsz USING (band_idx, band_sig) WHERE bn <= {MAX_BUCKET}
+),
+mhk AS (SELECT doc_id, list_distinct(hs) AS hk FROM mhashes),
+mcands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mcap a
+  JOIN mcap b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+mpairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(ta.hk, tb.hk)) /
+                 (len(ta.hk) + len(tb.hk) - len(list_intersect(ta.hk, tb.hk)))::DOUBLE, 4) AS j
+    FROM mcands c
+    JOIN mhk ta ON ta.doc_id = c.id_a
+    JOIN mhk tb ON tb.doc_id = c.id_b
+  ) s WHERE j >= {NEAR_DUP_THRESHOLD}
+),
+vdb AS MATERIALIZED (
+  SELECT id_a AS doc_id, 'e:' || id_a || ':' || id_b AS bucket FROM mpairs
+  UNION ALL
+  SELECT id_b AS doc_id, 'e:' || id_a || ':' || id_b AS bucket FROM mpairs
+  UNION ALL
+  SELECT doc_id, 's:' || doc_id AS bucket FROM s2
+),
+vlbl0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM vdb),
+{",".join(rounds)},
+s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN vlbl10 USING (doc_id) WHERE doc_id = lbl),
+{gopher_base_s3.strip().lstrip()},
+{_SQL_PIPE_GOPHER_FEAT},
+s4 AS MATERIALIZED (
+  SELECT s3.doc_id, s3.lang,
+         (CASE WHEN trim(s3.text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(s3.text), '\s+')) END)::BIGINT AS nt
+  FROM s3 JOIN feat USING (doc_id)
+  WHERE {_SQL_GOPHER_KEEP}
+),
+sizes AS (SELECT lang, greatest(sum(nt), 1)::BIGINT AS gw FROM s4 GROUP BY lang),
+cuts AS (
+  SELECT lang,
+         round(least(1.0, coalesce(element_at({wmap}, lang)[1], 0.0)
+               * {V5_MIX_TARGET_TOKENS} / gw) * 10000)::BIGINT AS cut
+  FROM sizes
+),
+kept AS (
+  SELECT s4.lang, s4.doc_id, s4.nt
+  FROM s4 JOIN cuts USING (lang)
+  WHERE ('0x' || substr(md5(s4.doc_id::VARCHAR), 1, 7))::BIGINT % 10000 < cut
+)
+SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+       min(doc_id) AS min_doc, sum(doc_id)::BIGINT AS id_checksum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+SQL_CORPUS_PIPELINE_V5 = _sql_corpus_pipeline_v5()
+
+
+# --- Frozen-model IVF (r11 item 6: a 6th oracle-matched ANN query) ------------
+
+
+def q_ivf_topk_frozen(spark, sf_dir):
+    """Fully value-checked IVF top-k (operator: similarity.ivf_topk_frozen):
+    md5-derived deterministic centroid init + a fixed 2-round Lloyd unroll
+    (4dp assignment scores with centroid-index tiebreaks, 6dp centroid
+    means — the pins that make distributed float sums replayable), probe
+    the top-2 clusters for vec_id 0's embedding, exact top-10 within. The
+    oracle replays init, both Lloyd rounds, probe selection, and the final
+    ranking — the whole IVF model is hash-checked, not just row counts
+    (the label-propagation-unroll precedent applied to k-means)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.ivf_topk_frozen(
+        emb, qvec, k=10, n_probe=2, n_centroids=8, iterations=2
+    )
+
+
+def _sql_ivf_topk_frozen(
+    n_centroids: int = 8, iterations: int = 2, n_probe: int = 2, k: int = 10,
+    dim: int = 64,
+) -> str:
+    its = []
+    prev = "c0"
+    for t in range(1, iterations + 1):
+        its.append(f"""
+s{t} AS (
+  SELECT n.vec_id, n.v, c.cid,
+         round(list_cosine_similarity(n.v, c.cv), 4) AS sc
+  FROM e n CROSS JOIN {prev} c
+),
+a{t} AS (
+  SELECT vec_id, v, cid FROM s{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) = 1
+),
+u{t} AS (
+  SELECT cid, pos, round(avg(x), 6) AS m FROM (
+    SELECT cid, unnest(range({dim})) AS pos, unnest(v) AS x FROM a{t}
+  ) z{t} GROUP BY cid, pos
+),
+c{t} AS (
+  SELECT c.cid, coalesce(w.cv2, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cv2 FROM u{t} GROUP BY cid
+  ) w USING (cid)
+)""")
+        prev = f"c{t}"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v AS cv
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= {n_centroids}
+),{",".join(its)},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+fs AS (
+  SELECT n.vec_id, n.v, c.cid,
+         round(list_cosine_similarity(n.v, c.cv), 4) AS sc
+  FROM e n CROSS JOIN {prev} c
+),
+fa AS (
+  SELECT vec_id, v, cid FROM fs
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) = 1
+),
+probes AS (
+  SELECT cid FROM {prev}, q
+  QUALIFY row_number() OVER (
+    ORDER BY round(list_cosine_similarity(cv, qv), 4) DESC, cid) <= {n_probe}
+)
+SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS cosine
+FROM fa JOIN probes USING (cid)
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+SQL_IVF_TOPK_FROZEN = _sql_ivf_topk_frozen()
+
+
 QUERIES = {
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
@@ -5025,6 +5362,14 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "bloom_decontamination": (q_bloom_decontamination, SQL_BLOOM_DECONTAMINATION),
+    # weighted_sample / bloom_decontamination registry rows moved to
+    # suite_maintenance in round 12 (functions + SQL stay here) so the
+    # driver's head window finally hash-checks them — r11 VERDICT item 1.
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "dedup_clusters_incremental": (
+        q_dedup_clusters_incremental,
+        SQL_DEDUP_CLUSTERS_INCREMENTAL,
+    ),
+    "corpus_pipeline_v5": (q_corpus_pipeline_v5, SQL_CORPUS_PIPELINE_V5),
+    "ivf_topk_frozen": (q_ivf_topk_frozen, SQL_IVF_TOPK_FROZEN),
 }

@@ -550,6 +550,76 @@ def test_corpus_pipeline_v4_stage_shuffles(spark, sf_dir):
     assert po.count("Scan parquet") == 0, po
 
 
+def test_corpus_pipeline_v5_stage_sum_shuffles(spark, sf_dir):
+    """v5 (r11 VERDICT item 4 — the documented dedup ordering as one
+    composed plan) must cost the SUM of its stages: each stage's exchange
+    count is bounded in isolation, the seams are doc_id-keyed joins (never
+    a cartesian), and the shipped composition's outer plan past the pinned
+    stage-4 frame is just the mixture + final aggregate with ZERO corpus
+    re-scans — the stage-count invariant that catches an unpinned seam
+    replaying the upstream pipeline per consumer."""
+    from demo_bigdata_spark.operators import dedup as D
+    from demo_bigdata_spark.operators import text as X
+    from demo_bigdata_spark.suites.suite_llm import (
+        NEAR_DUP_THRESHOLD,
+        _url_variants,
+        q_corpus_pipeline_v5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("url", _url_variants())
+
+    # stage 1: URL dedup — ONE shuffle on the canonical key (row_number
+    # window), canonicalization itself map-only
+    s1 = X.url_dedup(docs, url_col="url", id_col="doc_id").select(
+        "doc_id", "text", "lang", "source"
+    )
+    p1 = executed_plan(s1)
+    assert p1.count("Exchange") <= 2 and not has_cartesian(s1), p1
+    s1 = s1.localCheckpoint(eager=True)
+
+    # stage 2: exact dedup — digest groupBy + survivor join, digest-sized
+    # shuffle keys only
+    s2 = s1.join(
+        D.exact_dedup(s1).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    p2 = executed_plan(s2)
+    assert p2.count("Exchange") <= 5 and not has_cartesian(s2), p2
+    s2 = s2.localCheckpoint(eager=True)
+
+    # stage 3: near-dup pair generation is a band equi-join (bounded
+    # exchanges, never a cartesian); the CC fixed point is iterative and
+    # checked by value elsewhere
+    pairs = D.jaccard_pairs(
+        s2,
+        D.minhash_candidates(s2, max_bucket=1000),
+        size_prune_threshold=NEAR_DUP_THRESHOLD,
+    ).filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+    pp = executed_plan(pairs)
+    assert not has_cartesian(pairs), pp
+    s3 = s2.join(
+        D.near_dup_survivors(s2, threshold=NEAR_DUP_THRESHOLD)
+        .filter(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    # stage 4: gopher gate — feature projection + bigram aggregate only
+    s4 = s3.join(
+        X.gopher_filter(s3).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    p4 = executed_plan(s4)
+    assert p4.count("Exchange") <= 7 and not has_cartesian(s4), p4
+
+    # shipped composition: outer plan past the pinned stage frames is the
+    # mixture + final aggregate — bounded exchanges, zero corpus re-scans
+    out = q_corpus_pipeline_v5(spark, sf_dir)
+    po = executed_plan(out)
+    assert po.count("Exchange") <= 6 and not has_cartesian(out), po
+    assert po.count("Scan parquet") == 0, po
+    rows = out.collect()
+    assert rows and all(r["n_docs"] > 0 for r in rows)
+
+
 def test_semantic_dedup_is_cluster_equi_join(spark, sf_dir):
     """SemDeDup's within-cluster comparison must plan as an equi join on
     the cluster id (shuffle-partitionable) — never a cartesian/nested-loop
