@@ -150,6 +150,13 @@ HEADLINE = [
     "dedup_clusters_incremental",
     "corpus_pipeline_v5",
     "ivf_topk_frozen",
+    # r12: domain-level curation (registrable-domain extraction, per-domain
+    # caps, volume stats)
+    "url_domains",
+    "domain_cap",
+    "domain_stats",
+    # r12: mergeable fixed-range histogram quantile sketch
+    "quantile_sketch",
 ]
 # With the r12 scrutiny rotation complete (every declared query has a driver
 # CORRECTNESS row), this list is PINNED: future rounds append new queries at

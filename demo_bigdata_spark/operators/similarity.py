@@ -429,6 +429,8 @@ def ivf_topk_frozen(
         .collect()
     )
     C = [[float(x) for x in r["v"]] for r in init]
+    if not C:
+        raise ValueError("ivf_topk_frozen: empty input — no centroids to init")
 
     def _arr(vals):
         return F.array(*[F.lit(float(x)) for x in vals])
@@ -2054,6 +2056,21 @@ def knn_graph_compaction_due(graph_path: str, ratio: float = 3.0) -> dict:
         "last_compaction_epoch": ce,
         "reason": "footer row ratio vs last compaction",
     }
+
+
+def maintain_knn_graph(
+    spark, graph_path: str, k: int, ratio: float = 3.0, vacuum: bool = True
+) -> dict:
+    """The trigger + compaction wired together for a maintenance schedule:
+    evaluate :func:`knn_graph_compaction_due` (footer stats only, ~ms) and
+    run :func:`compact_knn_graph` exactly when it fires. Call between
+    micro-batches (writer exclusion — see the vacuum hazard note); the
+    returned trigger report gains ``compacted: bool`` for observability.
+    """
+    report = knn_graph_compaction_due(graph_path, ratio=ratio)
+    if report.get("due"):
+        compact_knn_graph(spark, graph_path, k=k, vacuum=vacuum)
+    return {**report, "compacted": bool(report.get("due"))}
 
 
 def knn_clusters(

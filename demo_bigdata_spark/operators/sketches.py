@@ -359,3 +359,142 @@ def bloom_decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct(hash_col).alias("n_flagged_shingles"))
     )
+
+
+# --- Fixed-range histogram quantile sketch [EXT] -------------------------------
+#
+# The mergeable-quantile answer that stays SQL-replayable: a fixed [lo, hi)
+# range quantized into n_bins integer-counted bins. Unlike GK/KLL/t-digest
+# (whose state depends on arrival order), bin counts are EXACT integers —
+# merge is vector addition (commutative, associative), so partials combine
+# map-side, shuffle n_bins rows instead of the corpus, and the DuckDB twin
+# replays the identical arithmetic. Quantile error is bounded by one bin
+# width by construction (caller picks the range/bins from domain knowledge
+# — the honest contract; data outside [lo, hi) clamps into the edge bins
+# and the estimate degrades visibly at the edges, never silently inside).
+# At 100 TB this is the difference between a global sort and ONE
+# map-side-combined aggregate of n_bins longs.
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """(bin, n) counts of ``value_col`` quantized into ``n_bins`` equal
+    bins over [lo, hi): bin = clamp(floor((x - lo) / (hi - lo) * n_bins)).
+    NULLs dropped; out-of-range values clamp to the edge bins. At most
+    n_bins rows out — the broadcastable, exactly-mergeable partial."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins).cast("int")
+        ),
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Union partial sketches and re-sum — exact by integer addition."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Quantile estimates from a (bin, n) sketch: for each q, the LOWER
+    EDGE of the first bin whose cumulative count reaches ceil(q * total).
+    The walk is an integer cumulative sum over <= n_bins rows (a window
+    over the tiny sketch, never the data), so the result is engine-exact;
+    the estimate is within one bin width of the true quantile whenever the
+    data lies inside [lo, hi). Returns (q, est, total)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(w_all)
+    )
+    qlit = F.array(*[F.lit(float(q)) for q in sorted(qs)])
+    width = float(hi - lo) / n_bins
+    return (
+        cum.select(F.explode(qlit).alias("q"), "bin", "cum", "total")
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("_b"), F.max("total").alias("total"))
+        .select(
+            "q",
+            F.round(F.lit(float(lo)) + F.col("_b") * F.lit(width), 6).alias("est"),
+            "total",
+        )
+        .orderBy("q")
+    )
+
+
+def append_histogram_batch(
+    spark,
+    batch_df: DataFrame,
+    path: str,
+    epoch_id: int,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> None:
+    """Exactly-once incremental histogram maintenance under the shared
+    epoch-ledger discipline: append the batch's (bin, n, epoch_id) partial
+    (<= n_bins rows per epoch) and commit the epoch. Integer bin counts
+    sum across epochs to EXACTLY the batch sketch of everything ingested —
+    replay appends identical rows and the committed view's (bin, epoch_id)
+    dedup collapses them."""
+    from demo_bigdata_spark.streaming.pipeline import (
+        commit_epoch,
+        epoch_already_applied,
+    )
+
+    epochs_path = path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    part = histogram_sketch(batch_df, value_col, lo, hi, n_bins).withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    )
+    part.localCheckpoint(eager=True).write.mode("append").parquet(path)
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_histogram(spark, path: str) -> DataFrame:
+    """Committed (bin, n) sketch from the incrementally-maintained table:
+    ledger semi-join + replay dedup, then the exact integer re-sum."""
+    from demo_bigdata_spark.streaming.pipeline import committed_view
+
+    return (
+        committed_view(
+            spark,
+            path,
+            path + "_epochs",
+            ["bin", "epoch_id"],
+            "bin int, n bigint, epoch_id long",
+        )
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )

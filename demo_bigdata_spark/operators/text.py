@@ -1233,3 +1233,98 @@ def url_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# --- Domain-level curation (r12) ----------------------------------------------
+#
+# The tier above URL dedup in a crawl pipeline: URLs collapse to their
+# REGISTRABLE DOMAIN, and domain-level rules apply — per-domain document
+# caps (the CCNet/FineWeb anti-SEO-farm move: one link-spam domain must not
+# dominate the corpus) and per-domain volume stats (the report a crawl
+# curator reads before setting caps). Domain extraction approximates the
+# public-suffix list with a frozen set of common two-level TLDs — the real
+# PSL is a ~10k-line external artifact not bundled here; the approximation
+# is documented, deterministic, and trivially replayable in SQL, which is
+# what the oracle needs. Swap in the PSL as a broadcast join if exactness
+# across every ccTLD matters.
+
+_TWO_LEVEL_TLDS = (
+    "ac.uk", "co.uk", "gov.uk", "org.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "com.ar", "com.br", "com.cn", "com.hk", "com.mx", "com.sg", "com.tr",
+    "co.in", "co.kr", "co.nz", "co.za",
+)
+
+
+def url_domain(url: Column | str) -> Column:
+    """Registrable domain of an absolute URL: lowercased host, port
+    stripped (domain identity is port-free), then the last TWO dot-labels
+    — or the last THREE when the two-label suffix is a known second-level
+    TLD (``_TWO_LEVEL_TLDS``; ``sub.example.co.uk`` -> ``example.co.uk``).
+    Hosts with <= 2 labels (and malformed scheme-less input, which yields
+    host '') pass through unchanged. Pure regexp/array built-ins —
+    codegen'd, map-only, the same cost class as :func:`canonical_url`."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*_TWO_LEVEL_TLDS), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_per_domain: int = 1000,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``max_per_domain`` docs per
+    registrable domain, LOWEST id first — deterministic and partitioning-
+    independent (the exact-dedup survivor convention), so reruns and the
+    SQL twin select the identical doc set. Output is the surviving rows
+    plus the ``domain`` column.
+
+    ONE shuffle on the domain key (row_number window). At 100 TB the hot
+    key is a mega-domain, but its OUTPUT is capped, so the skew cost is
+    scanning its rows once — which any per-domain rule must pay; there is
+    no quadratic term to salt away. Compose AFTER url_dedup (distinct
+    pages) and BEFORE content dedup, the crawl-pipeline order."""
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("domain").orderBy(F.col(id_col))
+    return (
+        df.withColumn("domain", url_domain(url_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus volume report — (domain, n_docs, n_tokens,
+    n_langs): the table a curator reads before setting domain caps or
+    blocklists. One map-side-combinable aggregate on the domain key."""
+    return (
+        df.withColumn("domain", url_domain(url_col))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )

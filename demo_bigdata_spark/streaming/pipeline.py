@@ -1806,3 +1806,60 @@ def incremental_dedup(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def domain_cap_stream(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    max_per_domain: int = 1000,
+) -> DataFrame:
+    """[EXT] streaming per-domain document cap — the crawl-frontier twin of
+    ``text.domain_cap_sample``: per registrable domain, ADMIT the first
+    ``max_per_domain`` documents and drop everything after, with ONE
+    integer of state per domain (``applyInPandasWithState``; the quota is
+    lifetime by design — matching the batch rule — so the counter never
+    times out; reset quotas by restarting with a fresh checkpoint).
+    Within a micro-batch, rows admit in (ts, id) order, so a replayed
+    batch admits the identical rows.
+
+    Semantics vs batch, stated honestly (the url_dedup_stream rule):
+    batch keeps the LOWEST ids per domain; a stream admits the FIRST
+    ARRIVALS — identical when arrival order is id order (the crawler
+    convention), divergent otherwise. Batch inputs delegate to the exact
+    batch operator.
+
+    Output: (id_col, ts, url, domain) for admitted rows only.
+    """
+    import pandas as pd
+
+    from demo_bigdata_spark.operators.text import domain_cap_sample, url_domain
+
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    if not df.isStreaming:
+        return domain_cap_sample(
+            df, url_col=url_col, id_col=id_col, max_per_domain=max_per_domain
+        ).select(id_col, ts_col, url_col, "domain")
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = df.withColumn("domain", url_domain(url_col)).select(
+        id_col, ts_col, url_col, "domain"
+    )
+    out_schema = f"{id_col} long, {ts_col} timestamp, {url_col} string, domain string"
+
+    def _admit(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+        room = max(0, max_per_domain - n)
+        take = batch.iloc[:room]
+        state.update((n + len(take),))
+        if len(take):
+            yield take
+
+    return keyed.groupBy("domain").applyInPandasWithState(
+        _admit, out_schema, "n long", "append", GroupStateTimeout.NoTimeout
+    )

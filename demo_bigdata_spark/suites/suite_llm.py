@@ -5264,6 +5264,163 @@ LIMIT {k}
 SQL_IVF_TOPK_FROZEN = _sql_ivf_topk_frozen()
 
 
+# --- Domain-level curation (r12): registrable domain, caps, volume stats ------
+
+
+def _domain_url_variants():
+    """Adversarial host synthesis for the domain tier: 20 domain families x
+    5 forms — plain .com, www + co.uk (second-level TLD), multi-subdomain
+    com.au with a default port, deep subdomain .net with a NON-default
+    port, and .org with a query. 100 distinct registrable domains; every
+    extraction rule (label count, SLD list, port strip, case) exercised."""
+    gm = (F.col("doc_id") % 20).cast("string")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 5
+    return (
+        F.when(v == 0, F.concat(F.lit("https://site"), gm, F.lit(".com/p/"), i))
+        .when(v == 1, F.concat(F.lit("https://WWW.site"), gm, F.lit(".co.uk/p/"), i))
+        .when(v == 2, F.concat(F.lit("http://a.b.site"), gm, F.lit(".com.au:80/p/"), i))
+        .when(v == 3, F.concat(F.lit("https://deep.sub.site"), gm, F.lit(".net:8443/p/"), i))
+        .otherwise(F.concat(F.lit("https://site"), gm, F.lit(".org/p/"), i, F.lit("?x=1")))
+    )
+
+
+_SQL_DOMAIN_URL_VARIANTS = """CASE doc_id % 5
+      WHEN 0 THEN 'https://site' || (doc_id % 20)::VARCHAR || '.com/p/' || doc_id::VARCHAR
+      WHEN 1 THEN 'https://WWW.site' || (doc_id % 20)::VARCHAR || '.co.uk/p/' || doc_id::VARCHAR
+      WHEN 2 THEN 'http://a.b.site' || (doc_id % 20)::VARCHAR || '.com.au:80/p/' || doc_id::VARCHAR
+      WHEN 3 THEN 'https://deep.sub.site' || (doc_id % 20)::VARCHAR || '.net:8443/p/' || doc_id::VARCHAR
+      ELSE 'https://site' || (doc_id % 20)::VARCHAR || '.org/p/' || doc_id::VARCHAR || '?x=1'
+    END"""
+
+_SQL_TLDS = ", ".join(f"'{t}'" for t in X._TWO_LEVEL_TLDS)
+
+# DuckDB replay of url_domain over a bound `url` column (host lowercase,
+# port strip, last-2/last-3 label rule against the frozen SLD list)
+_SQL_URL_DOMAIN = f"""
+    CASE WHEN len(string_split(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '.')) <= 2
+         THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '')
+         WHEN list_contains([{_SQL_TLDS}],
+              string_split(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '.')[-2]
+              || '.' ||
+              string_split(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '.')[-1])
+         THEN string_split(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '.')[-3]
+              || '.' ||
+              string_split(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '.')[-2]
+              || '.' ||
+              string_split(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '.')[-1]
+         ELSE string_split(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '.')[-2]
+              || '.' ||
+              string_split(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '.')[-1]
+    END"""
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable fixed-range histogram quantile sketch (operators.sketches
+    .histogram_sketch + histogram_quantiles): n_chars quantized into 256
+    bins over [0, 2048), quantiles read off the integer cumulative walk —
+    the 100 TB quantile shape (ONE map-side-combined aggregate of 256
+    longs instead of a global sort), and exactly SQL-replayable because
+    bin counts are integers and the estimate is a bin edge."""
+    from demo_bigdata_spark.operators import sketches as K
+
+    docs = _docs(spark, sf_dir)
+    hist = K.histogram_sketch(docs, "n_chars", lo=0.0, hi=2048.0, n_bins=256)
+    return K.histogram_quantiles(
+        hist, [0.25, 0.5, 0.9, 0.99], lo=0.0, hi=2048.0, n_bins=256
+    )
+
+
+SQL_QUANTILE_SKETCH = """
+WITH h AS (
+  SELECT least(255, greatest(0, floor(n_chars::DOUBLE / 2048.0 * 256)))::INT AS bin,
+         count(*) AS n
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum, sum(n) OVER () AS total
+  FROM h
+),
+e AS (
+  SELECT q, bin, cum, total
+  FROM c CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS q) qs
+  WHERE cum >= ceil(q * total)
+)
+SELECT q, round(min(bin) * 8.0, 6) AS est, max(total)::BIGINT AS total
+FROM e GROUP BY q ORDER BY q
+"""
+
+
+def q_url_domains(spark, sf_dir):
+    """Registrable-domain extraction (operator: text.url_domain) over the
+    adversarial host synthesis — the driver hash pins every (url, domain)
+    row, so the SLD-list rule, port strip, and label arithmetic are all
+    value-checked."""
+    docs = _docs(spark, sf_dir).withColumn("url", _domain_url_variants())
+    return docs.select(
+        "doc_id", "url", X.url_domain("url").alias("domain")
+    ).orderBy("doc_id")
+
+
+SQL_URL_DOMAINS = f"""
+SELECT doc_id, url, ({_SQL_URL_DOMAIN}) AS domain
+FROM (SELECT doc_id, {_SQL_DOMAIN_URL_VARIANTS} AS url FROM documents) u
+ORDER BY doc_id
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (operator: text.domain_cap_sample — the
+    CCNet/FineWeb anti-SEO-farm rule): keep the 3 lowest-id docs per
+    registrable domain; per-domain survivor count + id checksum pins
+    WHICH rows survive."""
+    docs = _docs(spark, sf_dir).withColumn("url", _domain_url_variants())
+    kept = X.domain_cap_sample(docs, max_per_domain=3)
+    return (
+        kept.groupBy("domain")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("domain")
+    )
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT domain, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_checksum
+FROM (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM (
+    SELECT doc_id, ({_SQL_URL_DOMAIN}) AS domain
+    FROM (SELECT doc_id, {_SQL_DOMAIN_URL_VARIANTS} AS url FROM documents) u
+  ) d
+) r
+WHERE rn <= 3
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus volume report (operator: text.domain_stats):
+    docs, whitespace tokens, and distinct languages per registrable
+    domain — the table a curator reads before setting caps/blocklists."""
+    docs = _docs(spark, sf_dir).withColumn("url", _domain_url_variants())
+    return X.domain_stats(docs).orderBy("domain")
+
+
+SQL_DOMAIN_STATS = rf"""
+SELECT domain, count(*) AS n_docs,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len({SQL_TOKS_RAW}) END)::BIGINT AS n_tokens,
+       count(DISTINCT lang) AS n_langs
+FROM (
+  SELECT doc_id, text, lang, ({_SQL_URL_DOMAIN}) AS domain
+  FROM (SELECT doc_id, text, lang, {_SQL_DOMAIN_URL_VARIANTS} AS url FROM documents) u
+) d
+GROUP BY domain
+ORDER BY domain
+"""
+
+
 QUERIES = {
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
@@ -5372,4 +5529,8 @@ QUERIES = {
     ),
     "corpus_pipeline_v5": (q_corpus_pipeline_v5, SQL_CORPUS_PIPELINE_V5),
     "ivf_topk_frozen": (q_ivf_topk_frozen, SQL_IVF_TOPK_FROZEN),
+    "quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
+    "url_domains": (q_url_domains, SQL_URL_DOMAINS),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
 }

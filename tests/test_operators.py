@@ -2318,6 +2318,57 @@ def test_url_dedup_keeps_min_id(spark):
     assert by_id[5] == "https://b.com/q?x=1"
 
 
+def test_url_domain_adversarial(spark):
+    """url_domain: plain 2-label hosts pass through, subdomains strip to
+    the registrable domain, known second-level TLDs keep three labels,
+    ports (default AND non-default) strip, case lowers, malformed input
+    degrades to '' rather than raising."""
+    from demo_bigdata_spark.operators.text import url_domain
+
+    cases = [
+        ("https://example.com/x", "example.com"),
+        ("https://EXAMPLE.COM:443/x", "example.com"),
+        ("https://www.example.com/x", "example.com"),
+        ("https://a.b.c.example.com:8443/x", "example.com"),
+        ("https://example.co.uk/x", "example.co.uk"),
+        ("https://www.shop.example.co.uk/x", "example.co.uk"),
+        ("http://deep.sub.example.com.au:80/x", "example.com.au"),
+        ("https://localhost:9000/x", "localhost"),
+        ("https://co.uk/", "co.uk"),  # bare SLD host: <= 2 labels passes through
+        ("not-a-url", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {r["i"]: r["d"] for r in df.select("i", url_domain("url").alias("d")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_domain_cap_sample_semantics(spark):
+    """domain_cap_sample keeps the max_per_domain LOWEST ids per domain
+    (deterministic survivors, not arbitrary), small domains pass whole,
+    the domain column rides along, and the cap validates."""
+    import pytest
+
+    from demo_bigdata_spark.operators.text import domain_cap_sample
+
+    rows = [(i, f"https://farm.example.com/p/{i}") for i in range(10)]
+    rows += [(100 + i, f"https://ok.org/p/{i}") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = domain_cap_sample(df, max_per_domain=3).collect()
+    by_dom: dict = {}
+    for r in kept:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert sorted(by_dom["example.com"]) == [0, 1, 2]  # lowest ids, capped
+    assert sorted(by_dom["ok.org"]) == [100, 101]  # under the cap: all pass
+    # repartition invariance: survivors are a pure function of content
+    kept2 = {r["doc_id"] for r in domain_cap_sample(df.repartition(7), max_per_domain=3).collect()}
+    assert kept2 == {r["doc_id"] for r in kept}
+    with pytest.raises(ValueError, match="max_per_domain"):
+        domain_cap_sample(df, max_per_domain=0)
+
+
 def test_emit_row_topk_wide_block_lexsort_fallback():
     """Blocks at/above the epsilon width bound (50k cols) take the exact
     lexsort path; its output must equal a brute python replica of the
@@ -2456,3 +2507,50 @@ def test_bloom_decontaminate_superset_and_fp(spark, sf_dir):
 
     with pytest.raises(ValueError, match="m_bits"):
         build_ngram_bloom(ev, m_bits=100)
+
+
+def test_histogram_sketch_quantiles_and_merge(spark):
+    """Histogram quantile sketch: bin math clamps out-of-range values into
+    edge bins, estimates are within one bin width of the exact quantile
+    for in-range data, partial merge equals the one-shot sketch exactly
+    (integer addition), and the range/bins validate."""
+    import pytest
+
+    from demo_bigdata_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histograms,
+    )
+
+    vals = [float(v) for v in range(1, 1001)]  # 1..1000
+    vals += [-50.0, 99999.0]  # clamp into bins 0 and n_bins-1
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, nb = 0.0, 1000.0, 100  # width 10
+    hist = {r["bin"]: r["n"] for r in histogram_sketch(df, "x", lo, hi, nb).collect()}
+    assert hist[0] == 9 + 1  # values 1..9 land in bin 0, plus the -50 clamp
+    # 990..999 in the top bin, plus 1000 (hi is exclusive -> clamps) + 99999
+    assert hist[nb - 1] == 10 + 2
+
+    qs = [0.5, 0.9]
+    est = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(
+            histogram_sketch(df, "x", lo, hi, nb), qs, lo, hi, nb
+        ).collect()
+    }
+    import statistics
+
+    for q in qs:
+        exact = statistics.quantiles(vals, n=100, method="inclusive")[int(q * 100) - 1]
+        assert abs(est[q] - exact) <= (hi - lo) / nb + 1, (q, est[q], exact)
+
+    # merge of disjoint partials == one-shot sketch, exactly
+    a = histogram_sketch(df.filter("x < 500"), "x", lo, hi, nb)
+    b = histogram_sketch(df.filter("x >= 500"), "x", lo, hi, nb)
+    merged = {r["bin"]: r["n"] for r in merge_histograms(a, b).collect()}
+    assert merged == hist
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch(df, "x", 5.0, 5.0, 10)
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_sketch(df, "x", 0.0, 1.0, 0)

@@ -734,3 +734,44 @@ def test_bloom_decontaminate_no_join_before_aggregate(spark, sf_dir):
     plan = executed_plan(out)
     assert "Join" not in plan, plan
     assert "hashpartitioning(shingle_hash" not in plan, plan
+
+
+def test_domain_tier_plan_shapes(spark, sf_dir):
+    """Domain-tier scale posture: url_domain is map-only (zero exchanges —
+    it must stay inside the scan's codegen), domain_cap_sample is exactly
+    ONE shuffle on the domain key, domain_stats is a map-side-combinable
+    hash aggregate (partial_count visible, one exchange), and the
+    histogram sketch is one partial-aggregated exchange of <= n_bins rows."""
+    from demo_bigdata_spark.operators.sketches import histogram_sketch
+    from demo_bigdata_spark.operators.text import (
+        domain_cap_sample,
+        domain_stats,
+        url_domain,
+    )
+    from demo_bigdata_spark.suites.suite_llm import _domain_url_variants
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", _domain_url_variants()
+    )
+
+    extract = docs.select("doc_id", url_domain("url").alias("domain"))
+    pe = executed_plan(extract)
+    assert pe.count("Exchange") == 0, pe  # pure projection, map-only
+
+    cap = domain_cap_sample(docs, max_per_domain=3)
+    pc = executed_plan(cap)
+    assert pc.count("Exchange") == 1 and "hashpartitioning(domain" in pc, pc
+    assert not has_cartesian(cap), pc
+
+    # count_distinct(lang) expands to Spark's two-phase distinct plan: a
+    # (domain, lang) exchange (cardinality bounded by domains x langs —
+    # already aggregated map-side) then the final domain exchange
+    stats = domain_stats(docs)
+    ps = executed_plan(stats)
+    assert ps.count("Exchange") <= 2, ps
+    assert "partial_count" in ps or "partial" in ps.lower(), ps
+
+    hist = histogram_sketch(docs, "n_chars", 0.0, 2048.0, 256)
+    ph = executed_plan(hist)
+    assert ph.count("Exchange") == 1, ph
+    assert "partial_count" in ph or "partial" in ph.lower(), ph

@@ -2538,6 +2538,19 @@ def test_knn_graph_compaction_trigger(spark, sf_dir, tmp_path):
     again = knn_graph_compaction_due(gr_p)
     assert again["row_ratio"] == 1.0 and again["due"] is False
 
+    # maintenance glue: the wired helper compacts exactly when due
+    from demo_bigdata_spark.operators.similarity import maintain_knn_graph
+
+    before = snapshot = read_knn_graph(spark, gr_p, k=k).count()
+    r1 = maintain_knn_graph(spark, gr_p, k=k)  # freshly compacted: no-op
+    assert r1["compacted"] is False
+    append_knn_graph_batch(spark, splits[0], idx_p, gr_p, C, epoch_id=20, k=k, n_probe=n_probe)
+    append_knn_graph_batch(spark, splits[1], idx_p, gr_p, C, epoch_id=21, k=k, n_probe=n_probe)
+    r2 = maintain_knn_graph(spark, gr_p, k=k, ratio=1.2)
+    assert r2["compacted"] is True
+    assert knn_graph_compaction_due(gr_p)["row_ratio"] == 1.0  # reclaimed
+    assert read_knn_graph(spark, gr_p, k=k).count() == snapshot == before
+
 
 def test_url_dedup_stream_collapses_variants(spark, tmp_path):
     """Streaming URL dedup: all canonical variants of a page (case, default
@@ -2770,3 +2783,98 @@ def test_read_dedup_survivors_and_clusters_match_batch(spark, sf_dir, tmp_path):
         (r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(docs).collect()
     }
     assert inc == bat and inc
+
+
+def test_incremental_histogram_matches_batch(spark, sf_dir, tmp_path):
+    """Exactly-once incremental histogram maintenance: folding documents in
+    3 epochs accumulates EXACTLY the batch sketch (integer bin counts sum
+    across epochs), epoch replay is a no-op, and quantile reads off the
+    committed view equal the batch quantiles."""
+    from demo_bigdata_spark.operators.sketches import (
+        append_histogram_batch,
+        histogram_quantiles,
+        histogram_sketch,
+        read_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi, nb = 0.0, 2048.0, 256
+    batch = {r["bin"]: r["n"] for r in histogram_sketch(docs, "n_chars", lo, hi, nb).collect()}
+
+    path = str(tmp_path / "qhist")
+    for e in range(3):
+        append_histogram_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == e), path, epoch_id=e,
+            value_col="n_chars", lo=lo, hi=hi, n_bins=nb,
+        )
+    live = {r["bin"]: r["n"] for r in read_histogram(spark, path).collect()}
+    assert live == batch and live
+
+    # replaying an applied epoch is a no-op
+    append_histogram_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), path, epoch_id=0,
+        value_col="n_chars", lo=lo, hi=hi, n_bins=nb,
+    )
+    assert {r["bin"]: r["n"] for r in read_histogram(spark, path).collect()} == batch
+
+    qs = [0.5, 0.9, 0.99]
+    bq = {(r["q"]): (r["est"], r["total"]) for r in histogram_quantiles(
+        histogram_sketch(docs, "n_chars", lo, hi, nb), qs, lo, hi, nb).collect()}
+    lq = {(r["q"]): (r["est"], r["total"]) for r in histogram_quantiles(
+        read_histogram(spark, path), qs, lo, hi, nb).collect()}
+    assert lq == bq and len(lq) == 3
+
+
+def test_domain_cap_stream_admits_first_arrivals(spark, tmp_path):
+    """Streaming per-domain cap: across micro-batches each domain admits
+    exactly its first max_per_domain arrivals (one integer of state per
+    domain); later arrivals drop; with id-ordered arrival the admitted set
+    equals the batch operator's lowest-id survivors."""
+    from demo_bigdata_spark.operators.text import domain_cap_sample
+    from demo_bigdata_spark.streaming.pipeline import (
+        domain_cap_stream,
+        run_stream_to_memory,
+    )
+
+    t0 = 1_700_000_000
+    rows = []
+    for i in range(24):
+        dom = "aaa" if i % 2 == 0 else "bbb"
+        rows.append((i, f"https://www.{dom}.example-{i % 2}.com/p/{i}", t0 + i))
+    df = spark.createDataFrame(rows, "doc_id long, url string, epoch long").withColumn(
+        "ts", F.col("epoch").cast("timestamp")
+    ).drop("epoch")
+
+    src = str(tmp_path / "dcsrc")
+    # 4 id-ordered micro-batches (seq // 6), arrivals interleave the domains
+    df.filter(F.col("doc_id") < 6).repartition(1).write.mode("overwrite").parquet(src)
+    for m in (1, 2, 3):
+        df.filter((F.col("doc_id") >= 6 * m) & (F.col("doc_id") < 6 * (m + 1))).repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = run_stream_to_memory(
+        domain_cap_stream(stream, max_per_domain=4), "domain_cap_out"
+    )
+    try:
+        got = spark.sql("SELECT doc_id, domain FROM domain_cap_out").collect()
+    finally:
+        q.stop()
+    by_dom: dict = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    # first 4 arrivals per domain — ids 0,2,4,6 (evens) and 1,3,5,7 (odds)
+    assert sorted(by_dom["example-0.com"]) == [0, 2, 4, 6]
+    assert sorted(by_dom["example-1.com"]) == [1, 3, 5, 7]
+
+    # id-ordered arrival => stream admits == batch lowest-id survivors
+    batch_ids = {
+        r["doc_id"] for r in domain_cap_sample(df, max_per_domain=4).collect()
+    }
+    assert {r["doc_id"] for r in got} == batch_ids
+
+    # batch input path delegates to the exact operator (same rows + schema)
+    delegated = domain_cap_stream(df, max_per_domain=4)
+    assert {r["doc_id"] for r in delegated.collect()} == batch_ids
+    assert delegated.columns == ["doc_id", "ts", "url", "domain"]
