@@ -157,6 +157,9 @@ HEADLINE = [
     "domain_stats",
     # r12: mergeable fixed-range histogram quantile sketch
     "quantile_sketch",
+    # r12: pre-tokenization normalization + domain blocklist filter
+    "normalized_text",
+    "domain_blocklist",
 ]
 # With the r12 scrutiny rotation complete (every declared query has a driver
 # CORRECTNESS row), this list is PINNED: future rounds append new queries at

@@ -1328,3 +1328,55 @@ def domain_stats(
             F.count_distinct("lang").alias("n_langs"),
         )
     )
+
+
+# The normalization chain, frozen as data so the DuckDB twin derives its
+# regexp_replace calls from the SAME constants (the hash-coefficient
+# convention). Order matters: runs collapse only after the space-family
+# substitutions.
+NORMALIZE_STEPS = (
+    ("[\u2018\u2019\u201a\u201b]", "'"),
+    ("[\u201c\u201d\u201e\u201f]", '"'),
+    ("[\u2013\u2014\u2015]", "-"),
+    ("[\u00a0\u2007\u202f]", " "),
+    ("[\u200b\u200c\u200d\ufeff]", ""),
+    ("[\\x00-\\x08\\x0b-\\x1f\\x7f]", ""),
+    ("[ \\t]+", " "),
+    (" ?\\n ?", "\n"),
+)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Pre-tokenization text normalization — the ftfy-lite pass a crawl
+    pipeline runs BEFORE any hashing/token operator, so cosmetic encoding
+    variance doesn't defeat dedup: curly quotes -> ASCII quotes, en/em/
+    horizontal-bar dashes -> '-', NBSP-family spaces -> plain space,
+    zero-width characters dropped, C0 control characters (except newline
+    and tab) dropped, space/tab runs collapsed to one space, line edges
+    trimmed. A fixed chain of regexp_replace built-ins — map-only,
+    codegen'd, and exactly replayable in SQL (no locale- or
+    library-dependent behavior; full Unicode NFC needs ICU and is out of
+    scope by design)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in NORMALIZE_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    return F.trim(c)
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents whose registrable domain appears in a blocklist —
+    the spam/adult/PII domain filter every crawl pipeline runs next to the
+    domain cap. Broadcast LEFT ANTI join: blocklists are list-sized, so
+    they ride to the executors and the corpus never shuffles. Output is
+    the surviving rows plus the ``domain`` column."""
+    keyed = df.withColumn("domain", url_domain(url_col))
+    return keyed.join(
+        F.broadcast(blocked.select(F.col(domain_col).alias("domain"))),
+        "domain",
+        "left_anti",
+    )

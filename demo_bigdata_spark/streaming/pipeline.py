@@ -1863,3 +1863,38 @@ def domain_cap_stream(
     return keyed.groupBy("domain").applyInPandasWithState(
         _admit, out_schema, "n long", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def incremental_histogram(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous quantile-sketch maintenance: each micro-batch folds
+    its fixed-range histogram partial (<= n_bins integer-counted rows)
+    into the committed sketch exactly once per epoch
+    (operators.sketches.append_histogram_batch). read_histogram /
+    histogram_quantiles on the live path equal the batch sketch of
+    everything ingested — integer bin counts make the fold exact."""
+    from demo_bigdata_spark.operators.sketches import append_histogram_batch
+
+    spark = df.sparkSession
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        append_histogram_batch(
+            spark, batch_df, path, epoch_id,
+            value_col=value_col, lo=lo, hi=hi, n_bins=n_bins,
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

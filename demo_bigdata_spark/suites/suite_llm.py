@@ -5315,6 +5315,83 @@ _SQL_URL_DOMAIN = f"""
     END"""
 
 
+# Dirty suffix exercising every normalization rule: curly quotes, em dash,
+# NBSP, zero-width, a BEL control, tab/space runs, padded newline. Built
+# from codepoints so Spark lit and the SQL chr() chain are identical.
+_DIRTY_CODES = [32, 8220, 113, 8221, 8211, 120, 160, 121, 8203, 7, 32, 32, 122, 9, 10, 32, 119, 32]
+_DIRTY_LIT = "".join(chr(c) for c in _DIRTY_CODES)
+_SQL_DIRTY = " || ".join(f"chr({c})" for c in _DIRTY_CODES)
+
+
+def q_normalized_text(spark, sf_dir):
+    """Pre-tokenization normalization (operator: text.normalize_text):
+    every doc gets a dirty suffix (curly quotes, em dash, NBSP,
+    zero-width, control char, tab/space runs) and the oracle replays the
+    identical regexp chain from the shared NORMALIZE_STEPS constants —
+    md5 of the normalized text pins every rule row-by-row."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "dirty", F.concat(F.col("text"), F.lit(_DIRTY_LIT))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(X.normalize_text(F.col("dirty"))).alias("norm_md5"),
+        F.length(X.normalize_text(F.col("dirty"))).alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+def _sql_normalized_text() -> str:
+    def _sql_repl(r: str) -> str:
+        if r == "":
+            return "''"
+        return " || ".join(f"chr({ord(ch)})" for ch in r)
+
+    expr = f"text || {_SQL_DIRTY}"
+    for pat, repl in X.NORMALIZE_STEPS:
+        esc = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', {_sql_repl(repl)}, 'g')"
+    return f"""
+SELECT doc_id, md5(trim({expr}, ' ')) AS norm_md5,
+       length(trim({expr}, ' '))::INT AS n_chars_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
+SQL_NORMALIZED_TEXT = _sql_normalized_text()
+
+# three of the synthesized registrable domains blocked — covers a plain
+# .com, an SLD-list domain, and a ported deep-subdomain family
+_BLOCKED_DOMAINS = ("site3.com", "site7.co.uk", "site11.net")
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Domain blocklist filter (operator: text.filter_blocked_domains —
+    broadcast anti-join, the corpus never shuffles): per-lang survivor
+    counts + id checksum pin exactly which docs pass."""
+    docs = _docs(spark, sf_dir).withColumn("url", _domain_url_variants())
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    kept = X.filter_blocked_domains(docs, blocked)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("lang")
+    )
+
+
+SQL_DOMAIN_BLOCKLIST = f"""
+SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_checksum
+FROM (
+  SELECT doc_id, lang, ({_SQL_URL_DOMAIN}) AS domain
+  FROM (SELECT doc_id, lang, {_SQL_DOMAIN_URL_VARIANTS} AS url FROM documents) u
+) d
+WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)})
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable fixed-range histogram quantile sketch (operators.sketches
     .histogram_sketch + histogram_quantiles): n_chars quantized into 256
@@ -5530,6 +5607,8 @@ QUERIES = {
     "corpus_pipeline_v5": (q_corpus_pipeline_v5, SQL_CORPUS_PIPELINE_V5),
     "ivf_topk_frozen": (q_ivf_topk_frozen, SQL_IVF_TOPK_FROZEN),
     "quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
+    "normalized_text": (q_normalized_text, SQL_NORMALIZED_TEXT),
+    "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

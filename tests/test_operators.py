@@ -2554,3 +2554,50 @@ def test_histogram_sketch_quantiles_and_merge(spark):
         histogram_sketch(df, "x", 5.0, 5.0, 10)
     with pytest.raises(ValueError, match="n_bins"):
         histogram_sketch(df, "x", 0.0, 1.0, 0)
+
+
+def test_normalize_text_fixtures(spark):
+    """normalize_text: each rule verified on a targeted fixture — curly
+    quotes, dash family, NBSP family, zero-width drops, control drops
+    (newline/tab survive as structure), run collapse, newline trimming."""
+    from demo_bigdata_spark.operators.text import normalize_text
+
+    cases = [
+        ("‘a’ “b”", "'a' \"b\""),
+        ("x–y—z―w", "x-y-z-w"),
+        ("a b c d", "a b c d"),
+        ("a​b‌c‍d﻿e", "abcde"),
+        ("a\x07b\x00c", "abc"),
+        ("a \t  b\t\tc", "a b c"),
+        # blank lines are paragraph structure and survive; edges trim
+        ("  line1  \n   line2\t \n\nline3  ", "line1\nline2\n\nline3"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {r["i"]: r["n"] for r in df.select("i", normalize_text("t").alias("n")).collect()}
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (repr(t), repr(got[i]), repr(want))
+
+
+def test_filter_blocked_domains_semantics(spark):
+    """filter_blocked_domains drops exactly the blocklisted registrable
+    domains (subdomains included), keeps everything else, plans a
+    broadcast join (never a shuffle of the corpus), and carries domain."""
+    from demo_bigdata_spark.operators.text import filter_blocked_domains
+    from demo_bigdata_spark.plans.inspect import executed_plan
+
+    rows = [
+        (1, "https://spam.example.com/a"),  # registrable domain example.com
+        (2, "https://deep.sub.example.com/b"),  # same registrable domain
+        (3, "https://ok.example.org/c"),
+        (4, "https://fine.co.uk/d"),  # SLD-list host, 3 labels, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    kept = filter_blocked_domains(df, blocked)
+    assert {r["doc_id"] for r in kept.collect()} == {3, 4}
+    assert "domain" in kept.columns
+    plan = executed_plan(kept)
+    assert "Broadcast" in plan and "hashpartitioning(domain" not in plan, plan

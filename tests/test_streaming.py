@@ -2824,6 +2824,28 @@ def test_incremental_histogram_matches_batch(spark, sf_dir, tmp_path):
         read_histogram(spark, path), qs, lo, hi, nb).collect()}
     assert lq == bq and len(lq) == 3
 
+    # streamed fold (incremental_histogram writeStream wrapper) == batch too
+    from demo_bigdata_spark.streaming.pipeline import incremental_histogram
+
+    src = str(tmp_path / "qhsrc")
+    d = docs.select("doc_id", "n_chars")
+    d.filter(F.col("doc_id") % 2 == 0).repartition(1).write.mode("overwrite").parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).repartition(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    spath = str(tmp_path / "qhist_stream")
+    q = incremental_histogram(
+        stream, spath, str(tmp_path / "qhckpt"), "n_chars", lo, hi, nb,
+        trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    slive = {r["bin"]: r["n"] for r in read_histogram(spark, spath).collect()}
+    assert slive == batch
+
 
 def test_domain_cap_stream_admits_first_arrivals(spark, tmp_path):
     """Streaming per-domain cap: across micro-batches each domain admits
