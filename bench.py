@@ -160,6 +160,8 @@ HEADLINE = [
     # r12: pre-tokenization normalization + domain blocklist filter
     "normalized_text",
     "domain_blocklist",
+    # r12: domain-level quality gate (judge sites, not just pages)
+    "domain_quality",
 ]
 # With the r12 scrutiny rotation complete (every declared query has a driver
 # CORRECTNESS row), this list is PINNED: future rounds append new queries at

@@ -1380,3 +1380,41 @@ def filter_blocked_domains(
         "domain",
         "left_anti",
     )
+
+
+def domain_quality_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_pass_frac: float = 0.5,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Domain-level quality gate (the FineWeb/RefinedWeb move of judging
+    SITES, not just pages): per-doc keep flags from :func:`quality_score`
+    aggregate to a per-domain pass fraction, and ENTIRE domains below
+    ``min_pass_frac`` (or with fewer than ``min_docs`` docs) drop — a
+    link-farm domain fails wholesale even when individual pages sneak
+    past per-doc gates. Returns ALL rows of surviving domains (compose
+    the per-doc gate separately — the two filters answer different
+    questions) plus ``domain`` and the domain's ``pass_frac``.
+
+    Cost: two domain-keyed hash operations — the pass-frac aggregate
+    (map-side combinable booleans) and the survivor join back. The stats
+    table is domain-cardinality-sized, so at 100 TB the join is a shuffle
+    join on the domain key, not a broadcast; pass_frac is rounded 4dp so
+    the threshold compare replays exactly cross-engine."""
+    keyed = df.withColumn("domain", url_domain(url_col))
+    flags = quality_score(keyed, text_col=text_col).select("doc_id", "keep")
+    scored = keyed.join(flags, "doc_id")
+    dstats = (
+        scored.groupBy("domain")
+        .agg(
+            F.round(F.avg(F.col("keep").cast("double")), 4).alias("pass_frac"),
+            F.count("*").alias("_nd"),
+        )
+        .filter(
+            (F.col("pass_frac") >= min_pass_frac) & (F.col("_nd") >= min_docs)
+        )
+        .drop("_nd")
+    )
+    return keyed.join(dstats, "domain")

@@ -5392,6 +5392,55 @@ ORDER BY lang
 """
 
 
+def q_domain_quality(spark, sf_dir):
+    """Domain-level quality gate (operator: text.domain_quality_filter):
+    whole domains whose per-doc quality-gate pass fraction is below 0.95
+    drop wholesale. Per-lang survivor counts + id checksum + the count of
+    surviving domains pin exactly which domains (and docs) pass."""
+    docs = _docs(spark, sf_dir).withColumn("url", _domain_url_variants())
+    kept = X.domain_quality_filter(docs, min_pass_frac=0.95, min_docs=2)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.count_distinct("domain").alias("n_domains"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOMAIN_QUALITY = rf"""
+WITH u AS (
+  SELECT doc_id, lang, text, ({_SQL_URL_DOMAIN}) AS domain
+  FROM (SELECT doc_id, lang, text, {_SQL_DOMAIN_URL_VARIANTS} AS url FROM documents) v
+),
+flags AS (
+  SELECT doc_id,
+         (n_tokens >= 5 AND round(n_chars_calc / greatest(n_tokens, 1), 2) <= 12.0
+          AND round(n_distinct / greatest(n_tokens, 1)::DOUBLE, 4) >= 0.1) AS keep
+  FROM (
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS_RAW}) END AS n_tokens,
+           len(list_distinct({SQL_TOKS_RAW})) AS n_distinct
+    FROM u
+  ) b
+),
+dstats AS (
+  SELECT domain, round(avg(keep::INT::DOUBLE), 4) AS pass_frac, count(*) AS nd
+  FROM u JOIN flags USING (doc_id)
+  GROUP BY domain
+)
+SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_checksum,
+       count(DISTINCT domain) AS n_domains
+FROM u JOIN dstats USING (domain)
+WHERE pass_frac >= 0.95 AND nd >= 2
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable fixed-range histogram quantile sketch (operators.sketches
     .histogram_sketch + histogram_quantiles): n_chars quantized into 256
@@ -5609,6 +5658,7 @@ QUERIES = {
     "quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
     "normalized_text": (q_normalized_text, SQL_NORMALIZED_TEXT),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
+    "domain_quality": (q_domain_quality, SQL_DOMAIN_QUALITY),
     "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

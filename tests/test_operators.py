@@ -2601,3 +2601,30 @@ def test_filter_blocked_domains_semantics(spark):
     assert "domain" in kept.columns
     plan = executed_plan(kept)
     assert "Broadcast" in plan and "hashpartitioning(domain" not in plan, plan
+
+
+def test_domain_quality_filter_drops_bad_domains_wholesale(spark):
+    """domain_quality_filter: a link-farm domain (all junk docs) drops
+    ENTIRELY including its one good page; a healthy domain survives with
+    all its docs (per-doc gating is deliberately the caller's separate
+    step); min_docs excludes tiny domains."""
+    from demo_bigdata_spark.operators.text import domain_quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    junk = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"  # 1 huge token
+    rows = [(i, f"https://farm.spam.com/p/{i}", junk) for i in range(9)]
+    rows.append((9, "https://farm.spam.com/p/9", good))  # the one good page
+    rows += [(10 + i, f"https://ok.site.com/p/{i}", good) for i in range(4)]
+    rows.append((99, "https://tiny.solo.org/only", good))  # below min_docs
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    kept = domain_quality_filter(df, min_pass_frac=0.5, min_docs=2).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [10, 11, 12, 13]  # farm gone wholesale, solo below min_docs
+    assert {r["domain"] for r in kept} == {"site.com"}
+    assert all(r["pass_frac"] == 1.0 for r in kept)
+
+    # a permissive threshold readmits the farm WITH its junk (whole-domain
+    # semantics, not per-doc)
+    loose = {r["doc_id"] for r in domain_quality_filter(df, min_pass_frac=0.05, min_docs=2).collect()}
+    assert set(range(10)) <= loose
