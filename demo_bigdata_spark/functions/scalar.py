@@ -85,6 +85,27 @@ def pct_of_total(
     )
 
 
+def round_signsafe(col: Column, scale: int) -> Column:
+    """Round to ``scale`` decimals with the zero sign normalized to +0.0.
+
+    IEEE-754 keeps the sign of a rounded-away negative (round(-2.4e-07, 6)
+    is -0.0), and engines disagree on which zero they print/hash: DuckDB's
+    round yields -0.0 where Spark's yields 0.0 for the same covariance, so
+    a byte-level comparator flags a "mismatch" between two correct answers.
+    Adding +0.0 is the IEEE-defined normalization (-0.0 + 0.0 == +0.0,
+    every other value unchanged) and constant-folds into the same codegen
+    expression — zero runtime cost. Use this (with :func:`round_signsafe_sql`
+    on the oracle side) for any aggregate that can legitimately round to
+    zero from below: covariances, correlations, centered sums, deltas.
+    """
+    return F.round(col, scale) + F.lit(0.0)
+
+
+def round_signsafe_sql(expr: str, scale: int) -> str:
+    """ANSI-SQL twin of :func:`round_signsafe` for DuckDB oracle queries."""
+    return f"round({expr}, {scale}) + 0.0"
+
+
 def pin(expr: Column) -> Column:
     """Wrap an expensive expression so Catalyst cannot re-inline it into
     downstream filters (PushDownPredicates substitutes projected columns

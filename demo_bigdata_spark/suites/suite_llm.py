@@ -5646,20 +5646,10 @@ QUERIES = {
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
     # weighted_sample / bloom_decontamination registry rows moved to
-    # suite_maintenance in round 12 (functions + SQL stay here) so the
-    # driver's head window finally hash-checks them — r11 VERDICT item 1.
-    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
-    "dedup_clusters_incremental": (
-        q_dedup_clusters_incremental,
-        SQL_DEDUP_CLUSTERS_INCREMENTAL,
-    ),
-    "corpus_pipeline_v5": (q_corpus_pipeline_v5, SQL_CORPUS_PIPELINE_V5),
-    "ivf_topk_frozen": (q_ivf_topk_frozen, SQL_IVF_TOPK_FROZEN),
-    "quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
-    "normalized_text": (q_normalized_text, SQL_NORMALIZED_TEXT),
-    "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
-    "domain_quality": (q_domain_quality, SQL_DOMAIN_QUALITY),
-    "url_domains": (q_url_domains, SQL_URL_DOMAINS),
-    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
-    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    # suite_maintenance in round 12, and the 11 late-r12 queries
+    # (dedup_survivors, dedup_clusters_incremental, corpus_pipeline_v5,
+    # ivf_topk_frozen, quantile_sketch, normalized_text, domain_blocklist,
+    # domain_quality, url_domains, domain_cap, domain_stats) moved there in
+    # round 13 (functions + SQL stay here — the scd2-split precedent) so the
+    # driver's head window hash-checks them — r12 VERDICT item 2.
 }

@@ -15,8 +15,30 @@ from __future__ import annotations
 
 from demo_bigdata_spark.suites.suite_llm import (
     SQL_BLOOM_DECONTAMINATION,
+    SQL_CORPUS_PIPELINE_V5,
+    SQL_DEDUP_CLUSTERS_INCREMENTAL,
+    SQL_DEDUP_SURVIVORS,
+    SQL_DOMAIN_BLOCKLIST,
+    SQL_DOMAIN_CAP,
+    SQL_DOMAIN_QUALITY,
+    SQL_DOMAIN_STATS,
+    SQL_IVF_TOPK_FROZEN,
+    SQL_NORMALIZED_TEXT,
+    SQL_QUANTILE_SKETCH,
+    SQL_URL_DOMAINS,
     SQL_WEIGHTED_SAMPLE,
     q_bloom_decontamination,
+    q_corpus_pipeline_v5,
+    q_dedup_clusters_incremental,
+    q_dedup_survivors,
+    q_domain_blocklist,
+    q_domain_cap,
+    q_domain_quality,
+    q_domain_stats,
+    q_ivf_topk_frozen,
+    q_normalized_text,
+    q_quantile_sketch,
+    q_url_domains,
     q_weighted_sample,
 )
 from demo_bigdata_spark.suites.suite_relational import (
@@ -34,4 +56,24 @@ QUERIES = {
     "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "bloom_decontamination": (q_bloom_decontamination, SQL_BLOOM_DECONTAMINATION),
+    # Round-13 membership move (r12 VERDICT item 2): the 11 queries added
+    # late in round 12 sat at suite_llm's tail, outside the driver's head-50
+    # window. Hosting their registry rows here puts all 11 inside the window
+    # (5 streaming + 16 maintenance + 29 relational), after which EVERY
+    # declared query has a driver CORRECTNESS row and rotation stops for
+    # good. Functions and SQL twins live unchanged in suite_llm.
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "dedup_clusters_incremental": (
+        q_dedup_clusters_incremental,
+        SQL_DEDUP_CLUSTERS_INCREMENTAL,
+    ),
+    "corpus_pipeline_v5": (q_corpus_pipeline_v5, SQL_CORPUS_PIPELINE_V5),
+    "ivf_topk_frozen": (q_ivf_topk_frozen, SQL_IVF_TOPK_FROZEN),
+    "quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
+    "normalized_text": (q_normalized_text, SQL_NORMALIZED_TEXT),
+    "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
+    "domain_quality": (q_domain_quality, SQL_DOMAIN_QUALITY),
+    "url_domains": (q_url_domains, SQL_URL_DOMAINS),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
 }

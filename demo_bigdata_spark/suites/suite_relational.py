@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from demo_bigdata_spark.functions.scalar import round_signsafe, round_signsafe_sql
 from demo_bigdata_spark.operators import relational as R
 from demo_bigdata_spark.sources.catalog import load_table
 
@@ -630,21 +631,29 @@ ORDER BY o_orderkey
 # --- Correlation / covariance aggregates -----------------------------------------------
 
 def q_correlations(spark, sf_dir):
+    # covar_samp(l_discount, l_tax) is ~ -2.4e-07 for returnflag N: rounding
+    # to 6dp lands on ZERO, and DuckDB keeps the negative sign (-0.0) while
+    # Spark yields +0.0 — both correct, but byte-distinguishable. The
+    # sign-safe round (x + 0.0) normalizes both twins to +0.0.
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+            round_signsafe(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            round_signsafe(F.covar_samp("l_discount", "l_tax"), 6).alias(
+                "covar_disc_tax"
+            ),
         )
         .orderBy("l_returnflag")
     )
 
 
-SQL_CORRELATIONS = """
+SQL_CORRELATIONS = f"""
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
+       {round_signsafe_sql('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,
+       {round_signsafe_sql('covar_samp(l_discount, l_tax)', 6)} AS covar_disc_tax
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag

@@ -488,3 +488,45 @@ def test_gemm_paths_survive_degenerate_inputs(spark):
     ) == [1, 2]
     top = S.multi_query_topk(z, {7: [1.0] * 64}, k=5).collect()
     assert [r.vec_id for r in top] == [2]
+
+
+def test_round_signsafe_normalizes_negative_zero(spark):
+    """r12 VERDICT #1: round(covar_samp, 6) on a tiny negative lands on ZERO
+    and DuckDB keeps the sign (-0.0) while Spark does not — a byte-level
+    comparator flags two correct answers as a mismatch. round_signsafe must
+    yield +0.0 from below-zero roundings, leave every non-zero value
+    untouched, and its SQL twin must embed the same +0.0 normalization."""
+    import math
+
+    from demo_bigdata_spark.functions.scalar import round_signsafe, round_signsafe_sql
+
+    df = spark.createDataFrame(
+        [(-2.4e-07,), (-0.0,), (0.0,), (1.5e-06,), (-3.7,)], "x double"
+    ).select(round_signsafe(F.col("x"), 6).alias("r"))
+    vals = [r.r for r in df.collect()]
+    assert vals == [0.0, 0.0, 0.0, 2e-06, -3.7]
+    # signed-zero sensitive: copysign distinguishes -0.0 from +0.0
+    assert all(math.copysign(1.0, v) == 1.0 for v in vals if v == 0.0)
+    assert round_signsafe_sql("covar_samp(a, b)", 6) == "round(covar_samp(a, b), 6) + 0.0"
+
+
+def test_correlations_has_no_negative_zero(spark, sf_dir):
+    """The r12 driver red: covar_disc_tax for returnflag N rounds to zero.
+    Both the Spark result and the DuckDB oracle must produce +0.0 there."""
+    import math
+
+    from demo_bigdata_spark.suites.suite_relational import (
+        SQL_CORRELATIONS,
+        q_correlations,
+    )
+    from tests.oracle import duckdb_conn
+
+    for row in q_correlations(spark, sf_dir).collect():
+        for v in (row.corr_qty_price, row.covar_disc_tax):
+            if v == 0.0:
+                assert math.copysign(1.0, v) == 1.0
+    con = duckdb_conn(sf_dir)
+    for row in con.sql(SQL_CORRELATIONS).fetchall():
+        for v in row[1:]:
+            if v == 0.0:
+                assert math.copysign(1.0, v) == 1.0
