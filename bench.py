@@ -162,12 +162,34 @@ HEADLINE = [
     "domain_blocklist",
     # r12: domain-level quality gate (judge sites, not just pages)
     "domain_quality",
+    # r13: registrable-domain extraction against a real-PSL suffix table
+    "url_domains_psl",
+    # r13: the domain tier composed into the crawl order
+    "corpus_pipeline_v6",
+    # r13: wildcard/exception PSL rules
+    "url_domains_psl_wild",
+    # r13: per-source unigram KL divergence vs the corpus mixture
+    "source_kl",
+    # r13: frozen-codebook PQ ADC top-k (the 7th oracle-matched ANN query)
+    "pq_topk_frozen",
 ]
 # With the r12 scrutiny rotation complete (every declared query has a driver
 # CORRECTNESS row), this list is PINNED: future rounds append new queries at
 # the end but never reorder or remove entries, so cross-round bench diffs
 # stay apples-to-apples. tpch_q1 is the designated control row for
 # environment-drift calibration (ROUND_NOTES records its spread per round).
+
+# Queries whose CONSTRUCTION performs the query's own computation (driver-side
+# label-propagation / power-iteration collects), so construction must sit
+# inside the timed region or the row under-reports ~50x (r12 VERDICT item 3).
+# Membership rule: a query belongs here iff fn() runs Spark jobs that ARE the
+# query (iterative reads), not jobs that BUILD its input fixture.
+CONSTRUCT_TIMED = {
+    "dedup_survivors",
+    "dedup_clusters_incremental",
+    "knn_clusters",
+    "nation_pagerank",
+}
 
 
 def main() -> None:
@@ -179,7 +201,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        df = fn(spark, SF_DIR)
         # best of 5: first execution pays one-time whole-stage-codegen javac
         # + JIT compilation (measured 2x+ noise on expression-heavy queries);
         # steady-state throughput is what projects to cluster scale, where
@@ -188,11 +209,30 @@ def main() -> None:
         # the r4 container showed +/-15% swings on UNCHANGED queries between
         # whole-bench runs, so a deeper min is needed for stable
         # round-over-round comparison.
+        #
+        # r13 (r12 VERDICT item 3): for the CONSTRUCT_TIMED reader/iterative
+        # queries, DataFrame construction is inside the timed region —
+        # their construction does the query's own driver-side fixed-point
+        # collects, so timing only the final noop write under-reported them
+        # ~50x. Everything else keeps materialization-only timing: a uniform
+        # construct-per-iteration was measured and rejected (sf0.01 probe:
+        # snapshot_cdf 0.33 -> 27.5 s) because fixture-BUILDING constructions
+        # (snapshot/epoch tables that exist as real tables in production)
+        # would drown the read cost the row is supposed to track and break
+        # the pinned list's cross-round comparability for all 97 rows. The
+        # one-time step change for the 4 rows is recorded in ROUND_NOTES.
         best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        if name in CONSTRUCT_TIMED:
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        else:
+            df = fn(spark, SF_DIR)
+            for _ in range(5):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label

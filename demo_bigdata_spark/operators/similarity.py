@@ -464,8 +464,23 @@ def ivf_topk_frozen(
     qn = math.sqrt(sum(x * x for x in q))
 
     def _qcos(c):
+        # Half-AWAY-FROM-ZERO at 4dp, matching Spark F.round / DuckDB round
+        # (Python round() is banker's half-to-even — a 4dp tie in the
+        # centroid-query cosine would pick different probe clusters than
+        # the oracle replay, r12 ADVICE). Spark's Round on doubles is
+        # BigDecimal.valueOf (shortest repr) + HALF_UP, which
+        # Decimal(repr(x)) reproduces exactly. Zero-norm query or centroid
+        # ranks LAST (the engine twin's cosine is NULL there and NULLs sort
+        # after any score) instead of raising ZeroDivisionError.
+        from decimal import ROUND_HALF_UP, Decimal
+
         cn = math.sqrt(sum(x * x for x in c))
-        return round(sum(a * b for a, b in zip(q, c)) / (qn * cn), 4)
+        if qn == 0.0 or cn == 0.0:
+            return float("-inf")
+        raw = sum(a * b for a, b in zip(q, c)) / (qn * cn)
+        return float(
+            Decimal(repr(raw)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
 
     probes = sorted(range(len(C)), key=lambda i: (-_qcos(C[i]), i))[:n_probe]
     scoped = _assigned(C).filter(F.col("cluster").isin([int(p) for p in probes]))
@@ -475,6 +490,148 @@ def ivf_topk_frozen(
             F.round(cosine_similarity(F.col("v"), _arr(q)), 4).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Driver-side rounding that matches Spark ``F.round`` / DuckDB
+    ``round`` on doubles (HALF AWAY FROM ZERO over the shortest decimal
+    repr) — Python's builtin round() is banker's half-to-even and CAN
+    disagree exactly at a tie, which for frozen-model replays means the
+    engine and the oracle diverge on model constants (r12 ADVICE)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def pq_topk_frozen(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """[EXT] fully VALUE-CHECKABLE product-quantization top-k — the
+    :func:`ivf_topk_frozen` discipline applied to the PQ family (Jégou et
+    al. 2011), so a SQL twin can replay codebook training, encoding, AND
+    asymmetric-distance scoring and the whole PQ model is hash-checked.
+    The data-dependent :func:`train_pq_codebooks`/:func:`pq_topk` pair
+    (GEMM assignment, numpy LUT gather) stays the production path and
+    stays rows-only; this variant pays codebook quality (md5 init) and
+    expression-fold scoring for exact replayability, once in the suite.
+
+    Determinism pins, each mirrored in the oracle: (1) codebook init for
+    EVERY subspace = the corresponding subvectors of the ``n_codes``
+    rows with the smallest (md5(id), id); (2) a FIXED ``iterations``
+    Lloyd unroll per subspace — assignment distance is EUCLIDEAN rounded
+    to 4dp with a code-index tiebreak, means rounded to 6dp, empty codes
+    keep their codeword; (3) ADC scoring: each per-subspace partial
+    ``<q_j, codeword>`` is rounded to 6dp (driver-side via half-away-
+    from-zero, matching round()), the m partials sum in subspace order,
+    and the total rounds to 4dp; (4) final order (adc_score desc, id
+    asc). Shape: assignment/encode is one scan of m×n_codes 16-dim
+    zip_with folds (codegen, no Python); per-iteration collected state is
+    m × n_codes × dim/m floats, never the data; scoring is a per-row
+    lookup into an m × n_codes LITERAL table — the real ADC trick, the
+    corpus never touches the query vector."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+
+    src = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    init = (
+        src.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    if not init:
+        raise ValueError("pq_topk_frozen: empty input — no codebook init")
+    # CB[j][c] = codeword c of subspace j (lists of ds floats)
+    CB = [
+        [[float(x) for x in r["v"][j * ds : (j + 1) * ds]] for r in init]
+        for j in range(m)
+    ]
+
+    def _arr(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def _sub(j):
+        return F.slice(F.col("v"), j * ds + 1, ds)
+
+    def _dist(sub_col, cw):
+        sq = F.aggregate(
+            F.zip_with(sub_col, _arr(cw), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(F.sqrt(sq), 4)
+
+    def _encoded(cb):
+        # codes array: per subspace, argmin (4dp distance, code index)
+        codes = []
+        for j in range(m):
+            structs = [
+                F.struct(
+                    _dist(_sub(j), cb[j][c]).alias("d"), F.lit(c).alias("ci")
+                )
+                for c in range(n_codes)
+            ]
+            codes.append(F.array_min(F.array(*structs))["ci"])
+        return src.withColumn("codes", F.array(*codes))
+
+    for _ in range(iterations):
+        stats = (
+            _encoded(CB)
+            .select("codes", F.posexplode("v").alias("pos", "x"))
+            .select(
+                F.floor(F.col("pos") / ds).cast("int").alias("j"),
+                (F.col("pos") % ds).alias("p"),
+                F.element_at(
+                    F.col("codes"), F.floor(F.col("pos") / ds).cast("int") + 1
+                ).alias("c"),
+                "x",
+            )
+            .groupBy("j", "c", "p")
+            .agg(F.round(F.avg("x"), 6).alias("mu"))
+            .collect()  # bounded model state: m x n_codes x ds floats
+        )
+        newCB = [[list(cw) for cw in sub] for sub in CB]
+        for r in stats:
+            newCB[r["j"]][r["c"]][r["p"]] = float(r["mu"])
+        CB = newCB
+
+    q = [float(x) for x in query_vec]
+    # the ADC lookup table: LUT[j][c] = round6(<q_j, CB[j][c]>), driver-side
+    lut = [
+        [
+            _round_half_up(
+                sum(a * b for a, b in zip(q[j * ds : (j + 1) * ds], CB[j][c])), 6
+            )
+            for c in range(n_codes)
+        ]
+        for j in range(m)
+    ]
+    enc = _encoded(CB)
+    partials = [
+        F.element_at(_arr(lut[j]), F.element_at(F.col("codes"), j + 1) + 1)
+        for j in range(m)
+    ]
+    total = partials[0]
+    for p in partials[1:]:
+        total = total + p
+    return (
+        enc.select(F.col(id_col), F.round(total, 4).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
         .limit(k)
     )
 
@@ -1936,6 +2093,17 @@ def compact_knn_graph(
     )
     compacted.write.mode("append").parquet(graph_path)
     probes_c.write.mode("append").partitionBy("probe_cluster").parquet(probes_path)
+    # Subsumption sidecar (r12 ADVICE, medium): record which epochs this
+    # compaction subsumed so knn_graph_compaction_due can exclude their
+    # never-vacuumed files from live_rows — without it, vacuum=False stale
+    # rows inflate the ratio forever and a repeated maintenance schedule
+    # appends an unbounded chain of n·k copies. Written BEFORE the ledger
+    # commit: the commit stays the single atomicity point, and a sidecar
+    # row whose compaction id never committed is ignored by the trigger.
+    spark.createDataFrame(
+        [(int(ce), int(e)) for e in committed],
+        "compaction_id long, subsumed_epoch long",
+    ).write.mode("append").parquet(graph_path + "_compactions")
     commit_epoch(spark, epochs_path, ce)  # the commit point
 
     if vacuum:
@@ -1977,14 +2145,21 @@ def knn_graph_compaction_due(graph_path: str, ratio: float = 3.0) -> dict:
     Spark jobs and zero data-page reads, so it is safe to call before
     every micro-batch.
 
-    ``live_rows`` = sum of footer row counts under the graph dir;
-    ``baseline_rows`` = rows in files whose epoch_id stats pin them to the
-    LAST compaction epoch (footer min == max == ce) — i.e. the exact n·k
-    row count the last compaction left behind. Due when live/baseline >=
-    ``ratio``. Before any compaction the baseline is unknown; then due
-    kicks in once more than ``ratio`` epochs are committed (each stream
-    epoch contributes ~k + fan-in rows per vector, so epoch count is the
-    honest proxy for the same redundancy ratio).
+    ``live_rows`` = sum of footer row counts under the graph dir,
+    EXCLUDING files whose epoch stats pin them entirely to epochs some
+    committed compaction subsumed (the ``_compactions`` sidecar written at
+    compaction time): under ``vacuum=False`` those files are physically
+    present but logically dead (the compacted copy supersedes them), and
+    counting them would hold the ratio above threshold forever — a
+    repeated maintenance schedule would append an unbounded chain of n·k
+    copies (r12 ADVICE). Under ``vacuum=True`` the exclusion is a no-op
+    (the files are gone). ``baseline_rows`` = rows in files whose epoch_id
+    stats pin them to the LAST compaction epoch (footer min == max == ce)
+    — i.e. the exact n·k row count the last compaction left behind. Due
+    when live/baseline >= ``ratio``. Before any compaction the baseline is
+    unknown; then due kicks in once more than ``ratio`` epochs are
+    committed (each stream epoch contributes ~k + fan-in rows per vector,
+    so epoch count is the honest proxy for the same redundancy ratio).
 
     Break-even (docs/SCALE_NOTES.md, x30 probe): compaction cost 22.3 s
     rewrote 4.2 M -> 600 k edge rows (ratio 7.0) and cut committed reads
@@ -2014,25 +2189,43 @@ def knn_graph_compaction_due(graph_path: str, ratio: float = 3.0) -> dict:
     compactions = [e for e in committed if e < 0]
     ce = min(compactions) if compactions else None
 
+    # Epochs some COMMITTED compaction subsumed (sidecar rows whose
+    # compaction id never reached the ledger are crash leftovers — ignored).
+    # Files fully pinned inside this set are logically dead whether or not
+    # a vacuum removed them, so they must not count as live.
+    subsumed: set[int] = set()
+    sidecar = graph_path + "_compactions"
+    if compactions and os.path.isdir(sidecar):
+        tbl = pads.dataset(sidecar, format="parquet").to_table(
+            columns=["compaction_id", "subsumed_epoch"]
+        )
+        for cid, e in zip(
+            tbl.column("compaction_id").to_pylist(),
+            tbl.column("subsumed_epoch").to_pylist(),
+        ):
+            if cid in committed:
+                subsumed.add(e)
+
     live_rows = 0
     baseline_rows = 0
     for fpath in pads.dataset(graph_path, format="parquet").files:
         md = pq.ParquetFile(fpath).metadata
-        live_rows += md.num_rows
-        if ce is None:
-            continue
         idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
-        if "epoch_id" not in idx:
-            continue
         mins, maxs = set(), set()
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx["epoch_id"]).statistics
-            if st is None or not st.has_min_max:
-                mins.add(None)
-                break
-            mins.add(st.min)
-            maxs.add(st.max)
-        if mins == {ce} and maxs == {ce}:
+        if "epoch_id" in idx:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["epoch_id"]).statistics
+                if st is None or not st.has_min_max:
+                    mins.add(None)
+                    break
+                mins.add(st.min)
+                maxs.add(st.max)
+        pinned = None not in mins and mins and mins == maxs and len(mins) == 1
+        epoch = next(iter(mins)) if pinned else None
+        if pinned and epoch in subsumed and epoch != ce:
+            continue  # superseded by a committed compaction, never live
+        live_rows += md.num_rows
+        if ce is not None and pinned and epoch == ce:
             baseline_rows += md.num_rows
 
     if ce is None or baseline_rows == 0:
@@ -2066,6 +2259,14 @@ def maintain_knn_graph(
     run :func:`compact_knn_graph` exactly when it fires. Call between
     micro-batches (writer exclusion — see the vacuum hazard note); the
     returned trigger report gains ``compacted: bool`` for observability.
+
+    Converges under BOTH vacuum modes: the trigger discounts files that a
+    committed compaction subsumed (the ``_compactions`` sidecar), so with
+    ``vacuum=False`` a quiet graph settles at ratio 1.0 after one
+    compaction instead of re-compacting (and appending another n·k copy)
+    on every schedule tick (r12 ADVICE). Stale bytes still accumulate
+    until a ``vacuum=True`` pass or the snapshot sink reclaims them —
+    vacuum=False trades disk for crash safety, not correctness.
     """
     report = knn_graph_compaction_due(graph_path, ratio=ratio)
     if report.get("due"):
@@ -2090,34 +2291,31 @@ def knn_clusters(
     one cluster — the grouping you want for topic discovery or
     one-per-cluster diversity pruning.
 
-    Reuses the dedup tier's convergent min-label propagation
-    (``_propagate_min_labels``: exact fixed point, raises on the backstop)
-    over a bipartite membership table — each undirected edge is a 2-member
-    bucket, each vector carries a self bucket so isolated points keep their
-    own label. Pass ``graph=`` to reuse an existing (src, dst, cosine)
-    edge frame (e.g. :func:`knn_graph_ivf` output at scale).
+    Reuses the dedup tier's convergent min-label CC over the edge list
+    (``_propagate_min_labels_edges``: exact fixed point, raises on the
+    backstop; r13 — edge-list rounds + pointer jumping replaced the
+    2-member-bucket bipartite form, whose ~diameter round count made long
+    threshold-graph chains a fixed-overhead wall: the sf0.1 CC measured
+    12.1 -> 2.4 s over the same 6k edges). Isolated vectors keep their own
+    label via the universe frame. Pass ``graph=`` to reuse an existing
+    (src, dst, cosine) edge frame (e.g. :func:`knn_graph_ivf` output at
+    scale).
 
     Output: (id_col, cluster_id) with cluster_id = min member id.
     """
-    from demo_bigdata_spark.operators.dedup import _propagate_min_labels
+    from demo_bigdata_spark.operators.dedup import _propagate_min_labels_edges
 
     edges = graph if graph is not None else knn_graph(df, k=k, vec_col=vec_col, id_col=id_col)
     e = (
         edges.filter(F.col("cosine") >= threshold)
         .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            F.least("src", "dst").alias("id_a"), F.greatest("src", "dst").alias("id_b")
         )
         .distinct()
     )
-    bucket = F.concat_ws(":", F.lit("e"), F.col("a"), F.col("b"))
-    mem = e.select(F.col("a").alias(id_col), bucket.alias("bucket")).unionByName(
-        e.select(F.col("b").alias(id_col), bucket.alias("bucket"))
+    return _propagate_min_labels_edges(
+        e, df.select(F.col(id_col)), id_col, max_iterations
     )
-    selfb = df.select(
-        F.col(id_col),
-        F.concat_ws(":", F.lit("s"), F.col(id_col)).alias("bucket"),
-    )
-    return _propagate_min_labels(mem.unionByName(selfb), id_col, max_iterations)
 
 
 def _quantize_np(x: np.ndarray):

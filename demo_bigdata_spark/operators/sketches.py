@@ -392,12 +392,20 @@ def histogram_sketch(
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     x = F.col(value_col).cast("double")
+    # Clamp on the LONG floor result BEFORE any int cast: a value far
+    # outside [lo, hi) can produce a bin index past 2^31, and casting that
+    # long to int first would WRAP into an arbitrary interior bin (silently
+    # violating the edge-clamp contract) while DuckDB's checked ::INT in the
+    # SQL twin would error instead. least/greatest on the long is exact;
+    # the bounded result then casts safely. (floor(+inf) saturates to
+    # Long.MAX under Spark's non-ANSI cast, which the clamp also absorbs.)
     b = F.least(
-        F.lit(n_bins - 1),
+        F.lit(n_bins - 1).cast("bigint"),
         F.greatest(
-            F.lit(0), F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins).cast("int")
+            F.lit(0).cast("bigint"),
+            F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins),
         ),
-    )
+    ).cast("int")
     return (
         df.filter(x.isNotNull())
         .groupBy(b.alias("bin"))

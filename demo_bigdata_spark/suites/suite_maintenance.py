@@ -16,6 +16,7 @@ from __future__ import annotations
 from demo_bigdata_spark.suites.suite_llm import (
     SQL_BLOOM_DECONTAMINATION,
     SQL_CORPUS_PIPELINE_V5,
+    SQL_CORPUS_PIPELINE_V6,
     SQL_DEDUP_CLUSTERS_INCREMENTAL,
     SQL_DEDUP_SURVIVORS,
     SQL_DOMAIN_BLOCKLIST,
@@ -24,11 +25,16 @@ from demo_bigdata_spark.suites.suite_llm import (
     SQL_DOMAIN_STATS,
     SQL_IVF_TOPK_FROZEN,
     SQL_NORMALIZED_TEXT,
+    SQL_PQ_TOPK_FROZEN,
     SQL_QUANTILE_SKETCH,
+    SQL_SOURCE_KL,
     SQL_URL_DOMAINS,
+    SQL_URL_DOMAINS_PSL,
+    SQL_URL_DOMAINS_PSL_WILD,
     SQL_WEIGHTED_SAMPLE,
     q_bloom_decontamination,
     q_corpus_pipeline_v5,
+    q_corpus_pipeline_v6,
     q_dedup_clusters_incremental,
     q_dedup_survivors,
     q_domain_blocklist,
@@ -37,8 +43,12 @@ from demo_bigdata_spark.suites.suite_llm import (
     q_domain_stats,
     q_ivf_topk_frozen,
     q_normalized_text,
+    q_pq_topk_frozen,
     q_quantile_sketch,
+    q_source_kl,
     q_url_domains,
+    q_url_domains_psl,
+    q_url_domains_psl_wild,
     q_weighted_sample,
 )
 from demo_bigdata_spark.suites.suite_relational import (
@@ -76,4 +86,13 @@ QUERIES = {
     "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    # New r13 queries register HERE (inside the driver's head-50 window) so
+    # they get a CORRECTNESS row in the round that introduces them — no
+    # repeat of the r12 tail-scrutiny gap. Functions + SQL live in their
+    # home modules as always.
+    "url_domains_psl": (q_url_domains_psl, SQL_URL_DOMAINS_PSL),
+    "corpus_pipeline_v6": (q_corpus_pipeline_v6, SQL_CORPUS_PIPELINE_V6),
+    "url_domains_psl_wild": (q_url_domains_psl_wild, SQL_URL_DOMAINS_PSL_WILD),
+    "source_kl": (q_source_kl, SQL_SOURCE_KL),
+    "pq_topk_frozen": (q_pq_topk_frozen, SQL_PQ_TOPK_FROZEN),
 }

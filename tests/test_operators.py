@@ -2628,3 +2628,256 @@ def test_domain_quality_filter_drops_bad_domains_wholesale(spark):
     # semantics, not per-doc)
     loose = {r["doc_id"] for r in domain_quality_filter(df, min_pass_frac=0.05, min_docs=2).collect()}
     assert set(range(10)) <= loose
+
+
+def test_url_domains_psl_parity_and_psl_semantics(spark, sf_dir):
+    """r12 VERDICT #5: (a) with a suffix table holding exactly the frozen
+    21 two-label entries, url_domains_with_psl == url_domain row-for-row
+    over the adversarial host synthesis; (b) the full PSL fixture resolves
+    ccTLD registrables the frozen list misses, 3-label suffixes produce
+    4-label registrables, an unknown TLD falls back to last-2, and a host
+    that IS a public suffix passes through; (c) suffixes=None IS the
+    frozen-list path."""
+    from demo_bigdata_spark.operators.text import (
+        _TWO_LEVEL_TLDS,
+        url_domain,
+        url_domains_with_psl,
+    )
+    from demo_bigdata_spark.suites.suite_llm import (
+        PSL_FIXTURE_SUFFIXES,
+        _domain_url_variants,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("url", _domain_url_variants())
+        .select("doc_id", "url")
+    )
+    frozen21 = spark.createDataFrame(
+        [(s,) for s in _TWO_LEVEL_TLDS], "suffix string"
+    )
+    via_join = url_domains_with_psl(docs, suffixes=frozen21)
+    via_list = docs.withColumn("domain", url_domain("url"))
+    assert (
+        via_join.select("doc_id", "domain")
+        .exceptAll(via_list.select("doc_id", "domain"))
+        .count()
+        == 0
+    )
+    assert via_join.count() == via_list.count()
+    # suffixes=None is literally the frozen-list expression
+    assert (
+        url_domains_with_psl(docs)
+        .select("doc_id", "domain")
+        .exceptAll(via_list.select("doc_id", "domain"))
+        .count()
+        == 0
+    )
+
+    psl = spark.createDataFrame(
+        [(s,) for s in PSL_FIXTURE_SUFFIXES], "suffix string"
+    )
+    cases = spark.createDataFrame(
+        [
+            (1, "https://www.shop.com.co/x"),      # ccTLD outside frozen list
+            (2, "https://News.site.co.il:443/x"),  # case + port
+            (3, "https://deep.school.k12.ak.us/x"),# 3-label suffix
+            (4, "https://site.example/x"),         # unknown TLD -> last-2
+            (5, "https://co.il/x"),                # host IS a suffix
+            (6, "https://a.b.c.site.com/x"),       # plain TLD, deep subdomain
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in url_domains_with_psl(cases, suffixes=psl).collect()
+    }
+    assert got == {
+        1: "shop.com.co",
+        2: "site.co.il",
+        3: "school.k12.ak.us",
+        4: "site.example",
+        5: "co.il",
+        6: "site.com",
+    }, got
+
+
+def test_url_domains_psl_wildcard_and_exception_rules(spark):
+    """Full PSL rule semantics: wildcard *.X makes <label>.X a public
+    suffix (registrable gains a label), exception !Y overrides its
+    wildcard, exception beats longest normal match, a host that IS a
+    wildcard public suffix passes through, and precedence picks the
+    LONGEST rule when several match."""
+    from demo_bigdata_spark.operators.text import url_domains_with_psl
+    from demo_bigdata_spark.suites.suite_llm import PSL_WILD_FIXTURE
+
+    psl = spark.createDataFrame([(x,) for x in PSL_WILD_FIXTURE], "suffix string")
+    cases = spark.createDataFrame(
+        [
+            (1, "https://shop.gov.ck/x"),            # *.ck -> 3-label reg
+            (2, "https://a.shop.gov.ck/x"),          # still shop.gov.ck? no: ps=gov.ck -> reg shop.gov.ck
+            (3, "https://www.ck/x"),                 # !www.ck -> reg www.ck
+            (4, "https://sub.www.ck/x"),             # exception suffix -> www.ck
+            (5, "https://gov.ck/x"),                 # IS a public suffix -> passthrough
+            (6, "https://deep.city9.kawasaki.jp/x"), # *.kawasaki.jp beats plain 'jp'
+            (7, "https://city.kawasaki.jp/x"),       # !city.kawasaki.jp
+            (8, "https://blog.nom.br/x"),            # IS a wildcard suffix -> passthrough
+            (9, "https://x.blog.nom.br/x"),          # reg = x.blog.nom.br
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in url_domains_with_psl(cases, suffixes=psl).collect()
+    }
+    assert got == {
+        1: "shop.gov.ck",
+        2: "shop.gov.ck",
+        3: "www.ck",
+        4: "www.ck",
+        5: "gov.ck",
+        6: "deep.city9.kawasaki.jp",
+        7: "city.kawasaki.jp",
+        8: "blog.nom.br",
+        9: "x.blog.nom.br",
+    }, got
+
+
+def test_group_kl_divergence_properties(spark):
+    """KL vs the corpus mixture: (a) a group identical in distribution to
+    the blend scores 0; (b) every KL is >= 0 (Gibbs — and the sign-safe
+    rounding keeps a -1e-17 float from hashing as -0.0); (c) a group
+    disjoint in vocabulary from the others scores strictly higher than a
+    near-mixture group; (d) n_tokens is the exact per-group token count."""
+    import math
+
+    from demo_bigdata_spark.operators.text import group_kl_divergence
+
+    rows = []
+    # two groups with IDENTICAL content -> each equals the mixture -> KL 0
+    for g in ("a", "b"):
+        rows += [(g, "x y z"), (g, "x x y")]
+    # one group of disjoint vocabulary -> large KL
+    rows += [("c", "q r s q"), ("c", "q q r")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: (r["n_tokens"], r["kl"])
+        for r in group_kl_divergence(df, top_v=64).collect()
+    }
+    assert got["a"][0] == 6 and got["b"][0] == 6 and got["c"][0] == 7
+    assert got["a"][1] == got["b"][1]
+    assert all(v[1] >= 0.0 for v in got.values())
+    assert all(math.copysign(1.0, v[1]) == 1.0 for v in got.values() if v[1] == 0.0)
+    assert got["c"][1] > got["a"][1]
+    # a == b shares every token with the mixture but not its PROPORTIONS
+    # (c shifts the blend), so a small positive KL is expected, not 0
+    assert got["a"][1] < got["c"][1]
+
+
+def test_group_kl_divergence_oov_fold(spark):
+    """Tokens outside the top-V vocab fold into ONE <oov> bucket: with
+    top_v=1 only the single most frequent token (tie-broken by string
+    asc) stays itself, and the result still sums each group's mass to 1
+    (KL finite, n_tokens exact)."""
+    from demo_bigdata_spark.operators.text import group_kl_divergence
+
+    df = spark.createDataFrame(
+        [("a", "t t u v"), ("b", "t w w w")], "source string, text string"
+    )
+    got = {
+        r["source"]: (r["n_tokens"], r["kl"])
+        for r in group_kl_divergence(df, top_v=1).collect()
+    }
+    # global counts: t=3, w=3, u=1, v=1 -> tie t vs w broken by string: t
+    # group a: t 2/4, oov 2/4; group b: t 1/4, oov 3/4; mixture: t 3/8, oov 5/8
+    import math
+
+    exp_a = 0.5 * math.log(0.5 / (3 / 8)) + 0.5 * math.log(0.5 / (5 / 8))
+    exp_b = 0.25 * math.log(0.25 / (3 / 8)) + 0.75 * math.log(0.75 / (5 / 8))
+    assert got["a"] == (4, round(exp_a, 6))
+    assert got["b"] == (4, round(exp_b, 6))
+
+
+def test_pq_topk_frozen_separates_clusters_and_stays_jvm_side(spark):
+    """Frozen-codebook PQ on a corpus of two tight prototype clusters:
+    ADC top-k for a query near prototype A must rank every A-cluster
+    member above every B-cluster member (coarse 8-code quantization
+    easily separates orthogonal prototypes), ties break by id asc, and
+    the whole plan is expression-only — no Python stage anywhere (the
+    trained pq_topk path uses mapInPandas; the frozen twin must not) and
+    a TakeOrderedAndProject instead of a global sort."""
+    from demo_bigdata_spark.operators.similarity import pq_topk_frozen
+
+    dim = 64
+    a = [1.0] * 32 + [0.0] * 32
+    b = [0.0] * 32 + [1.0] * 32
+    rows = []
+    for i in range(12):
+        base = a if i % 2 == 0 else b
+        rows.append((i, [x + (0.001 * ((i * 7 + j) % 5)) for j, x in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk_frozen(df, a, k=12, m=4, n_codes=4, iterations=2)
+    got = out.collect()
+    ranked = [r["vec_id"] for r in got]
+    evens = [i for i in ranked if i % 2 == 0]
+    assert set(ranked[:6]) == set(evens[:6]) == {0, 2, 4, 6, 8, 10}, ranked
+    # determinism: an identical rebuild returns identical rows
+    again = pq_topk_frozen(df, a, k=12, m=4, n_codes=4, iterations=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Pandas" not in plan and "PythonUDF" not in plan.replace(
+        "PythonUDTF", ""
+    ), plan
+
+
+def test_load_psl_suffixes_parses_dat_format(spark, tmp_path):
+    """The publicsuffix.org .dat format parses into exactly the rule set:
+    comments (// lines incl. section markers) and blanks drop, rules end
+    at the first whitespace, wildcard/exception syntax survives verbatim,
+    and the loaded frame drives url_domains_with_psl identically to the
+    same rules passed inline."""
+    from demo_bigdata_spark.operators.text import (
+        load_psl_suffixes,
+        url_domains_with_psl,
+    )
+
+    dat = "\n".join(
+        [
+            "// ===BEGIN ICANN DOMAINS===",
+            "",
+            "com",
+            "uk",
+            "co.uk  // inline annotation",
+            "jp",
+            "*.kawasaki.jp",
+            "!city.kawasaki.jp",
+            "// ===END ICANN DOMAINS===",
+            "",
+        ]
+    )
+    p = tmp_path / "psl.dat"
+    p.write_text(dat)
+    loaded = load_psl_suffixes(spark, str(p))
+    got = {r["suffix"] for r in loaded.collect()}
+    assert got == {"com", "uk", "co.uk", "jp", "*.kawasaki.jp", "!city.kawasaki.jp"}
+
+    cases = spark.createDataFrame(
+        [
+            (1, "https://a.b.example.co.uk/x"),
+            (2, "https://deep.city.kawasaki.jp/x"),
+            (3, "https://city.kawasaki.jp/x"),
+        ],
+        "doc_id long, url string",
+    )
+    via_file = url_domains_with_psl(cases, suffixes=loaded)
+    inline = spark.createDataFrame([(s,) for s in got], "suffix string")
+    via_inline = url_domains_with_psl(cases, suffixes=inline)
+    assert sorted(map(tuple, via_file.select("doc_id", "domain").collect())) == sorted(
+        map(tuple, via_inline.select("doc_id", "domain").collect())
+    )
+    assert {r["doc_id"]: r["domain"] for r in via_file.collect()} == {
+        1: "example.co.uk",
+        2: "city.kawasaki.jp",
+        3: "city.kawasaki.jp",
+    }

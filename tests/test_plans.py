@@ -775,3 +775,158 @@ def test_domain_tier_plan_shapes(spark, sf_dir):
     ph = executed_plan(hist)
     assert ph.count("Exchange") == 1, ph
     assert "partial_count" in ph or "partial" in ph.lower(), ph
+
+
+def test_domain_quality_plan_no_selfjoin(spark, sf_dir):
+    """r12 VERDICT #4: domain_quality_filter must NOT pay a corpus-sized
+    doc_id self-join to recover columns its flag subquery dropped — the
+    keep flag is an inline expression, so the ONLY join left is the
+    domain-cardinality stats join. The keyed seam is localCheckpoint-pinned
+    (two consumers), so the plan past the pin re-reads ZERO parquet and
+    carries <= 2 exchanges (the pass-frac aggregate + the stats join's
+    build side)."""
+    from demo_bigdata_spark.operators.text import domain_quality_filter
+    from demo_bigdata_spark.suites.suite_llm import _domain_url_variants
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", _domain_url_variants()
+    )
+    out = domain_quality_filter(docs, min_pass_frac=0.95, min_docs=2)
+    po = executed_plan(out)
+    assert po.count("Scan parquet") == 0, po  # everything reads the pin
+    assert po.count("Exchange") <= 2, po
+    assert not has_cartesian(out), po
+    # every join keys on domain — no doc_id join anywhere
+    import re as _re
+
+    join_keys = _re.findall(r"(?:HashJoin|SortMergeJoin\w*) \[(\w+)", po)
+    assert join_keys and all(k.startswith("domain") for k in join_keys), (
+        join_keys,
+        po,
+    )
+
+
+def test_quality_flag_matches_quality_score(spark, sf_dir):
+    """quality_flag (the inline expression) must reproduce
+    quality_score().keep row-for-row — same rounding, same thresholds —
+    or the domain gate silently diverges from the per-doc gate."""
+    from demo_bigdata_spark.operators.text import quality_flag, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = docs.select("doc_id", quality_flag("text").alias("flag"))
+    scored = quality_score(docs).select("doc_id", "keep")
+    diff = inline.join(scored, "doc_id").filter(
+        F.col("flag") != F.col("keep")
+    )
+    assert diff.count() == 0
+
+
+def test_url_domains_psl_plan_broadcast_only(spark, sf_dir):
+    """The PSL suffix lookup must ride to executors as BROADCAST joins —
+    the corpus side never shuffles (zero non-broadcast exchanges on the
+    extraction), and no cartesian product sneaks in."""
+    from demo_bigdata_spark.operators.text import url_domains_with_psl
+    from demo_bigdata_spark.suites.suite_llm import (
+        PSL_FIXTURE_SUFFIXES,
+        _psl_url_variants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", _psl_url_variants()
+    )
+    psl = spark.createDataFrame(
+        [(s,) for s in PSL_FIXTURE_SUFFIXES], "suffix string"
+    )
+    out = url_domains_with_psl(docs, suffixes=psl)
+    po = executed_plan(out)
+    assert po.count("BroadcastHashJoin") == 3, po
+    # every shuffle exchange keys on the suffix table's dedup (_psl_sfx, a
+    # ~100-row frame) — the CORPUS side must never shuffle
+    import re as _re
+
+    shuffle_keys = _re.findall(r"Exchange hashpartitioning\((\w+?)#", po)
+    assert all(k in ("_psl_sfx", "_s") for k in shuffle_keys), (shuffle_keys, po)
+    assert not has_cartesian(out), po
+
+
+def test_corpus_pipeline_v6_domain_stages_and_seams(spark, sf_dir):
+    """v6 (r12 VERDICT #6 — the domain-curation tier composed into the
+    crawl order) keeps the v5 stage-sum discipline: the blocklist stage is
+    a BROADCAST anti-join on a domain extracted ONCE (zero corpus shuffle
+    beyond stage 1's canonical-key window), the cap is ONE domain-keyed
+    shuffle, the quality gate (the #4 fix under composition) adds <= 2
+    exchanges and joins ONLY on domain, and the shipped composition's
+    outer plan past the pinned stage frames has bounded exchanges, no
+    cartesian, and ZERO corpus re-scans."""
+    from demo_bigdata_spark.operators import text as X
+    from demo_bigdata_spark.suites.suite_llm import (
+        V6_BLOCKED_DOMAINS,
+        V6_DOMAIN_CAP,
+        V6_MIN_DOCS,
+        V6_MIN_PASS_FRAC,
+        V6_QUALITY_MIN_TOKENS,
+        _url_variants,
+        q_corpus_pipeline_v6,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("url", _url_variants())
+    s1 = (
+        X.url_dedup(docs, url_col="url", id_col="doc_id")
+        .select("doc_id", "text", "lang", "source", "url")
+        .withColumn("domain", X.url_domain("url"))
+        .localCheckpoint(eager=True)
+    )
+    blocked = spark.createDataFrame(
+        [(d,) for d in V6_BLOCKED_DOMAINS], "domain string"
+    )
+    d1 = X.filter_blocked_domains(s1, blocked, input_domain_col="domain")
+    p1 = executed_plan(d1)
+    # anti-join broadcast: the corpus side never shuffles
+    assert "BroadcastHashJoin" in p1 and "LeftAnti" in p1, p1
+    assert p1.count("Exchange") - p1.count("BroadcastExchange") == 0, p1
+    d1 = d1.localCheckpoint(eager=True)
+
+    d2 = X.domain_cap_sample(d1, max_per_domain=V6_DOMAIN_CAP, domain_col="domain")
+    p2 = executed_plan(d2)
+    assert p2.count("Exchange") == 1 and "hashpartitioning(domain" in p2, p2
+    d2 = d2.localCheckpoint(eager=True)
+
+    d3 = X.domain_quality_filter(
+        d2,
+        min_pass_frac=V6_MIN_PASS_FRAC,
+        min_docs=V6_MIN_DOCS,
+        domain_col="domain",
+        min_tokens=V6_QUALITY_MIN_TOKENS,
+    )
+    p3 = executed_plan(d3)
+    assert p3.count("Exchange") <= 2 and not has_cartesian(d3), p3
+    import re as _re
+
+    jk = _re.findall(r"(?:HashJoin|SortMergeJoin\w*) \[(\w+)", p3)
+    assert jk and all(k.startswith("domain") for k in jk), (jk, p3)
+
+    # shipped composition: bounded outer plan, no corpus re-scans
+    out = q_corpus_pipeline_v6(spark, sf_dir)
+    po = executed_plan(out)
+    assert po.count("Exchange") <= 6 and not has_cartesian(out), po
+    assert po.count("Scan parquet") == 0, po
+    rows = out.collect()
+    assert rows and all(r["n_docs"] > 0 for r in rows)
+
+
+def test_source_kl_plan_one_corpus_pass(spark, sf_dir):
+    """group_kl_divergence scans the corpus ONCE: the (group, token)
+    aggregate is localCheckpoint-pinned (it feeds both the vocab subtree
+    and the OOV fold), so the executed plan reads zero parquet past the
+    pin; the vocab selection is a TakeOrderedAndProject (distributed
+    top-k, not a single-task global window), the vocab join is broadcast,
+    and no cartesian product sneaks in (the scalar-total join is a
+    BroadcastNestedLoopJoin over ONE row — allowed)."""
+    from demo_bigdata_spark.operators.text import group_kl_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = group_kl_divergence(docs, group_col="source")
+    po = executed_plan(out)
+    assert po.count("Scan parquet") == 0, po  # everything reads the pin
+    assert "TakeOrderedAndProject" in po, po
+    assert "CartesianProduct" not in po, po

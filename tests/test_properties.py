@@ -407,3 +407,81 @@ def test_emit_row_topk_is_exact_per_row(na, nb, k, seed, quant):
     # emitted values must be the true scores
     for x, y, cc in zip(s, d, c):
         assert cos[np.where(ids_a == x)[0][0], np.where(ids_b == y)[0][0]] == cc
+
+
+# --- Histogram sketch edge/overflow properties (r12 VERDICT #7 + ADVICE) -----
+
+hist_values = st.lists(
+    st.one_of(
+        st.floats(min_value=0.0, max_value=99.999, allow_nan=False),
+        # far out-of-range on both sides, including magnitudes whose raw bin
+        # index exceeds 2^31 (the ADVICE int-cast-wrap regression: clamping
+        # must happen on the LONG before any int cast)
+        st.floats(min_value=-1e13, max_value=-1.0, allow_nan=False),
+        st.floats(min_value=100.0, max_value=1e13, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _ref_bins(vals, lo, hi, nb):
+    import math as m
+
+    out = {}
+    for v in vals:
+        b = min(nb - 1, max(0, m.floor((v - lo) / (hi - lo) * nb)))
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(vals=hist_values)
+def test_histogram_sketch_matches_reference_binning(spark, vals):
+    """Engine bin counts == the Python reference clamp-then-floor for any
+    mix of in-range and absurdly out-of-range values; every emitted bin id
+    is inside [0, n_bins) (a wrapped cast would land outside or in a wrong
+    interior bin and break the multiset equality)."""
+    from demo_bigdata_spark.operators.sketches import histogram_sketch
+
+    lo, hi, nb = 0.0, 100.0, 32
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {r["bin"]: r["n"] for r in histogram_sketch(df, "x", lo, hi, nb).collect()}
+    assert got == _ref_bins(vals, lo, hi, nb)
+    assert all(0 <= b < nb for b in got)
+
+
+def test_histogram_bin_edge_convention(spark):
+    """A value exactly on a bin edge k*width belongs to bin k (lower-edge
+    inclusive), hi itself is exclusive and clamps into the top bin, and the
+    float product convention matches the DuckDB twin's floor(x/hi*nb)."""
+    from demo_bigdata_spark.operators.sketches import histogram_sketch
+
+    lo, hi, nb = 0.0, 100.0, 10  # width 10
+    edges = [0.0, 10.0, 50.0, 90.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in edges], "x double")
+    got = {r["bin"]: r["n"] for r in histogram_sketch(df, "x", lo, hi, nb).collect()}
+    assert got == {0: 1, 1: 1, 5: 1, 9: 2}  # 100.0 clamps into bin 9
+
+
+def test_histogram_quantiles_q0_q1_and_total(spark):
+    """q=1.0 must return the last POPULATED bin's lower edge
+    (ceil(1.0*total) == total — no off-by-one past the walk), q=0.0 the
+    first populated bin's edge, and total the exact row count."""
+    from demo_bigdata_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    lo, hi, nb = 0.0, 100.0, 10
+    # only bins 2 (20..30) and 7 (70..80) populated
+    vals = [25.0] * 7 + [75.0] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    hist = histogram_sketch(df, "x", lo, hi, nb)
+    est = {
+        r["q"]: (r["est"], r["total"])
+        for r in histogram_quantiles(hist, [0.0, 0.5, 1.0], lo, hi, nb).collect()
+    }
+    assert est[0.0] == (20.0, 10)
+    assert est[0.5] == (20.0, 10)  # ceil(5) = 5 <= 7 cum at bin 2
+    assert est[1.0] == (70.0, 10)  # last populated bin, not bin 9

@@ -2900,3 +2900,106 @@ def test_domain_cap_stream_admits_first_arrivals(spark, tmp_path):
     delegated = domain_cap_stream(df, max_per_domain=4)
     assert {r["doc_id"] for r in delegated.collect()} == batch_ids
     assert delegated.columns == ["doc_id", "ts", "url", "domain"]
+
+
+def test_maintain_knn_graph_vacuum_false_converges(spark, sf_dir, tmp_path):
+    """r12 ADVICE (medium): with vacuum=False the stale pre-compaction
+    files stay on disk, and a trigger that counted them as live would be
+    'due' forever — every maintenance tick would append another n·k
+    compacted copy, unbounded growth. The subsumption sidecar must make a
+    quiet just-compacted graph read ratio 1.0, a repeated maintain a
+    no-op, and new epochs after the compaction must still re-arm the
+    trigger."""
+    from demo_bigdata_spark.operators.similarity import (
+        append_knn_graph_batch,
+        knn_graph_compaction_due,
+        maintain_knn_graph,
+        read_knn_graph,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    k, n_probe = 5, 2
+    idx_p, gr_p = str(tmp_path / "nidx"), str(tmp_path / "nedges")
+
+    splits = [emb.filter(F.col("vec_id") % 4 == m) for m in range(4)]
+    for e in range(4):
+        append_knn_graph_batch(
+            spark, splits[e], idx_p, gr_p, C, epoch_id=e, k=k, n_probe=n_probe
+        )
+
+    r1 = maintain_knn_graph(spark, gr_p, k=k, ratio=1.5, vacuum=False)
+    assert r1["compacted"] is True
+    graph_rows = read_knn_graph(spark, gr_p, k=k).count()
+    files_after_1 = spark.read.parquet(gr_p).count()
+
+    # quiet graph: subsumed stale files are discounted, ratio collapses to
+    # 1.0 and repeated maintenance is a no-op (no new physical rows)
+    post = knn_graph_compaction_due(gr_p, ratio=1.5)
+    assert post["row_ratio"] == 1.0 and post["due"] is False, post
+    for _ in range(3):
+        r = maintain_knn_graph(spark, gr_p, k=k, ratio=1.5, vacuum=False)
+        assert r["compacted"] is False
+    assert spark.read.parquet(gr_p).count() == files_after_1  # no growth
+    assert read_knn_graph(spark, gr_p, k=k).count() == graph_rows
+
+    # new epochs re-arm the trigger; a second no-vacuum compaction also
+    # settles (its own stale copy + the older compacted copy are subsumed)
+    for e in (10, 11, 12):
+        append_knn_graph_batch(
+            spark, splits[e % 4], idx_p, gr_p, C, epoch_id=e, k=k, n_probe=n_probe
+        )
+    r2 = maintain_knn_graph(spark, gr_p, k=k, ratio=1.5, vacuum=False)
+    assert r2["compacted"] is True
+    settled = knn_graph_compaction_due(gr_p, ratio=1.5)
+    assert settled["row_ratio"] == 1.0 and settled["due"] is False, settled
+    # read correctness is untouched by any of this
+    assert read_knn_graph(spark, gr_p, k=k).count() > 0
+
+
+def test_url_dedup_batch_payload_tiebreak(spark):
+    """r12 ADVICE (low): two rows with identical canonical_url, ts AND raw
+    url but different payloads must resolve deterministically — the full
+    sortable-column tiebreak picks the lexicographically smallest payload
+    regardless of input order or partitioning."""
+    import datetime as dt
+
+    from demo_bigdata_spark.streaming.pipeline import url_dedup_stream
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("https://ex.com/p", t, "b-doc"),
+        ("https://ex.com/p", t, "a-doc"),
+        ("https://ex.com/p", t, "c-doc"),
+    ]
+    for perm in (rows, rows[::-1], [rows[2], rows[0], rows[1]]):
+        df = spark.createDataFrame(
+            perm, "url string, ts timestamp, payload string"
+        ).repartition(3)
+        out = url_dedup_stream(df).collect()
+        assert len(out) == 1 and out[0]["payload"] == "a-doc", out
+
+
+def test_url_dedup_batch_tiebreak_skips_nested_maps(spark):
+    """Columns whose type CONTAINS a map anywhere (array<map>, struct with
+    a map field) must be excluded from the deterministic tiebreak — Spark
+    cannot order them and a naive top-level-only check would throw at
+    plan time. Rows still dedup; orderable payload columns still break
+    the tie."""
+    import datetime
+
+    from demo_bigdata_spark.streaming.pipeline import url_dedup_stream
+
+    t = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/x", t, 2, [{"k": "v"}], ("s", {"m": 1})),
+            ("https://a.com/x", t, 1, [{"k": "w"}], ("s", {"m": 2})),
+        ],
+        "url string, ts timestamp, doc_id int, am array<map<string,string>>, "
+        "st struct<a:string, b:map<string,int>>",
+    )
+    out = url_dedup_stream(df).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1  # orderable int column still tiebreaks
