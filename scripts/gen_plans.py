@@ -124,6 +124,22 @@ SHOWCASE = {
         "feeding a WindowGroupLimit — at 100 TB the cheapest dedup in the "
         "pipeline, which is why web corpora run it before content dedup."
     ),
+    "url_domains_psl": (
+        "Real-PSL domain extraction (r13): every suffix probe is a "
+        "BroadcastHashJoin of a per-(kind, label-count) slice of the "
+        "list-sized suffix table — the only hash exchanges in the plan "
+        "key on the ~100-row suffix frame, the corpus side never "
+        "shuffles, and the host/label arithmetic stays in the scan's "
+        "codegen span. At 100 TB the extraction is a map-only pass."
+    ),
+    "source_kl": (
+        "Per-source KL drift diagnostic (r13): ONE corpus-sized exchange "
+        "(the map-side-combinable (group, token) count, pinned once for "
+        "its two consumers); the top-V vocab is TakeOrderedAndProject "
+        "over the already-aggregated token table (distributed top-k — "
+        "never a single-task global window) and rejoins as a broadcast; "
+        "every aggregate after the pin runs over <= groups x (V+1) rows."
+    ),
 }
 
 
