@@ -172,6 +172,8 @@ HEADLINE = [
     "source_kl",
     # r13: frozen-codebook PQ ADC top-k (the 7th oracle-matched ANN query)
     "pq_topk_frozen",
+    # r13: frozen IVF-PQ composition (the FAISS shape, fully value-checked)
+    "ivf_pq_topk_frozen",
 ]
 # With the r12 scrutiny rotation complete (every declared query has a driver
 # CORRECTNESS row), this list is PINNED: future rounds append new queries at

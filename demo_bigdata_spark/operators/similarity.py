@@ -387,6 +387,83 @@ def ivf_topk(
     return brute_force_topk(scoped, [float(x) for x in q], k=k, vec_col="v", id_col=id_col)
 
 
+def _lit_arr(vals):
+    """array<double> literal from a Python float list."""
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _frozen_init_rows(src, n: int, who: str):
+    """Content-addressed model init shared by the frozen-model family:
+    the ``n`` rows of (id, v) with the smallest (md5(id), id) — engine-
+    portable, replayed in every twin as a QUALIFY over md5(vec_id)."""
+    init = (
+        src.withColumn("_h", F.md5(F.col(src.columns[0]).cast("string")))
+        .orderBy("_h", src.columns[0])
+        .limit(n)
+        .collect()
+    )
+    if not init:
+        raise ValueError(f"{who}: empty input — nothing to init the model from")
+    return init
+
+
+def _frozen_ivf_assigned(src, cents):
+    """Cluster assignment under the frozen pins: 4dp cosine, ties at the
+    rounded score pick the SMALLEST centroid index (max of (score, -idx),
+    matching the twin's ORDER BY sc DESC, cid)."""
+    from demo_bigdata_spark.functions.vector import cosine_similarity
+
+    structs = [
+        F.struct(
+            F.round(cosine_similarity(F.col("v"), _lit_arr(c)), 4).alias("s"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    return src.withColumn("cluster", -F.array_max(F.array(*structs))["ni"])
+
+
+def _frozen_ivf_model(src, n_centroids: int, iterations: int, who: str):
+    """The frozen k-means: md5 init + a FIXED Lloyd unroll with 4dp
+    assignment scores and 6dp centroid means (the pins that collapse
+    distributed float sum-order drift). Returns the centroid list; per-
+    iteration collected state is n_centroids x dim floats, never data."""
+    C = [[float(x) for x in r["v"]] for r in _frozen_init_rows(src, n_centroids, who)]
+    for _ in range(iterations):
+        stats = (
+            _frozen_ivf_assigned(src, C)
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()  # bounded model state: n_centroids x dim floats
+        )
+        newC = [list(c) for c in C]  # empty clusters keep their centroid
+        for r in stats:
+            newC[r["cluster"]][r["pos"]] = float(r["m"])
+        C = newC
+    return C
+
+
+def _frozen_probe_clusters(C, q: list[float], n_probe: int) -> list[int]:
+    """Driver-side probe selection under the frozen pins: centroid-query
+    cosine rounded HALF AWAY FROM ZERO at 4dp (matching Spark F.round /
+    DuckDB round — Python round() is banker's and CAN disagree exactly at
+    a tie, r12 ADVICE), index tiebreak; a zero-norm query or centroid
+    ranks LAST (the twin's cosine is NULL there and NULLs sort after any
+    score) instead of raising ZeroDivisionError."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def _qcos(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        if qn == 0.0 or cn == 0.0:
+            return float("-inf")
+        return _round_half_up(sum(a * b for a, b in zip(q, c)) / (qn * cn), 4)
+
+    return sorted(range(len(C)), key=lambda i: (-_qcos(C[i]), i))[:n_probe]
+
+
 def ivf_topk_frozen(
     df: DataFrame,
     query_vec: list[float],
@@ -416,78 +493,22 @@ def ivf_topk_frozen(
     n_centroids x dim floats, never the data. The price vs the
     data-dependent trainer is centroid quality (md5 init is arbitrary),
     the price worth paying exactly once in the suite for a hash-matched
-    ANN family member."""
-    import math
-
+    ANN family member. (r13: model/assignment/probe internals factored
+    into the shared ``_frozen_*`` helpers so :func:`ivf_pq_topk_frozen`
+    composes the same pins — behavior unchanged, oracle hash identical.)"""
     from demo_bigdata_spark.functions.vector import cosine_similarity
 
     src = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    init = (
-        src.withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(n_centroids)
-        .collect()
-    )
-    C = [[float(x) for x in r["v"]] for r in init]
-    if not C:
-        raise ValueError("ivf_topk_frozen: empty input — no centroids to init")
-
-    def _arr(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
-
-    def _assigned(cents):
-        structs = [
-            F.struct(
-                F.round(cosine_similarity(F.col("v"), _arr(c)), 4).alias("s"),
-                F.lit(-i).alias("ni"),
-            )
-            for i, c in enumerate(cents)
-        ]
-        # max of (score, -idx): ties at the 4dp score pick the SMALLEST
-        # centroid index, matching the twin's ORDER BY sc DESC, cid
-        return src.withColumn("cluster", -F.array_max(F.array(*structs))["ni"])
-
-    for _ in range(iterations):
-        stats = (
-            _assigned(C)
-            .select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
-            .collect()  # bounded model state: n_centroids x dim floats
-        )
-        newC = [list(c) for c in C]  # empty clusters keep their centroid
-        for r in stats:
-            newC[r["cluster"]][r["pos"]] = float(r["m"])
-        C = newC
-
+    C = _frozen_ivf_model(src, n_centroids, iterations, "ivf_topk_frozen")
     q = [float(x) for x in query_vec]
-    qn = math.sqrt(sum(x * x for x in q))
-
-    def _qcos(c):
-        # Half-AWAY-FROM-ZERO at 4dp, matching Spark F.round / DuckDB round
-        # (Python round() is banker's half-to-even — a 4dp tie in the
-        # centroid-query cosine would pick different probe clusters than
-        # the oracle replay, r12 ADVICE). Spark's Round on doubles is
-        # BigDecimal.valueOf (shortest repr) + HALF_UP, which
-        # Decimal(repr(x)) reproduces exactly. Zero-norm query or centroid
-        # ranks LAST (the engine twin's cosine is NULL there and NULLs sort
-        # after any score) instead of raising ZeroDivisionError.
-        from decimal import ROUND_HALF_UP, Decimal
-
-        cn = math.sqrt(sum(x * x for x in c))
-        if qn == 0.0 or cn == 0.0:
-            return float("-inf")
-        raw = sum(a * b for a, b in zip(q, c)) / (qn * cn)
-        return float(
-            Decimal(repr(raw)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
-        )
-
-    probes = sorted(range(len(C)), key=lambda i: (-_qcos(C[i]), i))[:n_probe]
-    scoped = _assigned(C).filter(F.col("cluster").isin([int(p) for p in probes]))
+    probes = _frozen_probe_clusters(C, q, n_probe)
+    scoped = _frozen_ivf_assigned(src, C).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
     return (
         scoped.select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col("v"), _arr(q)), 4).alias("cosine"),
+            F.round(cosine_similarity(F.col("v"), _lit_arr(q)), 4).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -546,52 +567,63 @@ def pq_topk_frozen(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     ds = dim // m
-
     src = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    init = (
-        src.withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(n_codes)
-        .collect()
+    CB = _frozen_pq_model(src, m, ds, n_codes, iterations, "pq_topk_frozen")
+    q = [float(x) for x in query_vec]
+    return (
+        _frozen_pq_adc_scored(_frozen_pq_encoded(src, CB, m, ds, n_codes), CB, q, m, ds, n_codes)
+        .select(F.col(id_col), "adc_score")
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
     )
-    if not init:
-        raise ValueError("pq_topk_frozen: empty input — no codebook init")
-    # CB[j][c] = codeword c of subspace j (lists of ds floats)
+
+
+def _frozen_pq_sub(j: int, ds: int):
+    """Subvector j of the working ``v`` column (1-based slice)."""
+    return F.slice(F.col("v"), j * ds + 1, ds)
+
+
+def _frozen_pq_dist(sub_col, cw):
+    """4dp Euclidean distance between a subvector column and a codeword
+    literal — the PQ assignment pin (zip_with fold + sqrt + round)."""
+    sq = F.aggregate(
+        F.zip_with(sub_col, _lit_arr(cw), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(F.sqrt(sq), 4)
+
+
+def _frozen_pq_encoded(src, CB, m: int, ds: int, n_codes: int):
+    """codes array column: per subspace, argmin of (4dp distance, code
+    index) — ties at the rounded distance pick the smallest code."""
+    codes = []
+    for j in range(m):
+        structs = [
+            F.struct(
+                _frozen_pq_dist(_frozen_pq_sub(j, ds), CB[j][c]).alias("d"),
+                F.lit(c).alias("ci"),
+            )
+            for c in range(n_codes)
+        ]
+        codes.append(F.array_min(F.array(*structs))["ci"])
+    return src.withColumn("codes", F.array(*codes))
+
+
+def _frozen_pq_model(src, m: int, ds: int, n_codes: int, iterations: int, who: str):
+    """Frozen PQ codebooks: every subspace inits from the corresponding
+    subvectors of the md5-smallest rows, then a FIXED Lloyd unroll per
+    subspace (4dp assignment distances, 6dp means, empty codes keep their
+    codeword). CB[j][c] = codeword c of subspace j; per-iteration
+    collected state is m x n_codes x ds floats, never the data."""
+    init = _frozen_init_rows(src, n_codes, who)
     CB = [
         [[float(x) for x in r["v"][j * ds : (j + 1) * ds]] for r in init]
         for j in range(m)
     ]
-
-    def _arr(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
-
-    def _sub(j):
-        return F.slice(F.col("v"), j * ds + 1, ds)
-
-    def _dist(sub_col, cw):
-        sq = F.aggregate(
-            F.zip_with(sub_col, _arr(cw), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.round(F.sqrt(sq), 4)
-
-    def _encoded(cb):
-        # codes array: per subspace, argmin (4dp distance, code index)
-        codes = []
-        for j in range(m):
-            structs = [
-                F.struct(
-                    _dist(_sub(j), cb[j][c]).alias("d"), F.lit(c).alias("ci")
-                )
-                for c in range(n_codes)
-            ]
-            codes.append(F.array_min(F.array(*structs))["ci"])
-        return src.withColumn("codes", F.array(*codes))
-
     for _ in range(iterations):
         stats = (
-            _encoded(CB)
+            _frozen_pq_encoded(src, CB, m, ds, n_codes)
             .select("codes", F.posexplode("v").alias("pos", "x"))
             .select(
                 F.floor(F.col("pos") / ds).cast("int").alias("j"),
@@ -609,9 +641,14 @@ def pq_topk_frozen(
         for r in stats:
             newCB[r["j"]][r["c"]][r["p"]] = float(r["mu"])
         CB = newCB
+    return CB
 
-    q = [float(x) for x in query_vec]
-    # the ADC lookup table: LUT[j][c] = round6(<q_j, CB[j][c]>), driver-side
+
+def _frozen_pq_adc_scored(enc, CB, q: list[float], m: int, ds: int, n_codes: int):
+    """ADC scoring through a LITERAL lookup table: LUT[j][c] =
+    round6(<q_j, CB[j][c]>) computed driver-side with half-away-from-zero
+    rounding (Python banker's round would diverge from round() at ties);
+    the m partials sum in subspace order and the total rounds to 4dp."""
     lut = [
         [
             _round_half_up(
@@ -621,16 +658,67 @@ def pq_topk_frozen(
         ]
         for j in range(m)
     ]
-    enc = _encoded(CB)
     partials = [
-        F.element_at(_arr(lut[j]), F.element_at(F.col("codes"), j + 1) + 1)
+        F.element_at(_lit_arr(lut[j]), F.element_at(F.col("codes"), j + 1) + 1)
         for j in range(m)
     ]
     total = partials[0]
     for p in partials[1:]:
         total = total + p
+    return enc.withColumn("adc_score", F.round(total, 4))
+
+
+def ivf_pq_topk_frozen(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    n_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """[EXT] fully VALUE-CHECKABLE IVF-PQ top-k — the FAISS production
+    composition (coarse inverted-list pruning + product-quantized ADC
+    scoring) with BOTH models frozen, so one SQL twin replays coarse
+    k-means, probe selection, PQ codebook training, encoding, and the ADC
+    sum end-to-end. Composes the exact pins of :func:`ivf_topk_frozen`
+    (shared ``_frozen_ivf_*`` helpers) and :func:`pq_topk_frozen` (shared
+    ``_frozen_pq_*`` helpers); the data-dependent
+    :func:`ivf_pq_topk`/:func:`ivf_pq_topk_indexed` pair stays the
+    production rows-only path.
+
+    One honest simplification vs FAISS defaults, stated for the record:
+    codebooks quantize RAW vectors, not per-cluster residuals
+    (``by_residual=false`` in FAISS terms — a real FAISS option). Residual
+    PQ would thread the coarse assignment into every codebook pin and
+    double the replay depth for no additional verification value.
+
+    Shape: coarse assignment + encode are one scan of expression folds
+    (codegen); the probe filter scopes the ADC scoring to n_probe/
+    n_centroids of the corpus (on a materialized index this is partition
+    pruning); the ADC is a literal m x n_codes lookup — the corpus never
+    touches the query vector; TakeOrderedAndProject finishes. Collected
+    driver state: the two models (n_centroids x dim + m x n_codes x dim/m
+    floats), never data."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    src = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    C = _frozen_ivf_model(src, n_centroids, iterations, "ivf_pq_topk_frozen")
+    CB = _frozen_pq_model(src, m, ds, n_codes, iterations, "ivf_pq_topk_frozen")
+    q = [float(x) for x in query_vec]
+    probes = _frozen_probe_clusters(C, q, n_probe)
+    scoped = _frozen_ivf_assigned(src, C).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+    enc = _frozen_pq_encoded(scoped, CB, m, ds, n_codes)
     return (
-        enc.select(F.col(id_col), F.round(total, 4).alias("adc_score"))
+        _frozen_pq_adc_scored(enc, CB, q, m, ds, n_codes)
+        .select(F.col(id_col), "adc_score")
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
         .limit(k)
     )

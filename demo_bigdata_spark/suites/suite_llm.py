@@ -5471,6 +5471,149 @@ LIMIT {k}
 SQL_PQ_TOPK_FROZEN = _sql_pq_topk_frozen()
 
 
+def q_ivf_pq_topk_frozen(spark, sf_dir):
+    """Fully value-checked IVF-PQ top-k (operator:
+    similarity.ivf_pq_topk_frozen — the FAISS production composition with
+    BOTH models frozen): coarse md5-init k-means prunes to the top-2
+    probe clusters, frozen PQ codebooks ADC-score the survivors through a
+    literal lookup table. The oracle replays coarse training, probe
+    selection, PQ training, encoding, and the ADC sum — the 8th
+    oracle-matched ANN query; the trained ivf_pq_topk/_indexed pair stays
+    rows-only. Codebooks quantize raw vectors (by_residual=false), stated
+    in the operator docstring."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.ivf_pq_topk_frozen(
+        emb, qvec, k=10, n_probe=2, n_centroids=8, m=4, n_codes=8, iterations=2
+    )
+
+
+def _sql_ivf_pq_topk_frozen(
+    n_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    n_probe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    """Combined replay: the coarse chain is _sql_ivf_topk_frozen's
+    (cosine QUALIFY unroll), the codebook chain is _sql_pq_topk_frozen's
+    (per-subspace distance unroll); both models init from the SAME
+    md5-smallest rows (n_centroids == n_codes here), and the ADC scoring
+    is scoped to the probed clusters exactly like the engine's filter."""
+    assert n_centroids == n_codes, "shared init CTE assumes equal model sizes"
+    ds = dim // m
+    ctes = []
+    # coarse k-means chain (c0..cN) — same pins as _sql_ivf_topk_frozen
+    prev = "c0"
+    for t in range(1, iterations + 1):
+        ctes.append(f"""s{t} AS (
+  SELECT n.vec_id, n.v, c.cid,
+         round(list_cosine_similarity(n.v, c.cv), 4) AS sc
+  FROM e n CROSS JOIN {prev} c
+),
+a{t} AS (
+  SELECT vec_id, v, cid FROM s{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) = 1
+),
+u{t} AS (
+  SELECT cid, pos, round(avg(x), 6) AS mn FROM (
+    SELECT cid, unnest(range({dim})) AS pos, unnest(v) AS x FROM a{t}
+  ) z{t} GROUP BY cid, pos
+),
+c{t} AS (
+  SELECT c.cid, coalesce(w.cv2, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (
+    SELECT cid, list(mn ORDER BY pos) AS cv2 FROM u{t} GROUP BY cid
+  ) w USING (cid)
+)""")
+        prev = f"c{t}"
+    coarse_last = prev
+    # PQ codebook chain per subspace — same pins as _sql_pq_topk_frozen
+    for j in range(m):
+        lo, hi = j * ds + 1, (j + 1) * ds
+        ctes.append(
+            f"cb0_{j} AS (SELECT cid, list_slice(v, {lo}, {hi}) AS cw FROM init)"
+        )
+    for t in range(1, iterations + 1):
+        for j in range(m):
+            lo, hi = j * ds + 1, (j + 1) * ds
+            prevb = f"cb{t - 1}_{j}"
+            ctes.append(f"""pa{t}_{j} AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT n.vec_id, list_slice(n.v, {lo}, {hi}) AS sv, c.cid,
+           round(list_distance(list_slice(n.v, {lo}, {hi}), c.cw), 4) AS d
+    FROM e n CROSS JOIN {prevb} c
+  ) ps{t}_{j}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+pu{t}_{j} AS (
+  SELECT cid, pos, round(avg(x), 6) AS mu FROM (
+    SELECT cid, unnest(range({ds})) AS pos, unnest(sv) AS x FROM pa{t}_{j}
+  ) pz{t}_{j} GROUP BY cid, pos
+),
+cb{t}_{j} AS (
+  SELECT c.cid, coalesce(w.cw2, c.cw) AS cw
+  FROM {prevb} c LEFT JOIN (
+    SELECT cid, list(mu ORDER BY pos) AS cw2 FROM pu{t}_{j} GROUP BY cid
+  ) w USING (cid)
+)""")
+    last = iterations
+    # probe selection + coarse scoping, then per-subspace encode + ADC
+    ctes.append(f"""probes AS (
+  SELECT cid FROM {coarse_last}, q
+  QUALIFY row_number() OVER (
+    ORDER BY round(list_cosine_similarity(cv, qv), 4) DESC, cid) <= {n_probe}
+),
+fa AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+           round(list_cosine_similarity(n.v, c.cv), 4) AS sc
+    FROM e n CROSS JOIN {coarse_last} c
+  ) fs
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) = 1
+),
+es AS (
+  SELECT e.* FROM e JOIN fa USING (vec_id) JOIN probes ON fa.cid = probes.cid
+)""")
+    for j in range(m):
+        lo, hi = j * ds + 1, (j + 1) * ds
+        ctes.append(f"""f_{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+           round(list_distance(list_slice(n.v, {lo}, {hi}), c.cw), 4) AS d
+    FROM es n CROSS JOIN cb{last}_{j} c
+  ) ffs_{j}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+g_{j} AS (
+  SELECT f.vec_id,
+         round(list_inner_product(list_slice(q.qv, {lo}, {hi}), c.cw), 6) AS p{j}
+  FROM f_{j} f JOIN cb{last}_{j} c USING (cid) CROSS JOIN q
+)""")
+    joins = " ".join(f"JOIN g_{j} USING (vec_id)" for j in range(1, m))
+    total = " + ".join(f"p{j}" for j in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= {n_centroids}
+),
+c0 AS (SELECT cid, v AS cv FROM init),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+{",".join(ctes)}
+SELECT g_0.vec_id, round({total}, 4) AS adc_score
+FROM g_0 {joins}
+ORDER BY adc_score DESC, vec_id
+LIMIT {k}
+"""
+
+
+SQL_IVF_PQ_TOPK_FROZEN = _sql_ivf_pq_topk_frozen()
+
+
 # --- Domain-level curation (r12): registrable domain, caps, volume stats ------
 
 

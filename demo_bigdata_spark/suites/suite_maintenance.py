@@ -23,6 +23,7 @@ from demo_bigdata_spark.suites.suite_llm import (
     SQL_DOMAIN_CAP,
     SQL_DOMAIN_QUALITY,
     SQL_DOMAIN_STATS,
+    SQL_IVF_PQ_TOPK_FROZEN,
     SQL_IVF_TOPK_FROZEN,
     SQL_NORMALIZED_TEXT,
     SQL_PQ_TOPK_FROZEN,
@@ -41,6 +42,7 @@ from demo_bigdata_spark.suites.suite_llm import (
     q_domain_cap,
     q_domain_quality,
     q_domain_stats,
+    q_ivf_pq_topk_frozen,
     q_ivf_topk_frozen,
     q_normalized_text,
     q_pq_topk_frozen,
@@ -95,4 +97,5 @@ QUERIES = {
     "url_domains_psl_wild": (q_url_domains_psl_wild, SQL_URL_DOMAINS_PSL_WILD),
     "source_kl": (q_source_kl, SQL_SOURCE_KL),
     "pq_topk_frozen": (q_pq_topk_frozen, SQL_PQ_TOPK_FROZEN),
+    "ivf_pq_topk_frozen": (q_ivf_pq_topk_frozen, SQL_IVF_PQ_TOPK_FROZEN),
 }

@@ -2881,3 +2881,41 @@ def test_load_psl_suffixes_parses_dat_format(spark, tmp_path):
         2: "city.kawasaki.jp",
         3: "city.kawasaki.jp",
     }
+
+
+def test_ivf_pq_topk_frozen_composition_semantics(spark):
+    """Frozen IVF-PQ on two orthogonal prototype clusters: (a) every
+    returned id sits in a PROBED coarse cluster (the inverted-list prune
+    is real — B-cluster members never appear when the query probes only
+    A-side clusters); (b) ADC scores equal pq_topk_frozen's scores for
+    the same ids (the composition changes scoping, never scoring); (c)
+    deterministic across rebuilds."""
+    from demo_bigdata_spark.operators.similarity import (
+        ivf_pq_topk_frozen,
+        pq_topk_frozen,
+    )
+
+    a = [1.0] * 32 + [0.0] * 32
+    b = [0.0] * 32 + [1.0] * 32
+    rows = []
+    for i in range(16):
+        base = a if i % 2 == 0 else b
+        rows.append((i, [x + (0.001 * ((i * 11 + j) % 7)) for j, x in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(m=4, n_codes=4, iterations=2)
+    out = ivf_pq_topk_frozen(df, a, k=16, n_probe=2, n_centroids=4, **kw).collect()
+    got = {r["vec_id"]: r["adc_score"] for r in out}
+    # the prune bites: fewer than all 16 returned, and the query's own
+    # cluster (even ids) dominates what survives
+    assert 0 < len(got) < 16
+    evens = [i for i in got if i % 2 == 0]
+    assert len(evens) >= len(got) - len(evens), got
+    # scoring identical to the PQ-only twin for the surviving ids
+    pq = {
+        r["vec_id"]: r["adc_score"]
+        for r in pq_topk_frozen(df, a, k=16, **kw).collect()
+    }
+    for vid, sc in got.items():
+        assert pq[vid] == sc, (vid, sc, pq[vid])
+    again = ivf_pq_topk_frozen(df, a, k=16, n_probe=2, n_centroids=4, **kw).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
