@@ -630,6 +630,18 @@ def group_kl_divergence(
         .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=False)
     )
+    return _kl_from_counts(gt, group_col, top_v, scale)
+
+
+def _kl_from_counts(
+    gt: DataFrame, group_col: str, top_v: int, scale: int
+) -> DataFrame:
+    """The KL tail shared by the batch operator and the incremental reader:
+    from a (_grp, tok, n) count table, derive the tie-broken top-V vocab,
+    fold the rest into <oov>, and compute Σ p_g·ln(p_g/p) per group.
+    ``gt`` must be pinned by the caller (it feeds two consumers)."""
+    from demo_bigdata_spark.functions.scalar import round_signsafe
+
     # top-V via sort+limit -> TakeOrderedAndProject (distributed per-partition
     # top-k + driver merge), NOT a global row_number window (single-task sort
     # over every distinct token — billions on real web text)
@@ -672,6 +684,71 @@ def group_kl_divergence(
         )
         .select(F.col("_grp").alias(group_col), "n_tokens", "kl")
     )
+
+
+def append_term_counts_batch(
+    spark,
+    batch_df: DataFrame,
+    path: str,
+    epoch_id: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Exactly-once incremental maintenance of the (group, token) count
+    table :func:`group_kl_divergence` is built on, under the shared
+    epoch-ledger discipline: append the batch's partial counts (one row
+    per (group, distinct token) in the batch — Zipf-bounded, never the
+    corpus) and commit the epoch. Token counts are ADDITIVE integers, so
+    the committed sums across epochs equal the batch count table of
+    everything ingested exactly; replay appends identical rows and the
+    committed view's (grp, tok, epoch_id) dedup collapses them."""
+    from demo_bigdata_spark.streaming.pipeline import (
+        commit_epoch,
+        epoch_already_applied,
+    )
+
+    epochs_path = path + "_epochs"
+    if epoch_already_applied(spark, epochs_path, epoch_id):
+        return
+    part = (
+        batch_df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count("*").alias("n"))
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+    )
+    part.localCheckpoint(eager=True).write.mode("append").parquet(path)
+    commit_epoch(spark, epochs_path, epoch_id)
+
+
+def read_group_kl(
+    spark, path: str, group_col: str = "source", top_v: int = 256, scale: int = 6
+) -> DataFrame:
+    """Per-group KL divergence from the incrementally-maintained count
+    table: committed view (ledger semi-join + replay dedup) -> exact
+    integer re-sum per (group, token) -> the SAME vocab/OOV/KL tail as
+    the batch operator (:func:`_kl_from_counts`), so live == batch
+    bit-for-bit at any epoch boundary — the streaming answer to 'which
+    crawl snapshot shifted the mixture'."""
+    from demo_bigdata_spark.streaming.pipeline import committed_view
+
+    gt = (
+        committed_view(
+            spark,
+            path,
+            path + "_epochs",
+            ["grp", "tok", "epoch_id"],
+            "grp string, tok string, n bigint, epoch_id long",
+        )
+        .groupBy("grp", "tok")
+        .agg(F.sum("n").alias("n"))
+        .withColumnRenamed("grp", "_grp")
+        .localCheckpoint(eager=False)
+    )
+    return _kl_from_counts(gt, group_col, top_v, scale)
 
 
 # Gopher-rule constants (Rae et al. 2021, "Scaling Language Models" §A1.1 —

@@ -1921,3 +1921,37 @@ def incremental_histogram(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def incremental_group_kl(
+    df,
+    path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    trigger_seconds: int = 2,
+) -> StreamingQuery:
+    """[EXT] continuous mixture-drift maintenance: each micro-batch folds
+    its (group, token) count partial into the committed table exactly once
+    per epoch (operators.text.append_term_counts_batch); read_group_kl on
+    the live path equals batch group_kl_divergence over everything
+    ingested bit-for-bit — integer token counts make the fold exact, so
+    the per-source KL drift diagnostic is maintainable on a crawl stream
+    without rescanning history."""
+    from demo_bigdata_spark.operators.text import append_term_counts_batch
+
+    spark = df.sparkSession
+
+    def _fold(batch_df, epoch_id: int) -> None:
+        append_term_counts_batch(
+            spark, batch_df, path, epoch_id,
+            group_col=group_col, text_col=text_col,
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

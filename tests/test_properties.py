@@ -485,3 +485,59 @@ def test_histogram_quantiles_q0_q1_and_total(spark):
     assert est[0.0] == (20.0, 10)
     assert est[0.5] == (20.0, 10)  # ceil(5) = 5 <= 7 cum at bin 2
     assert est[1.0] == (70.0, 10)  # last populated bin, not bin 9
+
+
+# --- Edge-CC pointer jumping vs union-find reference (r13) -------------------
+
+edge_graphs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edges=edge_graphs, extra=st.integers(min_value=41, max_value=60))
+def test_propagate_min_labels_edges_matches_union_find(spark, edges, extra):
+    """_propagate_min_labels_edges (edge-list rounds + pointer jumping)
+    must produce EXACTLY component-min labels for arbitrary random graphs
+    — self-loops, duplicate edges, isolated universe nodes, chains and
+    cliques alike — equal to an independent pure-Python union-find."""
+    from demo_bigdata_spark.operators.dedup import _propagate_min_labels_edges
+
+    universe = sorted({a for a, b in edges} | {b for a, b in edges} | set(range(41, extra + 1)))
+    parent = {u: u for u in universe}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for u in universe:
+        r = find(u)
+        comp_min.setdefault(r, []).append(u)
+    want = {}
+    for members in comp_min.values():
+        m = min(members)
+        for u in members:
+            want[u] = m
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+    uni = spark.createDataFrame([(u,) for u in universe] or [(0,)], "doc_id long")
+    if not universe:
+        uni = uni.limit(0)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _propagate_min_labels_edges(pairs, uni, "doc_id", 64).collect()
+    }
+    assert got == want

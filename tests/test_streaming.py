@@ -3003,3 +3003,81 @@ def test_url_dedup_batch_tiebreak_skips_nested_maps(spark):
     out = url_dedup_stream(df).collect()
     assert len(out) == 1
     assert out[0]["doc_id"] == 1  # orderable int column still tiebreaks
+
+
+def test_incremental_group_kl_matches_batch(spark, sf_dir, tmp_path):
+    """Exactly-once incremental KL maintenance: folding documents in 3
+    epochs accumulates EXACTLY the batch (group, token) counts (integer
+    addition), so read_group_kl == group_kl_divergence bit-for-bit; epoch
+    replay is a no-op; rows of an uncommitted epoch stay invisible; the
+    writeStream wrapper reproduces the same."""
+    from demo_bigdata_spark.operators.text import (
+        append_term_counts_batch,
+        group_kl_divergence,
+        read_group_kl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {
+        r["source"]: (r["n_tokens"], r["kl"])
+        for r in group_kl_divergence(docs, top_v=64).collect()
+    }
+
+    path = str(tmp_path / "klcounts")
+    for e in range(3):
+        append_term_counts_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == e), path, epoch_id=e
+        )
+    live = {
+        r["source"]: (r["n_tokens"], r["kl"])
+        for r in read_group_kl(spark, path, top_v=64).collect()
+    }
+    assert live == batch and live
+
+    # replay is a no-op
+    append_term_counts_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), path, epoch_id=0
+    )
+    assert {
+        r["source"]: (r["n_tokens"], r["kl"])
+        for r in read_group_kl(spark, path, top_v=64).collect()
+    } == batch
+
+    # crash window: rows appended WITHOUT a ledger commit stay invisible
+    extra = (
+        docs.limit(5)
+        .select(F.lit("crashsrc").alias("grp"), F.lit("crashtok").alias("tok"))
+        .groupBy("grp", "tok")
+        .agg(F.count("*").alias("n"))
+        .withColumn("epoch_id", F.lit(99))
+    )
+    extra.write.mode("append").parquet(path)
+    after = {
+        r["source"]: (r["n_tokens"], r["kl"])
+        for r in read_group_kl(spark, path, top_v=64).collect()
+    }
+    assert after == batch and "crashsrc" not in after
+
+    # streamed fold == batch
+    from demo_bigdata_spark.streaming.pipeline import incremental_group_kl
+
+    src = str(tmp_path / "klsrc")
+    d = docs.select("doc_id", "source", "text")
+    d.filter(F.col("doc_id") % 2 == 0).repartition(1).write.mode("overwrite").parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).repartition(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    spath = str(tmp_path / "klcounts_stream")
+    q = incremental_group_kl(
+        stream, spath, str(tmp_path / "klckpt"), trigger_seconds=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    slive = {
+        r["source"]: (r["n_tokens"], r["kl"])
+        for r in read_group_kl(spark, spath, top_v=64).collect()
+    }
+    assert slive == batch
