@@ -377,45 +377,124 @@ def simhash_pairs(
     )
 
 
-def _propagate_min_labels(
-    bands_df: DataFrame, id_col: str, max_iterations: int
-) -> DataFrame:
-    """Min-label propagation over a bipartite (id, bucket) membership
-    table until a fixed point: each iteration takes per-bucket min labels
-    then per-doc min over its buckets. Labels are monotonically
-    non-increasing, so `changed == 0` (a 1-row count collect per round)
-    is an EXACT convergence test, not a heuristic. Raises rather than
-    returning silently-unconverged labels if ``max_iterations`` rounds
-    don't reach the fixed point — the cap is a runaway backstop (a chain
-    needs ~diameter/2 rounds; real dup-cluster diameters are tiny), never
-    an accepted truncation."""
-    labels = bands_df.select(id_col).distinct().withColumn(
-        "cluster_id", F.col(id_col)
+def _bucket_min_label_step(
+    bands_df: DataFrame, labels: DataFrame | None, id_col: str
+):
+    """One bipartite min-label round + pointer jump: per-bucket min label,
+    per-member min over its buckets, then ``label(x) <- min(label(x),
+    label(label(x)))`` (labels-sized self-join; every label is a member
+    id, so the lookup always resolves). ``labels=None`` means identity
+    labels — the bucket min is then a plain member-id aggregate with no
+    join. Returns (id_col, _old, cluster_id) with the previous label
+    carried for the caller's filter-count convergence test."""
+    if labels is None:
+        m = bands_df.select(
+            F.col(id_col), F.col("bucket"), F.col(id_col).alias("cluster_id")
+        )
+    else:
+        m = bands_df.join(labels, id_col)
+    old_expr = F.min("_old") if "_old" in m.columns else F.min("cluster_id")
+    bucket_min = m.groupBy("bucket").agg(F.min("cluster_id").alias("_bm"))
+    stepped = (
+        m.join(bucket_min, "bucket")
+        .groupBy(id_col)
+        .agg(
+            old_expr.alias("_old"),
+            F.min("_bm").alias("cluster_id"),
+        )
     )
-    for _ in range(max_iterations):
-        bucket_min = (
-            bands_df.join(labels, id_col)
-            .groupBy("bucket")
-            .agg(F.min("cluster_id").alias("bmin"))
-        )
-        new_labels = (
-            bands_df.join(bucket_min, "bucket")
-            .groupBy(id_col)
-            .agg(F.min("bmin").alias("cluster_id"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+    lk = stepped.select(
+        F.col(id_col).alias("_lid"), F.col("cluster_id").alias("_llbl")
+    )
+    return stepped.join(lk, stepped["cluster_id"] == lk["_lid"], "left").select(
+        stepped[id_col],
+        F.col("_old"),
+        F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("_llbl"), F.col("cluster_id")),
+        ).alias("cluster_id"),
+    )
+
+
+def _bucket_min_label_loop(
+    bands_df: DataFrame, id_col: str, max_iterations: int,
+    steps_per_round: int = 1,
+) -> DataFrame:
+    """Bipartite min-label rounds to the exact fixed point, one lazy
+    localCheckpoint job per ``steps_per_round`` propagation steps: the
+    carried ``_old`` label (from before the batch's first step) makes
+    ``changed`` a filter-count over the just-materialized checkpoint
+    blocks (the former separate old-vs-new labels join + count job is
+    gone). Step batching stays available but defaults to 1 —
+    measured and rejected, see :func:`_edge_min_label_loop`. Labels are monotonically non-increasing, so ``changed == 0`` is an
+    EXACT convergence test; exceeding ``max_iterations`` total steps
+    raises rather than returning unconverged labels."""
+    labels = None
+    budget = max_iterations
+    while budget > 0:
+        cur = labels
+        for _ in range(min(steps_per_round, budget)):
+            cur = _bucket_min_label_step(bands_df, cur, id_col)
+            budget -= 1
+        new_labels = cur.localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("cluster_id") != F.col("_old")).count()
+        labels = new_labels.select(id_col, "cluster_id")
         if changed == 0:
             return labels
     raise RuntimeError(
         f"duplicate_clusters: label propagation did not converge within "
         f"{max_iterations} iterations — raise max_iterations (labels are "
         "exact only at the fixed point)"
+    )
+
+
+def _propagate_min_labels(
+    bands_df: DataFrame, id_col: str, max_iterations: int
+) -> DataFrame:
+    """Min-label propagation over a bipartite (id, bucket) membership
+    table to the exact fixed point — two-phase since the r13.5
+    optimization round (each phase's rounds also pointer-jump, so chains
+    of buckets converge in ~log2(diameter) rounds, not ~diameter/2):
+
+    - **Phase 1**: one full-membership round from identity labels (the
+      bucket min is then a plain member-id aggregate — no labels join) +
+      pointer jump. Dup-farm buckets collapse here: every member of a
+      farm bucket takes the bucket min immediately.
+    - **Phase 2**: memberships CONTRACT to distinct (label, bucket) rows
+      — component-count-sized on dup-heavy corpora, never corpus-sized —
+      and the remaining rounds run on that contracted table (one lazy
+      localCheckpoint job per round; convergence via the carried old
+      label's filter-count). The full membership table is scanned twice
+      total (phase-1 aggregate + contraction join) instead of twice per
+      round. A final label-sized left join resolves every member.
+
+    Exactness: labels are member ids and only decrease; contraction
+    preserves bipartite connectivity, and the component minimum keeps its
+    own label through phase 1, so the contracted fixed point composed
+    with the resolution join IS the component-min fixed point. Raises
+    rather than returning silently-unconverged labels if the
+    ``max_iterations`` backstop is hit — never an accepted truncation."""
+    if max_iterations < 1:
+        raise RuntimeError(
+            f"duplicate_clusters: label propagation did not converge within "
+            f"{max_iterations} iterations — raise max_iterations (labels are "
+            "exact only at the fixed point)"
+        )
+    l0 = _bucket_min_label_step(bands_df, None, id_col).drop(
+        "_old"
+    ).localCheckpoint(eager=False)
+    mem = (
+        bands_df.join(l0, id_col)
+        .select(F.col("cluster_id").alias(id_col), "bucket")
+        .distinct()
+    ).localCheckpoint(eager=False)
+    cl = _bucket_min_label_loop(mem, id_col, max(1, max_iterations - 1))
+    return l0.join(
+        cl.select(F.col(id_col).alias("_cl"), F.col("cluster_id").alias("_cmin")),
+        l0["cluster_id"] == F.col("_cl"),
+        "left",
+    ).select(
+        l0[id_col], F.coalesce("_cmin", "cluster_id").alias("cluster_id")
     )
 
 
@@ -1540,38 +1619,134 @@ def read_near_dup_pairs(spark, index_path: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard").dropDuplicates(["id_a", "id_b"])
 
 
+def _edge_min_label_step(sym: DataFrame, labels: DataFrame, id_col: str, first: bool):
+    """One edge-list min-label round + pointer jump over a symmetrized
+    edge frame: neighbor min (a plain aggregate when labels are still the
+    identity, else one edge-sized join + aggregate), then the shortcut
+    ``label(x) <- min(label(x), label(label(x)))`` (labels-sized
+    self-join; every label IS a member id, so the lookup always
+    resolves). Returns (id_col, _old, cluster_id) — the label from BEFORE
+    the oldest chained step is carried through (an ``_old`` column on the
+    input is preserved, else the input label becomes ``_old``) so callers
+    can test convergence with a filter-count on the materialized result
+    instead of re-joining old vs new labels."""
+    old_expr = F.col("_old") if "_old" in labels.columns else F.col("cluster_id")
+    if first:
+        nbr_min = sym.groupBy("_dst").agg(F.min("_src").alias("_nm"))
+    else:
+        nbr_min = (
+            sym.join(labels, sym["_src"] == labels[id_col])
+            .groupBy("_dst")
+            .agg(F.min("cluster_id").alias("_nm"))
+        )
+    stepped = labels.join(
+        nbr_min, labels[id_col] == nbr_min["_dst"], "left"
+    ).select(
+        labels[id_col],
+        old_expr.alias("_old"),
+        F.least(
+            F.col("cluster_id"), F.coalesce(F.col("_nm"), F.col("cluster_id"))
+        ).alias("cluster_id"),
+    )
+    lk = stepped.select(
+        F.col(id_col).alias("_lid"), F.col("cluster_id").alias("_llbl")
+    )
+    return stepped.join(lk, stepped["cluster_id"] == lk["_lid"], "left").select(
+        stepped[id_col],
+        F.col("_old"),
+        F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("_llbl"), F.col("cluster_id")),
+        ).alias("cluster_id"),
+    )
+
+
+def _edge_min_label_loop(
+    sym: DataFrame,
+    universe: DataFrame,
+    id_col: str,
+    max_iterations: int,
+    steps_per_round: int = 1,
+) -> DataFrame:
+    """Run edge-list min-label rounds to the exact fixed point. ONE lazy
+    localCheckpoint job per ``steps_per_round`` propagation steps (the
+    r13.5 shape): each materialized result carries the label from before
+    its chained steps, so ``changed`` is a filter-count over the
+    just-materialized checkpoint blocks — the former separate
+    labels-vs-labels rejoin (one full shuffle join + an extra job per
+    round) is gone. The fixed point is absorbing, so ``changed == 0``
+    across a batch still certifies the exact component-min fixed point
+    at any ``steps_per_round``; the default stays 1 because batching was
+    MEASURED AND REJECTED on this hardware (same-session A/B at sf0.1,
+    steps=2 vs 1: dedup_survivors 5.2-7.2 vs 4.0-4.3 s, knn_clusters
+    4.1-5.0 vs 3.4-3.6 s — the extra steps past the fixed point and the
+    doubled per-job plan cost more than the saved materializations).
+    Exceeding ``max_iterations`` total steps raises rather than
+    returning unconverged labels."""
+    labels = universe.select(F.col(id_col)).distinct().withColumn(
+        "cluster_id", F.col(id_col)
+    )
+    budget, first = max_iterations, True
+    while budget > 0:
+        cur = labels
+        for _ in range(min(steps_per_round, budget)):
+            cur = _edge_min_label_step(sym, cur, id_col, first=first)
+            first = False
+            budget -= 1
+        new_labels = cur.localCheckpoint(eager=False)
+        # the count materializes the checkpoint (one job) and then scans
+        # cached blocks only — no join against the previous labels
+        changed = new_labels.filter(F.col("cluster_id") != F.col("_old")).count()
+        labels = new_labels.select(id_col, "cluster_id")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"_propagate_min_labels_edges: label propagation did not converge "
+        f"within {max_iterations} iterations"
+    )
+
+
 def _propagate_min_labels_edges(
     pairs: DataFrame, universe: DataFrame, id_col: str, max_iterations: int
 ) -> DataFrame:
     """Min-label connected components over an EDGE LIST (``id_a``/``id_b``
-    pairs) — the r13 fast path shared by :func:`_survivors_from_pairs` and
-    ``similarity.knn_clusters``. Two structural wins over routing each
-    edge through a synthetic string-keyed 2-member bucket and the
-    bipartite propagation (the r12 shape):
+    pairs) — the fast path shared by :func:`_survivors_from_pairs` and
+    ``similarity.knn_clusters``. Two-phase (the r13.5 optimization-round
+    shape, replacing full-edge rounds to the fixed point):
 
-    - **edge-list rounds**: the symmetrized edge table joins labels ONCE
-      per round on long keys and one aggregate takes the neighbor min
-      (the bucket form paid two edge-sized string joins + two aggregates
-      per round); round 1 skips the labels join entirely — labels are the
-      identity, so the first neighbor-min is a plain aggregate.
-    - **pointer jumping**: each round additionally shortcuts
-      ``label(x) <- min(label(x), label(label(x)))`` (a labels-sized
-      self-join — every label IS a member id, so the lookup always
-      resolves). Plain propagation needs ~diameter rounds, and a
-      threshold-graph chain of a few hundred hops turns that into a
-      fixed-overhead wall (sf0.1 measured: 12.1 s over SIX THOUSAND
-      edges); with the jump the round count collapses to
-      ~log2(diameter). Exactness is untouched: labels stay member ids,
-      stay monotonically non-increasing, and ``changed == 0`` still
-      certifies the exact fixed point (component min) — the convergence
-      contract of :func:`_propagate_min_labels`.
+    - **Phase 1 — one full-edge round + pointer jump**: neighbor min over
+      the symmetrized edges from identity labels (a plain aggregate — no
+      labels join) followed by ``label(x) <- min(label(x),
+      label(label(x)))``. On dedup-shaped graphs (dense near-duplicate
+      families) this alone collapses most nodes to their component min.
+    - **Phase 2 — contract and finish in label space**: edges are
+      rewritten to distinct (label, label) pairs — the classic CC
+      contraction step — and the remaining rounds (edge round + jump, one
+      lazy-checkpoint job each, convergence via a carried-old-label
+      filter-count) run on that contracted graph, which is
+      component-count-sized, NOT corpus-sized. The full edge table is
+      scanned exactly twice (the phase-1 aggregate and the contraction
+      join) instead of once per round. A final label-sized left join
+      resolves every node through its phase-1 label.
 
-    Measured (sf0.1): dedup_survivors 28.5 -> 5.2 s (4.5M dense pairs),
-    knn_clusters' CC 12.1 -> 2.4 s (6k chain-heavy edges). Real
+    Exactness is untouched: phase-1 labels are member ids that only
+    decrease; contraction preserves connectivity (each edge maps to a
+    label-space edge or a self-loop), the component minimum M keeps label
+    M through phase 1 (all its neighbors have larger ids), so the
+    contracted component min IS the component min, and ``changed == 0``
+    on the contracted graph is still the exact convergence certificate.
+    Measured (sf0.1, this round's A/B): dedup_survivors' CC 11.1 ->
+    5.3 s over 4.5M dense pairs (5 full-edge rounds -> 1 full-edge round
+    + a 223-edge contracted graph), labels bit-identical. Real
     multi-member band buckets (:func:`read_dedup_clusters`,
-    :func:`duplicate_clusters`) keep the bipartite form — there the
-    bucket IS what avoids quadratic pair expansion. Returns
-    (id_col, cluster_id)."""
+    :func:`duplicate_clusters`) use the bipartite twin
+    (:func:`_propagate_min_labels`) — there the bucket IS what avoids
+    quadratic pair expansion. Returns (id_col, cluster_id)."""
+    if max_iterations < 1:
+        raise RuntimeError(
+            f"_propagate_min_labels_edges: label propagation did not converge "
+            f"within {max_iterations} iterations"
+        )
     sym = (
         pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
         .unionByName(
@@ -1579,53 +1754,41 @@ def _propagate_min_labels_edges(
         )
         .localCheckpoint(eager=False)
     )
-    labels = universe.select(F.col(id_col)).distinct().withColumn(
+    base = universe.select(F.col(id_col)).distinct().withColumn(
         "cluster_id", F.col(id_col)
     )
-    for it in range(max_iterations):
-        if it == 0:
-            # identity labels: neighbor min needs no join
-            nbr_min = sym.groupBy("_dst").agg(F.min("_src").alias("_nm"))
-        else:
-            nbr_min = (
-                sym.join(labels, sym["_src"] == labels[id_col])
-                .groupBy("_dst")
-                .agg(F.min("cluster_id").alias("_nm"))
-            )
-        stepped = labels.join(
-            nbr_min, labels[id_col] == nbr_min["_dst"], "left"
-        ).select(
-            labels[id_col],
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("_nm"), F.col("cluster_id"))
-            ).alias("cluster_id"),
+    l0 = _edge_min_label_step(sym, base, id_col, first=True).drop(
+        "_old"
+    ).localCheckpoint(eager=False)
+    # contract: distinct label-space edges (tiny once dense families have
+    # collapsed); scanning sym here is the second and LAST full-edge pass
+    la = l0.select(F.col(id_col).alias("_ia"), F.col("cluster_id").alias("_la"))
+    lb = l0.select(F.col(id_col).alias("_ib"), F.col("cluster_id").alias("_lb"))
+    contracted = (
+        sym.join(la, sym["_src"] == la["_ia"])
+        .join(lb, sym["_dst"] == lb["_ib"])
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            F.least("_la", "_lb").alias("_src"),
+            F.greatest("_la", "_lb").alias("_dst"),
         )
-        # pointer jump: follow the label's own label one hop
-        lk = stepped.select(
-            F.col(id_col).alias("_lid"), F.col("cluster_id").alias("_llbl")
-        )
-        new_labels = (
-            stepped.join(lk, stepped["cluster_id"] == lk["_lid"], "left")
-            .select(
-                stepped[id_col],
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("_llbl"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"_propagate_min_labels_edges: label propagation did not converge "
-        f"within {max_iterations} iterations"
+        .distinct()
+    )
+    csym = contracted.unionByName(
+        contracted.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+    ).localCheckpoint(eager=False)
+    cl = _edge_min_label_loop(
+        csym,
+        l0.select(F.col("cluster_id").alias(id_col)),
+        id_col,
+        max(1, max_iterations - 1),
+    )
+    return l0.join(
+        cl.select(F.col(id_col).alias("_cl"), F.col("cluster_id").alias("_cmin")),
+        l0["cluster_id"] == F.col("_cl"),
+        "left",
+    ).select(
+        l0[id_col], F.coalesce("_cmin", "cluster_id").alias("cluster_id")
     )
 
 
@@ -1679,28 +1842,62 @@ def near_dup_survivors(
     )
 
 
+def _committed_rows_nodedup(spark, rows_path: str, epochs_path: str, empty_schema: str):
+    """Ledger-gated rows WITHOUT the committed view's dedup shuffle — for
+    the CC readers below, where row MULTIPLICITY cannot change the fixed
+    point: a replayed epoch appends identical edge/membership rows, and
+    min-label propagation over a multigraph labels exactly like the
+    simple graph. Crash leftovers (rows of uncommitted epochs) are still
+    excluded by the ledger semi-join — those COULD add edges that merge
+    components, so the semi-join is the correctness line; the dedup was
+    only ever a (harmless, but corpus-pair-sized) shuffle here."""
+    from demo_bigdata_spark.streaming.pipeline import _read_parquet_if_exists
+
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    rows = _read_parquet_if_exists(spark, rows_path)
+    if rows is None or ledger is None:
+        return spark.createDataFrame([], empty_schema)
+    return rows.join(ledger, "epoch_id", "left_semi")
+
+
 def read_dedup_survivors(spark, index_path: str, max_iterations: int = 64) -> DataFrame:
     """Per-doc KEEP/DROP decisions from the committed near-dup index (r11
     VERDICT item 3 — a crawl pipeline needs decisions, not pairs):
     connected components over the accumulated verified pair set
-    (:func:`_propagate_min_labels`' exact fixed point — each pair is a
-    2-member bucket, every ingested doc a self bucket so isolated docs
-    keep themselves), survivor = min id per component, the exact-dedup
-    convention. Because the committed pair set equals the uncapped batch
-    pipeline's pairs, these labels equal "batch near_duplicates -> CC ->
-    min-id per component" over everything ingested so far, at any epoch
-    boundary.
+    (:func:`_propagate_min_labels_edges`' exact two-phase fixed point),
+    survivor = min id per component, the exact-dedup convention. Because
+    the committed pair set equals the uncapped batch pipeline's pairs,
+    these labels equal "batch near_duplicates -> CC -> min-id per
+    component" over everything ingested so far, at any epoch boundary.
+    The pair and token tables are read ledger-gated but UN-deduplicated
+    (:func:`_committed_rows_nodedup`): CC is invariant to edge
+    multiplicity and the universe is distinct-ed inside the propagation,
+    so the two corpus-pair-sized dedup shuffles the committed views pay
+    are skipped here.
 
     Returns (doc_id, cluster_id, keep). Like every committed view this is
     a READER — recompute after appends, or materialize via the snapshot
-    sink if a downstream stage wants a stable table. Cost: linear in
-    (pairs + docs) per propagation round; the pair set itself carries
-    append_dedup_batch's quadratic-on-farms contract, which is why
-    replica-farm corpora should use :func:`read_dedup_clusters` instead.
+    sink if a downstream stage wants a stable table. Cost: two passes
+    over the pair set + component-sized propagation rounds; the pair set
+    itself carries append_dedup_batch's quadratic-on-farms contract,
+    which is why replica-farm corpora should use
+    :func:`read_dedup_clusters` instead.
     """
+    pairs = _committed_rows_nodedup(
+        spark,
+        index_path + "/pairs",
+        index_path + "_epochs",
+        "id_a long, id_b long, jaccard double, epoch_id long",
+    )
+    toks = _committed_rows_nodedup(
+        spark,
+        index_path + "/toks",
+        index_path + "_epochs",
+        "doc_id long, toks array<bigint>, n int, epoch_id long",
+    )
     return _survivors_from_pairs(
-        read_near_dup_pairs(spark, index_path).select("id_a", "id_b"),
-        read_dedup_toks(spark, index_path).select("doc_id"),
+        pairs.select("id_a", "id_b"),
+        toks.select("doc_id"),
         "doc_id",
         max_iterations,
     )
@@ -1718,12 +1915,22 @@ def read_dedup_clusters(spark, index_path: str, max_iterations: int = 64) -> Dat
     difference from :func:`read_dedup_survivors`, inherited from the batch
     twins: bucket-graph components link any band collision (no Jaccard
     verify), the recall-over-precision trade that makes it farm-safe.
+    Like the survivors reader, the band table is read ledger-gated but
+    un-deduplicated — membership multiplicity cannot change the bucket
+    graph's components, so the committed view's dedup shuffle is skipped;
+    the lazy checkpoint pins the memberships once for the propagation's
+    two full-table consumers.
 
     Returns (doc_id, cluster_id).
     """
     bands = (
-        read_dedup_bands(spark, index_path)
+        _committed_rows_nodedup(
+            spark,
+            index_path + "/bands",
+            index_path + "_epochs",
+            "doc_id long, band_sig string, band_idx int, epoch_id long",
+        )
         .select("doc_id", F.concat_ws("|", "band_idx", "band_sig").alias("bucket"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return _propagate_min_labels(bands, "doc_id", max_iterations)

@@ -139,26 +139,17 @@ def pagerank(
     # it a multiplier inside ONE shared update expression preserves exact
     # floor-division equivalence with the uniform formula when every
     # flag is 1 (splitting the division would floor differently).
+    # r13.5: _t and the dangling flag _d are STATIC per node, so they ride
+    # inside the rank frame itself — the former per-iteration tele scan
+    # and out_nodes anti-join (plus their two setup checkpoints) are gone;
+    # dangling mass is now a filter+sum over the already-cached ranks.
     if sources is None:
-        n_tele = n_nodes
-        tele = nodes.select(
-            node_col, F.lit(1).cast("bigint").alias("_t")
-        ).localCheckpoint(eager=True)
+        prof = nodes.select(node_col, F.lit(1).cast("bigint").alias("_t"))
     else:
         srcs = sources.select(node_col).distinct()
-        tele = (
-            nodes.join(
-                srcs.withColumn("_t0", F.lit(1).cast("bigint")),
-                node_col,
-                "left",
-            )
-            .select(node_col, F.coalesce("_t0", F.lit(0)).alias("_t"))
-            .localCheckpoint(eager=True)
-        )
-        n_tele = tele.filter(F.col("_t") == 1).count()
-        if n_tele == 0:
-            raise ValueError("pagerank: no source is in the node universe")
-    base = ((scale // n_tele) * (den - num)) // den
+        prof = nodes.join(
+            srcs.withColumn("_t0", F.lit(1).cast("bigint")), node_col, "left"
+        ).select(node_col, F.coalesce("_t0", F.lit(0)).alias("_t"))
     # normalize + co-partition the edges ONCE; every iteration reuses this.
     # CACHE, not localCheckpoint: a checkpoint erases outputPartitioning
     # and size statistics, so every iteration's join re-exchanged BOTH
@@ -177,19 +168,32 @@ def pagerank(
         .persist()
     )
     en.count()  # materialize the cache before the loop
-    # node-sized; pinned for the same reason as nodes (one anti-join per
-    # iteration would otherwise replay the edge aggregation behind wout)
-    out_nodes = (
-        wout.select(F.col(src_col).alias(node_col))
-        .distinct()
-        .localCheckpoint(eager=True)
+    prof = prof.join(
+        wout.select(F.col(src_col).alias(node_col), F.lit(1).alias("_o")),
+        node_col,
+        "left",
+    ).select(
+        node_col,
+        "_t",
+        F.when(F.col("_o").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("_d"),
     )
-    edges.unpersist(blocking=False)  # en/nodes/out_nodes are pinned copies
+    if sources is None:
+        n_tele = n_nodes
+        prof = prof.localCheckpoint(eager=True)
+    else:
+        prof = prof.localCheckpoint(eager=True)
+        n_tele = prof.filter(F.col("_t") == 1).count()
+        if n_tele == 0:
+            raise ValueError("pagerank: no source is in the node universe")
+    base = ((scale // n_tele) * (den - num)) // den
+    edges.unpersist(blocking=False)  # en/nodes/prof are pinned copies
     if edges is not raw_edges:
         raw_edges.unpersist(blocking=False)
 
-    ranks = tele.select(
+    ranks = prof.select(
         F.col(node_col),
+        "_t",
+        "_d",
         (F.col("_t") * F.lit(scale // n_tele)).cast("bigint").alias("rank"),
     )
     if init_ranks is not None:
@@ -200,10 +204,19 @@ def pagerank(
             ranks.join(warm, node_col, "left")
             .select(
                 node_col,
+                "_t",
+                "_d",
                 F.coalesce("_warm", "rank").alias("rank"),
             )
         )
-    ranks = ranks.localCheckpoint(eager=True)
+    # fixed-iteration mode defers ALL materialization: every iteration's
+    # rank frame is a LAZY localCheckpoint, so the final action executes
+    # the whole chain as a cascade of broadcast-driven mini-jobs with no
+    # per-iteration driver round-trip (each checkpoint still truncates
+    # lineage, so plan size stays O(1) per iteration). Convergence mode
+    # keeps an action per iteration — the delta test IS an action.
+    lazy = eps is None
+    ranks = ranks.localCheckpoint(eager=not lazy)
 
     # a checkpointed rank frame carries no size statistics, so Catalyst
     # cannot see it is node-sized; broadcast it explicitly while the node
@@ -214,7 +227,8 @@ def pagerank(
     performed = 0
     for _ in range(n_rounds):
         prev = ranks
-        r = F.broadcast(ranks) if bcast_ranks else ranks
+        rr = ranks.select(node_col, "rank")
+        r = F.broadcast(rr) if bcast_ranks else rr
         contribs = (
             en.join(r, en["_src"] == r[node_col])
             .select(
@@ -224,20 +238,23 @@ def pagerank(
             .groupBy(node_col)
             .agg(F.sum("_c").cast("bigint").alias("_s"))
         )
-        dang = ranks.join(out_nodes, node_col, "left_anti").agg(
+        dang = ranks.filter(F.col("_d") == 1).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("_dang")
         )
         ranks = (
-            tele.crossJoin(F.broadcast(dang))
+            ranks.select(node_col, "_t", "_d")
+            .crossJoin(F.broadcast(dang))
             .join(contribs, node_col, "left")
             .select(
                 node_col,
+                "_t",
+                "_d",
                 F.expr(
                     f"_t * cast({base} as bigint) + ({num} * (coalesce(_s, 0)"
                     f" + _t * (_dang div {n_tele}))) div {den}"
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # lineage cut: the iterative discipline
+            .localCheckpoint(eager=not lazy)  # lineage cut: the iterative discipline
         )
         performed += 1
         if eps is not None:
@@ -245,8 +262,10 @@ def pagerank(
             # frames — the adaptive stop the fixed-iteration form trades
             # away for oracle replayability
             delta = (
-                ranks.join(
-                    prev.withColumnRenamed("rank", "_prev"), node_col
+                ranks.select(node_col, "rank")
+                .join(
+                    prev.select(node_col, F.col("rank").alias("_prev")),
+                    node_col,
                 )
                 .agg(
                     F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d")
@@ -257,8 +276,14 @@ def pagerank(
                 break
     if stats is not None:
         stats["iterations"] = performed
+    if lazy:
+        # ONE action executes the whole deferred iteration chain as a
+        # cascade (nested broadcast builds materialize each checkpoint in
+        # order) — replacing the former per-iteration eager checkpoint's
+        # job + driver round-trip. Must run before en is unpersisted.
+        ranks.count()
     en.unpersist(blocking=False)  # returned ranks are checkpointed, not lazy
-    return ranks
+    return ranks.select(node_col, "rank")
 
 
 def connected_components(

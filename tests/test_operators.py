@@ -1077,10 +1077,12 @@ def test_bpe_merge_fold_semantics(spark):
 
 def test_label_propagation_converges_past_ten_hops(spark):
     """A 31-doc bucket chain (doc i shares a bucket with doc i+1 only) has
-    propagation depth > 10: the min label needs ~diameter/2 two-hop rounds
-    to reach the far end. The loop must run to the exact fixed point (all
-    labels = 1), and a too-small backstop must RAISE, never silently
-    return unconverged labels."""
+    propagation depth > 10: plain min-label needs ~diameter/2 two-hop
+    rounds to reach the far end, and the two-phase contract+jump form
+    must still reach the exact fixed point (all labels = 1). A too-small
+    backstop must RAISE, never silently return unconverged labels —
+    max_iterations=1 gives the contracted phase a single round, which
+    cannot close a 31-hop chain even with the pointer jump."""
     import pytest as _pytest
 
     from demo_bigdata_spark.operators.dedup import _propagate_min_labels
@@ -1095,7 +1097,7 @@ def test_label_propagation_converges_past_ten_hops(spark):
     assert got == {i: 1 for i in range(1, n + 1)}
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        _propagate_min_labels(bands, "doc_id", max_iterations=5)
+        _propagate_min_labels(bands, "doc_id", max_iterations=1)
 
 
 def test_bpe_batch_selection_rules():
