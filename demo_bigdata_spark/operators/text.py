@@ -1472,6 +1472,12 @@ def url_domain(url: Column | str) -> Column:
     )
 
 
+# Refuse suffix tables orders of magnitude past the real PSL (~9.5k rules):
+# the table is inlined as plan literals, so unbounded input would bloat the
+# plan instead of failing loudly.
+_PSL_LITERAL_MAX = 500_000
+
+
 def url_domains_with_psl(
     df: DataFrame,
     suffixes: DataFrame | None = None,
@@ -1491,21 +1497,26 @@ def url_domains_with_psl(
     ``*`` default). ``suffixes=None`` falls back to the frozen-list
     expression so static oracles keep working.
 
-    Mechanics: the host's last-k label strings probe per-kind, per-length
-    slices of the suffix table through BROADCAST left joins — the PSL is
-    list-sized (~9k entries), so it rides to the executors and the corpus
-    NEVER shuffles; everything else is the same map-only regexp/array
-    chain as url_domain. Each match contributes a public-suffix label
-    count: a plain k-label entry contributes k, a wildcard ``*.X``
-    (X = kx labels) contributes kx+1, an exception ``!Y`` (ky labels)
-    overrides with ky-1. Registrable domain = last (ps_len + 1) labels; a
-    host with <= ps_len labels IS (inside) a public suffix and passes
-    through unchanged. Which slices exist is probed ONCE from the
-    list-sized table at plan time (a ms-scale driver action, the
-    centroid-literal convention), so a wildcard-free table plans exactly
-    the 3 plain-slice joins. With a table holding exactly the frozen 21
-    two-label entries the output equals url_domain row-for-row
-    (test-pinned)."""
+    Mechanics (r13 optimization — guide §2.4/§3.1): the suffix table is
+    list-sized by contract (the real PSL is ~9k rules), so it is parsed
+    and collected ONCE at plan time (the centroid-literal convention —
+    the broadcast-join formulation this replaces ALSO collected it to
+    the driver, once per probe, to build each broadcast relation) and
+    each per-kind, per-length slice becomes an ``isin``/InSet literal
+    predicate on the host's last-k label string. The whole extraction is
+    then ONE map-only codegen'd projection — zero joins, zero exchanges,
+    zero suffix-side re-aggregations — versus the previous 3–9 broadcast
+    left joins each paying its own distinct-aggregate over the suffix
+    frame (plan-pinned in tests/test_plans.py). Each match contributes a
+    public-suffix label count: a plain k-label entry contributes k, a
+    wildcard ``*.X`` (X = kx labels) contributes kx+1, an exception
+    ``!Y`` (ky labels) overrides with ky-1. Registrable domain = last
+    (ps_len + 1) labels; a host with <= ps_len labels IS (inside) a
+    public suffix and passes through unchanged. With a table holding
+    exactly the frozen 21 two-label entries the output equals url_domain
+    row-for-row (test-pinned). A table over ``_PSL_LITERAL_MAX`` entries
+    (orders of magnitude past any real PSL) is refused rather than
+    silently bloating the plan."""
     if suffixes is None:
         return df.withColumn(out_col, url_domain(url_col))
 
@@ -1544,35 +1555,35 @@ def url_domains_with_psl(
         .alias("_psl_sfx"),
     ).withColumn("_psl_k", F.size(F.split(F.col("_psl_sfx"), r"\.")))
 
-    # which (kind, label-count) slices exist — one tiny plan-time action on
-    # the list-sized table, so absent kinds cost zero joins
-    present = {
-        (r["_kind"], r["_psl_k"])
-        for r in parsed.select("_kind", "_psl_k").distinct().collect()
-    }
+    # ONE plan-time action collects the list-sized table into per-(kind,
+    # label-count) literal sets; absent slices cost zero expressions
+    rows = parsed.limit(_PSL_LITERAL_MAX + 1).collect()
+    if len(rows) > _PSL_LITERAL_MAX:
+        raise ValueError(
+            f"suffix table exceeds {_PSL_LITERAL_MAX} entries — not a "
+            "public-suffix list; url_domains_with_psl inlines the table "
+            "as plan literals and refuses unbounded input"
+        )
+    slices: dict[tuple[str, int], list[str]] = {}
+    for r in rows:
+        slices.setdefault((r["_kind"], r["_psl_k"]), []).append(r["_psl_sfx"])
 
     ps_candidates = []  # Columns: public-suffix label count per match kind
 
-    def _probe(kind: str, k: int, marker: str, ps_len: int):
-        sk = parsed.filter(
-            (F.col("_kind") == kind) & (F.col("_psl_k") == k)
-        ).select(F.col("_psl_sfx").alias(marker))
-        nonlocal keyed
-        keyed = keyed.join(
-            F.broadcast(sk), keyed[f"_psl_l{k}"] == sk[marker], "left"
-        )
-        return F.when(F.col(marker).isNotNull(), F.lit(ps_len))
+    def _probe(kind: str, k: int, ps_len: int):
+        vals = sorted(slices[(kind, k)])  # sorted: deterministic plan text
+        return F.when(F.col(f"_psl_l{k}").isin(*vals), F.lit(ps_len))
 
     exc_candidates = []
     for k in (1, 2, 3):  # plain entries: ps_len = k
-        if ("plain", k) in present:
-            ps_candidates.append(_probe("plain", k, f"_psl_m{k}", k))
+        if ("plain", k) in slices:
+            ps_candidates.append(_probe("plain", k, k))
     for k in (1, 2, 3):  # wildcard *.X: ps_len = kx + 1
-        if ("wild", k) in present:
-            ps_candidates.append(_probe("wild", k, f"_psl_w{k}", k + 1))
+        if ("wild", k) in slices:
+            ps_candidates.append(_probe("wild", k, k + 1))
     for k in (2, 3, 4):  # exception !Y: ps_len = ky - 1, beats everything
-        if ("exc", k) in present:
-            exc_candidates.append(_probe("exc", k, f"_psl_e{k}", k - 1))
+        if ("exc", k) in slices:
+            exc_candidates.append(_probe("exc", k, k - 1))
 
     def _fold_max(cands):
         if not cands:
@@ -1594,19 +1605,8 @@ def url_domains_with_psl(
         .when(ps_len.isNotNull(), F.when(n >= ps_len + 1, reg).otherwise(h))
         .otherwise(F.when(n <= 2, h).otherwise(F.col("_psl_l2")))
     )
-    drop = (
-        ["_psl_host", "_psl_n"]
-        + [f"_psl_l{k}" for k in (1, 2, 3, 4, 5)]
-        + [f"_psl_m{k}" for k in (1, 2, 3)]
-        + [f"_psl_w{k}" for k in (1, 2, 3)]
-        + [f"_psl_e{k}" for k in (2, 3, 4)]
-    )
-    existing = set()
-    for frame_cols in (keyed.columns,):
-        existing.update(frame_cols)
-    return keyed.withColumn(out_col, domain).drop(
-        *[c for c in drop if c in existing]
-    )
+    drop = ["_psl_host", "_psl_n"] + [f"_psl_l{k}" for k in (1, 2, 3, 4, 5)]
+    return keyed.withColumn(out_col, domain).drop(*drop)
 
 
 def load_psl_suffixes(spark, path: str) -> DataFrame:

@@ -125,12 +125,15 @@ SHOWCASE = {
         "pipeline, which is why web corpora run it before content dedup."
     ),
     "url_domains_psl": (
-        "Real-PSL domain extraction (r13): every suffix probe is a "
-        "BroadcastHashJoin of a per-(kind, label-count) slice of the "
-        "list-sized suffix table — the only hash exchanges in the plan "
-        "key on the ~100-row suffix frame, the corpus side never "
-        "shuffles, and the host/label arithmetic stays in the scan's "
-        "codegen span. At 100 TB the extraction is a map-only pass."
+        "Real-PSL domain extraction (r13, optimized): the list-sized "
+        "suffix table is collected ONCE at plan time and every per-"
+        "(kind, label-count) probe is an InSet literal predicate, so the "
+        "whole extraction — host/label arithmetic included — is ONE "
+        "map-only projection in the scan's codegen span: zero joins, "
+        "zero exchanges, versus the 3–9 broadcast joins (each with its "
+        "own suffix-side distinct aggregate) of the first formulation. "
+        "The only exchanges left in this plan belong to the suite "
+        "query's per-domain verification aggregate."
     ),
     "source_kl": (
         "Per-source KL drift diagnostic (r13): ONE corpus-sized exchange "

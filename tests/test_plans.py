@@ -821,10 +821,11 @@ def test_quality_flag_matches_quality_score(spark, sf_dir):
     assert diff.count() == 0
 
 
-def test_url_domains_psl_plan_broadcast_only(spark, sf_dir):
-    """The PSL suffix lookup must ride to executors as BROADCAST joins —
-    the corpus side never shuffles (zero non-broadcast exchanges on the
-    extraction), and no cartesian product sneaks in."""
+def test_url_domains_psl_plan_map_only(spark, sf_dir):
+    """The PSL suffix lookup is inlined as plan-time InSet literals (r13
+    optimization): the extraction must be ONE map-only projection — zero
+    joins of any kind, zero exchanges, zero suffix-side re-aggregations —
+    strictly stronger than the broadcast-join shape it replaced."""
     from demo_bigdata_spark.operators.text import url_domains_with_psl
     from demo_bigdata_spark.suites.suite_llm import (
         PSL_FIXTURE_SUFFIXES,
@@ -839,13 +840,9 @@ def test_url_domains_psl_plan_broadcast_only(spark, sf_dir):
     )
     out = url_domains_with_psl(docs, suffixes=psl)
     po = executed_plan(out)
-    assert po.count("BroadcastHashJoin") == 3, po
-    # every shuffle exchange keys on the suffix table's dedup (_psl_sfx, a
-    # ~100-row frame) — the CORPUS side must never shuffle
-    import re as _re
-
-    shuffle_keys = _re.findall(r"Exchange hashpartitioning\((\w+?)#", po)
-    assert all(k in ("_psl_sfx", "_s") for k in shuffle_keys), (shuffle_keys, po)
+    assert "Join" not in po, po
+    assert "Exchange" not in po, po
+    assert "HashAggregate" not in po, po
     assert not has_cartesian(out), po
 
 
