@@ -2074,6 +2074,41 @@ def test_pagerank_matches_integer_reference(spark):
     assert scale - 200 * n <= sum(got.values()) <= scale
 
 
+def test_pagerank_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r13 optimization pin: dimension-sized graphs take the driver-side
+    exact-integer iteration (bounded-state collect of the normalized edge
+    list); forcing the distributed loop on the SAME graphs must produce
+    bit-identical ranks — uniform with a dangling node, personalized, and
+    eps/warm-start modes."""
+    from demo_bigdata_spark.operators import graph as G
+
+    nodes = spark.createDataFrame([(v,) for v in "ABCD"], "node string")
+    edges = spark.createDataFrame(
+        [("A", "B", 2), ("A", "C", 1), ("B", "A", 1), ("D", "A", 1)],
+        "src string, dst string, w long",
+    )
+    srcs = spark.createDataFrame([("A",)], "node string")
+
+    def run(**kw):
+        return {
+            r["node"]: r["rank"]
+            for r in G.pagerank(nodes, edges, **kw).collect()
+        }
+
+    cases = [
+        dict(iters=10),
+        dict(iters=12, sources=srcs),
+        dict(eps=2, max_iters=80),
+    ]
+    via_driver = [run(**kw) for kw in cases]
+    warm_drv = run(iters=5, init_ranks=G.pagerank(nodes, edges, iters=10))
+    monkeypatch.setattr(G, "_DRIVER_GRAPH_MAX_NODES", 0)
+    via_dist = [run(**kw) for kw in cases]
+    warm_dist = run(iters=5, init_ranks=G.pagerank(nodes, edges, iters=10))
+    assert via_driver == via_dist
+    assert warm_drv == warm_dist
+
+
 def test_connected_components_chain_triangle_isolated(spark):
     """graph.connected_components: a 4-node chain, a triangle, and an
     isolated node resolve to exactly three components labeled by their
