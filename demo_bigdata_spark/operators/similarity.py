@@ -410,17 +410,39 @@ def _frozen_init_rows(src, n: int, who: str):
 def _frozen_ivf_assigned(src, cents):
     """Cluster assignment under the frozen pins: 4dp cosine, ties at the
     rounded score pick the SMALLEST centroid index (max of (score, -idx),
-    matching the twin's ORDER BY sc DESC, cid)."""
-    from demo_bigdata_spark.functions.vector import cosine_similarity
+    matching the twin's ORDER BY sc DESC, cid).
 
-    structs = [
-        F.struct(
-            F.round(cosine_similarity(F.col("v"), _lit_arr(c)), 4).alias("s"),
-            F.lit(-i).alias("ni"),
+    r13 optimization (guide §2.3 — do less work per row): the naive
+    ``cosine_similarity(v, lit(c))`` per centroid re-evaluates the ROW
+    norm once per centroid and the CENTROID norm once per row — 3x the
+    necessary aggregate-HOF work. The row norm is hoisted into one
+    ``_nv`` column and each centroid's norm is computed on the driver
+    with the identical left-fold order (``acc + x*x`` ascending, then
+    sqrt — IEEE doubles, bit-equal to F.aggregate's sequential fold), so
+    every per-row term is ``dot(v, c) / (_nv * lit(norm_c))`` — the same
+    expression tree shape, the same values (probe-verified: zero
+    assignment diffs at sf0.1), ~2.7x fewer array-element operations."""
+    import math
+
+    from demo_bigdata_spark.functions.vector import dot, l2_norm
+
+    def _norm(c):
+        acc = 0.0
+        for x in c:
+            acc += x * x  # sequential fold, matching F.aggregate exactly
+        return math.sqrt(acc)
+
+    keyed = src.withColumn("_nv", l2_norm(F.col("v")))
+    structs = []
+    for i, c in enumerate(cents):
+        denom = F.col("_nv") * F.lit(_norm(c))
+        cos = F.when(denom != 0, dot(F.col("v"), _lit_arr(c)) / denom)
+        structs.append(
+            F.struct(F.round(cos, 4).alias("s"), F.lit(-i).alias("ni"))
         )
-        for i, c in enumerate(cents)
-    ]
-    return src.withColumn("cluster", -F.array_max(F.array(*structs))["ni"])
+    return keyed.withColumn(
+        "cluster", -F.array_max(F.array(*structs))["ni"]
+    ).drop("_nv")
 
 
 def _frozen_ivf_model(src, n_centroids: int, iterations: int, who: str):
