@@ -249,6 +249,21 @@ def main() -> None:
             }
         )
     )
+    # r14 (r13 VERDICT item 6, additions-only): the full per-query map also
+    # outgrows the driver's stdout TAIL capture (PERF_r13 reconstructed
+    # round-over-round comparison by hand from truncated fragments), so
+    # persist it to a file next to this script. stdout contract unchanged:
+    # the compact JSON line below stays LAST.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
+            "w",
+        ) as fh:
+            json.dump(
+                {"value": total, "sf": sf, "queries": timings}, fh, indent=1
+            )
+    except OSError:
+        pass  # best-effort: a read-only checkout must not fail the bench
     # The per-query map above outgrew the driver's fixed-size stdout tail
     # capture in round 10 (82 entries pushed "metric"/"value" out of the
     # window -> BENCH_r10.json recorded parsed:null and the 2x gate went

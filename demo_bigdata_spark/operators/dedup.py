@@ -377,6 +377,126 @@ def simhash_pairs(
     )
 
 
+# r14 optimization (guide §5 driver discipline / §1.2 fix-the-algorithm —
+# the pagerank _DRIVER_GRAPH_* convention applied to CC): after phase 1 +
+# contraction, the remaining fixed-point rounds run over the CONTRACTED
+# graph, which on dedup-shaped corpora is component-count-sized (hundreds
+# of rows at sf0.1) — yet the distributed loop paid one count job (plus
+# exchanges) per round, and the final resolution joined the corpus-sized
+# phase-1 frame against a statistics-less checkpoint (SortMergeJoin, one
+# full node-sized exchange). When a limit-probe bounds the contracted
+# table at _CC_DRIVER_MAX_ROWS, the rounds run on the DRIVER as a
+# bit-exact Python replica of the distributed step (same neighbor/bucket
+# min, same pointer jump, same carried-old changed count, same budget
+# accounting — so the ``max_iterations`` raise fires on exactly the same
+# inputs) and the resolution map comes back as a BROADCAST local relation,
+# so the corpus-sized frame never shuffles. The threshold is on the DATA
+# (contracted size), not the environment: a 100 TB corpus whose post-
+# contraction graph exceeds the bound keeps the distributed loop.
+_CC_DRIVER_MAX_ROWS = 100_000
+
+
+def _edge_rounds_driver(
+    edge_rows, budget: int, err_msg: str
+) -> dict:
+    """Bit-exact driver replica of :func:`_edge_min_label_loop` over a
+    collected symmetric contracted edge list [(src, dst), ...]: per round
+    a neighbor-min (``nm(d) = min label(s) over in-edges``), the
+    ``least(own, nm)`` step, the pointer jump through the stepped table,
+    and the carried-old ``changed`` count — one budget unit per round,
+    raising ``err_msg`` when the budget is exhausted before ``changed ==
+    0``, exactly like the distributed loop. Labels are member ids; min
+    over Python ints/strs orders identically to Spark's bigint/UTF8
+    ordering (UTF-8 byte order is code-point order), so the fixed point
+    is bit-identical. Nodes outside every edge (isolated phase-1 labels)
+    keep themselves and contribute 0 to ``changed`` in both forms, so
+    restricting the replica to edge-touching nodes changes nothing."""
+    label: dict = {}
+    for s, d in edge_rows:
+        label[s] = s
+        label[d] = d
+    while budget > 0:
+        budget -= 1
+        nm: dict = {}
+        for s, d in edge_rows:
+            v = label[s]
+            prev = nm.get(d)
+            if prev is None or v < prev:
+                nm[d] = v
+        stepped = {}
+        for x, lx in label.items():
+            v = nm.get(x)
+            stepped[x] = lx if v is None or lx < v else v
+        changed = 0
+        new = {}
+        for x, sx in stepped.items():
+            t = stepped.get(sx, sx)
+            nx = sx if sx < t else t
+            new[x] = nx
+            if nx != label[x]:
+                changed += 1
+        label = new
+        if changed == 0:
+            return label
+    raise RuntimeError(err_msg)
+
+
+def _bucket_rounds_driver(
+    mem_rows, budget: int, err_msg: str
+) -> dict:
+    """Bit-exact driver replica of :func:`_bucket_min_label_loop` over a
+    collected contracted membership list [(id, bucket), ...]: per round
+    the per-bucket member-label min, the per-member min over its buckets,
+    the pointer jump, and the carried-old ``changed`` count — identical
+    budget accounting and raise behavior to the distributed loop (see
+    :func:`_edge_rounds_driver` for the ordering argument)."""
+    by_bucket: dict = {}
+    by_id: dict = {}
+    for i, b in mem_rows:
+        by_bucket.setdefault(b, []).append(i)
+        by_id.setdefault(i, []).append(b)
+    label = {i: i for i in by_id}
+    while budget > 0:
+        budget -= 1
+        bmin = {b: min(label[i] for i in ids) for b, ids in by_bucket.items()}
+        stepped = {i: min(bmin[b] for b in bs) for i, bs in by_id.items()}
+        changed = 0
+        new = {}
+        for x, sx in stepped.items():
+            t = stepped.get(sx, sx)
+            nx = sx if sx < t else t
+            new[x] = nx
+            if nx != label[x]:
+                changed += 1
+        label = new
+        if changed == 0:
+            return label
+    raise RuntimeError(err_msg)
+
+
+def _resolve_with_driver_labels(l0: DataFrame, final: dict, id_col: str) -> DataFrame:
+    """Resolve every phase-1 label through a driver-computed contracted
+    fixed point: the (label -> component min) map — only the entries that
+    actually move — becomes a local relation and the join is an explicit
+    BROADCAST, so the corpus-sized ``l0`` frame is never exchanged (the
+    former statistics-less checkpoint forced a SortMergeJoin here).
+    Missing labels keep themselves via the left join's coalesce, exactly
+    like the distributed resolution."""
+    from pyspark.sql.types import StructField, StructType
+
+    dtype = l0.schema["cluster_id"].dataType
+    schema = StructType(
+        [StructField("_cl", dtype, True), StructField("_cmin", dtype, True)]
+    )
+    moved = [(k, v) for k, v in final.items() if k != v]
+    cl = l0.sparkSession.createDataFrame(moved, schema)
+    return l0.join(
+        F.broadcast(cl), l0["cluster_id"] == F.col("_cl"), "left"
+    ).select(
+        l0[id_col], F.coalesce("_cmin", "cluster_id").alias("cluster_id")
+    )
+
+
 def _bucket_min_label_step(
     bands_df: DataFrame, labels: DataFrame | None, id_col: str
 ):
@@ -488,6 +608,23 @@ def _propagate_min_labels(
         .select(F.col("cluster_id").alias(id_col), "bucket")
         .distinct()
     ).localCheckpoint(eager=False)
+    # r14: contracted memberships small enough to collect finish on the
+    # driver (bit-exact round replica incl. the max_iterations raise) and
+    # resolve via a broadcast map — no per-round count jobs, no node-sized
+    # resolution exchange. Oversized contracted tables keep the
+    # distributed loop (the probe is on the data, not the environment).
+    probe = mem.limit(_CC_DRIVER_MAX_ROWS + 1).collect()
+    budget = max(1, max_iterations - 1)
+    err_msg = (
+        f"duplicate_clusters: label propagation did not converge within "
+        f"{budget} iterations — raise max_iterations (labels are "
+        "exact only at the fixed point)"
+    )
+    if len(probe) <= _CC_DRIVER_MAX_ROWS:
+        final = _bucket_rounds_driver(
+            [(r[0], r[1]) for r in probe], budget, err_msg
+        )
+        return _resolve_with_driver_labels(l0, final, id_col)
     cl = _bucket_min_label_loop(mem, id_col, max(1, max_iterations - 1))
     return l0.join(
         cl.select(F.col(id_col).alias("_cl"), F.col("cluster_id").alias("_cmin")),
@@ -1721,13 +1858,17 @@ def _propagate_min_labels_edges(
       families) this alone collapses most nodes to their component min.
     - **Phase 2 — contract and finish in label space**: edges are
       rewritten to distinct (label, label) pairs — the classic CC
-      contraction step — and the remaining rounds (edge round + jump, one
-      lazy-checkpoint job each, convergence via a carried-old-label
-      filter-count) run on that contracted graph, which is
-      component-count-sized, NOT corpus-sized. The full edge table is
-      scanned exactly twice (the phase-1 aggregate and the contraction
-      join) instead of once per round. A final label-sized left join
-      resolves every node through its phase-1 label.
+      contraction step — and the remaining rounds run on that contracted
+      graph, which is component-count-sized, NOT corpus-sized. The full
+      edge table is scanned exactly twice (the phase-1 aggregate and the
+      contraction join) instead of once per round. Since r14 the rounds
+      run ON THE DRIVER when a limit-probe bounds the contracted table
+      (``_CC_DRIVER_MAX_ROWS`` — a bit-exact replica of the distributed
+      round incl. the budget raise), and the resolution is a BROADCAST
+      map join, so no per-round jobs and no node-sized resolution
+      exchange; oversized contracted graphs keep the distributed loop
+      (edge round + jump, one lazy-checkpoint job each, convergence via
+      a carried-old-label filter-count) and the label-sized left join.
 
     Exactness is untouched: phase-1 labels are member ids that only
     decrease; contraction preserves connectivity (each edge maps to a
@@ -1747,13 +1888,22 @@ def _propagate_min_labels_edges(
             f"_propagate_min_labels_edges: label propagation did not converge "
             f"within {max_iterations} iterations"
         )
-    sym = (
-        pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
+    # symmetrize in ONE scan (r14): the former two-branch union re-ran the
+    # caller's whole pair subtree (parquet read + ledger semi-join) once
+    # per direction to materialize this checkpoint; inline_outer emits both
+    # directions from a single pass, map-only
+    sym = pairs.select(
+        F.inline_outer(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")
+                ),
+                F.struct(
+                    F.col("id_b").alias("_src"), F.col("id_a").alias("_dst")
+                ),
+            )
         )
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     base = universe.select(F.col(id_col)).distinct().withColumn(
         "cluster_id", F.col(id_col)
     )
@@ -1773,7 +1923,26 @@ def _propagate_min_labels_edges(
             F.greatest("_la", "_lb").alias("_dst"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    # r14: dedup-shaped corpora contract to component-count-sized graphs —
+    # finish the fixed point on the driver (bit-exact round replica incl.
+    # the max_iterations raise; see _edge_rounds_driver) and resolve with a
+    # broadcast map instead of per-round count jobs + a node-sized
+    # SortMergeJoin against a statistics-less checkpoint.
+    probe = contracted.limit(_CC_DRIVER_MAX_ROWS + 1).collect()
+    budget = max(1, max_iterations - 1)
+    if len(probe) <= _CC_DRIVER_MAX_ROWS:
+        # replicate the symmetric view the distributed loop iterates over
+        sym_rows = [(r[0], r[1]) for r in probe]
+        sym_rows += [(b, a) for a, b in sym_rows]
+        final = _edge_rounds_driver(
+            sym_rows,
+            budget,
+            f"_propagate_min_labels_edges: label propagation did not "
+            f"converge within {budget} iterations",
+        )
+        return _resolve_with_driver_labels(l0, final, id_col)
     csym = contracted.unionByName(
         contracted.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
     ).localCheckpoint(eager=False)
@@ -1781,7 +1950,7 @@ def _propagate_min_labels_edges(
         csym,
         l0.select(F.col("cluster_id").alias(id_col)),
         id_col,
-        max(1, max_iterations - 1),
+        budget,
     )
     return l0.join(
         cl.select(F.col(id_col).alias("_cl"), F.col("cluster_id").alias("_cmin")),

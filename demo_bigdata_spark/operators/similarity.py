@@ -416,10 +416,10 @@ def _frozen_ivf_assigned(src, cents):
     ``cosine_similarity(v, lit(c))`` per centroid re-evaluates the ROW
     norm once per centroid and the CENTROID norm once per row — 3x the
     necessary aggregate-HOF work. The row norm is hoisted into one
-    ``_nv`` column and each centroid's norm is computed on the driver
+    ``__ivf_nv`` column (collision-resistant temp name, r13 ADVICE) and each centroid's norm is computed on the driver
     with the identical left-fold order (``acc + x*x`` ascending, then
     sqrt — IEEE doubles, bit-equal to F.aggregate's sequential fold), so
-    every per-row term is ``dot(v, c) / (_nv * lit(norm_c))`` — the same
+    every per-row term is ``dot(v, c) / (__ivf_nv * lit(norm_c))`` — the same
     expression tree shape, the same values (probe-verified: zero
     assignment diffs at sf0.1), ~2.7x fewer array-element operations."""
     import math
@@ -432,17 +432,17 @@ def _frozen_ivf_assigned(src, cents):
             acc += x * x  # sequential fold, matching F.aggregate exactly
         return math.sqrt(acc)
 
-    keyed = src.withColumn("_nv", l2_norm(F.col("v")))
+    keyed = src.withColumn("__ivf_nv", l2_norm(F.col("v")))
     structs = []
     for i, c in enumerate(cents):
-        denom = F.col("_nv") * F.lit(_norm(c))
+        denom = F.col("__ivf_nv") * F.lit(_norm(c))
         cos = F.when(denom != 0, dot(F.col("v"), _lit_arr(c)) / denom)
         structs.append(
             F.struct(F.round(cos, 4).alias("s"), F.lit(-i).alias("ni"))
         )
     return keyed.withColumn(
         "cluster", -F.array_max(F.array(*structs))["ni"]
-    ).drop("_nv")
+    ).drop("__ivf_nv")
 
 
 def _frozen_ivf_model(src, n_centroids: int, iterations: int, who: str):

@@ -470,11 +470,13 @@ def append_histogram_batch(
     n_bins: int = 1024,
 ) -> None:
     """Exactly-once incremental histogram maintenance under the shared
-    epoch-ledger discipline: append the batch's (bin, n, epoch_id) partial
-    (<= n_bins rows per epoch) and commit the epoch. Integer bin counts
-    sum across epochs to EXACTLY the batch sketch of everything ingested —
-    replay appends identical rows and the committed view's (bin, epoch_id)
-    dedup collapses them."""
+    epoch-ledger discipline: write the batch's (bin, n) partial (<= n_bins
+    rows per epoch) into the epoch's OWN partition directory
+    (``path/epoch_id=<k>``, mode=overwrite — the idempotent layout, r14)
+    and commit the epoch. Integer bin counts sum across epochs to EXACTLY
+    the batch sketch of everything ingested; a replayed (uncommitted)
+    epoch REPLACES its directory instead of appending a second copy, so
+    the committed read needs no dedup shuffle."""
     from demo_bigdata_spark.streaming.pipeline import (
         commit_epoch,
         epoch_already_applied,
@@ -483,24 +485,26 @@ def append_histogram_batch(
     epochs_path = path + "_epochs"
     if epoch_already_applied(spark, epochs_path, epoch_id):
         return
-    part = histogram_sketch(batch_df, value_col, lo, hi, n_bins).withColumn(
-        "epoch_id", F.lit(int(epoch_id))
+    part = histogram_sketch(batch_df, value_col, lo, hi, n_bins)
+    part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{path}/epoch_id={int(epoch_id)}"
     )
-    part.localCheckpoint(eager=True).write.mode("append").parquet(path)
     commit_epoch(spark, epochs_path, epoch_id)
 
 
 def read_histogram(spark, path: str) -> DataFrame:
     """Committed (bin, n) sketch from the incrementally-maintained table:
-    ledger semi-join + replay dedup, then the exact integer re-sum."""
-    from demo_bigdata_spark.streaming.pipeline import committed_view
+    ledger semi-join over the epoch-partitioned layout (no dedup shuffle —
+    see committed_view_epoch_partitioned), then the exact integer re-sum."""
+    from demo_bigdata_spark.streaming.pipeline import (
+        committed_view_epoch_partitioned,
+    )
 
     return (
-        committed_view(
+        committed_view_epoch_partitioned(
             spark,
             path,
             path + "_epochs",
-            ["bin", "epoch_id"],
             "bin int, n bigint, epoch_id long",
         )
         .groupBy("bin")

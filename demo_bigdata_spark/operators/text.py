@@ -696,12 +696,15 @@ def append_term_counts_batch(
 ) -> None:
     """Exactly-once incremental maintenance of the (group, token) count
     table :func:`group_kl_divergence` is built on, under the shared
-    epoch-ledger discipline: append the batch's partial counts (one row
+    epoch-ledger discipline: write the batch's partial counts (one row
     per (group, distinct token) in the batch — Zipf-bounded, never the
-    corpus) and commit the epoch. Token counts are ADDITIVE integers, so
-    the committed sums across epochs equal the batch count table of
-    everything ingested exactly; replay appends identical rows and the
-    committed view's (grp, tok, epoch_id) dedup collapses them."""
+    corpus) into the epoch's OWN partition directory
+    (``path/epoch_id=<k>``, mode=overwrite — the idempotent layout, r14)
+    and commit the epoch. Token counts are ADDITIVE integers, so the
+    committed sums across epochs equal the batch count table of
+    everything ingested exactly; a replayed (uncommitted) epoch REPLACES
+    its directory instead of appending a second copy, so the committed
+    read needs no dedup shuffle."""
     from demo_bigdata_spark.streaming.pipeline import (
         commit_epoch,
         epoch_already_applied,
@@ -718,9 +721,10 @@ def append_term_counts_batch(
         .filter(F.col("tok") != "")
         .groupBy("grp", "tok")
         .agg(F.count("*").alias("n"))
-        .withColumn("epoch_id", F.lit(int(epoch_id)))
     )
-    part.localCheckpoint(eager=True).write.mode("append").parquet(path)
+    part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{path}/epoch_id={int(epoch_id)}"
+    )
     commit_epoch(spark, epochs_path, epoch_id)
 
 
@@ -728,19 +732,21 @@ def read_group_kl(
     spark, path: str, group_col: str = "source", top_v: int = 256, scale: int = 6
 ) -> DataFrame:
     """Per-group KL divergence from the incrementally-maintained count
-    table: committed view (ledger semi-join + replay dedup) -> exact
-    integer re-sum per (group, token) -> the SAME vocab/OOV/KL tail as
-    the batch operator (:func:`_kl_from_counts`), so live == batch
+    table: committed view (ledger semi-join over the epoch-partitioned
+    layout — no dedup shuffle, see committed_view_epoch_partitioned) ->
+    exact integer re-sum per (group, token) -> the SAME vocab/OOV/KL tail
+    as the batch operator (:func:`_kl_from_counts`), so live == batch
     bit-for-bit at any epoch boundary — the streaming answer to 'which
     crawl snapshot shifted the mixture'."""
-    from demo_bigdata_spark.streaming.pipeline import committed_view
+    from demo_bigdata_spark.streaming.pipeline import (
+        committed_view_epoch_partitioned,
+    )
 
     gt = (
-        committed_view(
+        committed_view_epoch_partitioned(
             spark,
             path,
             path + "_epochs",
-            ["grp", "tok", "epoch_id"],
             "grp string, tok string, n bigint, epoch_id long",
         )
         .groupBy("grp", "tok")

@@ -486,6 +486,40 @@ def committed_view(
     return rows.join(ledger, "epoch_id", "left_semi").dropDuplicates(dedup_keys)
 
 
+def committed_view_epoch_partitioned(
+    spark,
+    rows_path: str,
+    epochs_path: str,
+    empty_schema: str,
+) -> DataFrame:
+    """Committed view of a table maintained by IDEMPOTENT per-epoch
+    partition overwrites (``<rows_path>/epoch_id=<k>``, each fold writing
+    its epoch's rows with ``mode("overwrite")`` into that one directory):
+    the ledger semi-join alone — NO dedup shuffle (r14, r13 VERDICT item
+    4). The exactly-once argument, per layout rather than per reader:
+
+    - a crash BEFORE the ledger commit leaves rows only in an uncommitted
+      epoch directory — invisible through the semi-join (unchanged
+      correctness line);
+    - the deterministic replay of an uncommitted epoch OVERWRITES that
+      same directory, so the committed table can never hold two copies of
+      an epoch's rows — the case the flat-append layout needed the
+      corpus-sized ``dropDuplicates`` for;
+    - a COMMITTED epoch is never rewritten (every fold checks
+      ``epoch_already_applied`` first), so the directory is immutable
+      once visible.
+
+    ``epoch_id`` comes back as a directory-inferred partition column
+    (int); it is cast to long to keep the documented schema. Returns an
+    empty frame with ``empty_schema`` before the first commit."""
+    ledger = _read_parquet_if_exists(spark, epochs_path)
+    rows = _read_parquet_if_exists(spark, rows_path)
+    if rows is None or ledger is None:
+        return spark.createDataFrame([], empty_schema)
+    rows = rows.withColumn("epoch_id", F.col("epoch_id").cast("long"))
+    return rows.join(ledger, "epoch_id", "left_semi")
+
+
 def combine_hourly_partial(
     spark, path: str, batch_df: DataFrame, epoch_id: int, ts_col: str = "ts"
 ) -> None:

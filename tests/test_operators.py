@@ -2109,6 +2109,56 @@ def test_pagerank_driver_and_distributed_paths_agree(spark, monkeypatch):
     assert warm_drv == warm_dist
 
 
+def test_pagerank_paths_agree_on_degenerate_inputs(spark, monkeypatch):
+    """r13 ADVICE / VERDICT item 5 hardening: the driver and distributed
+    paths must also agree on contract-edge inputs — zero-weight out-edges
+    (wout == 0: the node becomes DANGLING on both paths; without the
+    wout filter the distributed div raises DIVIDE_BY_ZERO under Spark 4
+    ANSI and the driver loop would ZeroDivisionError), an edge whose
+    source is outside the caller-supplied node universe (the semi-join
+    drops it on both paths), and a warm-start frame carrying rows for
+    nodes far outside the universe (bounded collect, out-of-universe
+    rows ignored)."""
+    from demo_bigdata_spark.operators import graph as G
+
+    nodes = spark.createDataFrame([(v,) for v in "ABC"], "node string")
+    edges = spark.createDataFrame(
+        [
+            ("A", "B", 0),  # zero-weight only => wout(A) == 0
+            ("B", "C", 1),
+            ("Z", "A", 5),  # source outside the universe
+            ("C", "Z", 2),  # dst outside the universe
+        ],
+        "src string, dst string, w long",
+    )
+    warm = spark.createDataFrame(
+        [(v, 10**9) for v in "ABC"] + [(f"X{i}", 7) for i in range(50)],
+        "node string, rank long",
+    )
+
+    def run(**kw):
+        return {
+            r["node"]: r["rank"]
+            for r in G.pagerank(nodes, edges, **kw).collect()
+        }
+
+    drv = [run(iters=8), run(iters=4, init_ranks=warm)]
+    monkeypatch.setattr(G, "_DRIVER_GRAPH_MAX_NODES", 0)
+    dist = [run(iters=8), run(iters=4, init_ranks=warm)]
+    assert drv == dist
+    assert set(drv[0]) == set("ABC")
+
+    # the raw loop (direct callers violating edges ⊆ nodes) mirrors the
+    # distributed join-drop instead of KeyError/ZeroDivisionError
+    prof = [("A", 1, 0), ("B", 1, 0), ("C", 1, 1)]
+    ranks = G._pagerank_driver_loop(
+        prof,
+        [("A", "B", 0, 0), ("B", "C", 1, 1), ("Q", "A", 3, 3)],
+        3, 0, 17, 20, G.PAGERANK_SCALE, None, 5, None, None,
+    )
+    assert set(ranks) == set("ABC")
+
+
 def test_connected_components_chain_triangle_isolated(spark):
     """graph.connected_components: a 4-node chain, a triangle, and an
     isolated node resolve to exactly three components labeled by their
